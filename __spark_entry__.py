@@ -3,36 +3,47 @@
 The driver's verify runs ``entry(spark)`` as a smoke check, runs
 each ``queries()[name]`` at sf=0.01 and compares it against the
 matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+order-insensitive value-hash → CORRECTNESS_r{N}.json).
+
+Implementation lives in ``greenexp_r_spark/`` (see SURVEY.md §2 for
+the operator inventory each query exercises).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from greenexp_r_spark import registry, world
+from greenexp_r_spark.operators import accessibility, availability
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship combined-exposure query on sf0.001: per address point,
+    availability (buffer-zonal mean NDVI) + accessibility (distance to
+    nearest ≥400 m² park, in-300m flag) joined on point_id."""
+    sf = "/root/testdata/sf0.001"
+    points = world.points_df(spark, sf)
+    parks = world.parks_df(spark)
+    avail = availability.ndvi_zonal(points)
+    access = accessibility.euclidean_access(points, parks)
+    return (points.select("point_id", "url", "x", "y")
+            .join(avail, "point_id")
+            .join(access, "point_id")
+            .select("point_id", "url", "x", "y", "mean_ndvi", "sd_ndvi",
+                    "closest_greenspace", "greenspace_in_buffer"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: spec.spark for name, spec in registry.build_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: spec.oracle
+            for name, spec in registry.build_registry().items()
+            if spec.oracle is not None}

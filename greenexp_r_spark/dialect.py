@@ -1,0 +1,111 @@
+"""Shared-SQL dialect shim: one query text, two engines.
+
+The driver's correctness gate runs our Spark query AND our oracle SQL
+(DuckDB) side-by-side and hash-compares values.  The safest way to stay
+bit-identical is to author ONE logical SQL text per query in the common
+subset, and express the handful of divergent primitives through this
+tiny templater.  Spark queries are then ``spark.sql(render(SPARK))`` and
+oracles are ``render(DUCK)`` — semantics are shared by construction.
+
+Only integer arithmetic, CAST, CASE, sqrt/floor/least/greatest, string
+ops, window functions, CTEs and joins are used in shared texts; all are
+identical across the engines.  Divergent primitives wrapped here:
+
+    range lateral join   Spark LATERAL VIEW explode(sequence(..)) vs
+                         DuckDB generate_series table function
+    split / array ops    split vs string_split, size vs len, element_at
+    bit shifts           shiftright() vs >>
+"""
+
+from __future__ import annotations
+
+
+class Dialect:
+    name = "base"
+
+    # -- scalar helpers (shared across engines) ---------------------------
+    @staticmethod
+    def floori(x: str) -> str:
+        return f"CAST(FLOOR({x}) AS BIGINT)"
+
+    # -- divergent primitives ---------------------------------------------
+    def range_select(self, lo, hi, alias: str) -> str:
+        """A FROM-able relation with one BIGINT column `alias` = lo..hi."""
+        raise NotImplementedError
+
+    def explode_range(self, inner: str, alias: str, lo: str, hi: str) -> str:
+        """SELECT *, alias FROM (inner), one row per alias = lo..hi
+        (correlated on inner's columns)."""
+        raise NotImplementedError
+
+    def split(self, col: str, delim: str = "' '") -> str:
+        raise NotImplementedError
+
+    def asize(self, arr: str) -> str:
+        raise NotImplementedError
+
+    def elem(self, arr: str, i: str) -> str:
+        """1-based array element."""
+        raise NotImplementedError
+
+    def afilter(self, arr: str, var: str, pred: str) -> str:
+        raise NotImplementedError
+
+    def shr(self, x: str, n: str) -> str:
+        raise NotImplementedError
+
+
+class SparkDialect(Dialect):
+    name = "spark"
+
+    def range_select(self, lo, hi, alias):
+        return f"(SELECT explode(sequence({lo}, {hi})) AS {alias})"
+
+    def explode_range(self, inner, alias, lo, hi):
+        return (f"SELECT * FROM ({inner}) _er_{alias} "
+                f"LATERAL VIEW explode(sequence({lo}, {hi})) _lv_{alias} AS {alias}")
+
+    def split(self, col, delim="' '"):
+        return f"split({col}, {delim})"
+
+    def asize(self, arr):
+        return f"size({arr})"
+
+    def elem(self, arr, i):
+        return f"element_at({arr}, CAST({i} AS INT))"
+
+    def afilter(self, arr, var, pred):
+        return f"filter({arr}, {var} -> {pred})"
+
+    def shr(self, x, n):
+        return f"shiftright({x}, CAST({n} AS INT))"
+
+
+class DuckDialect(Dialect):
+    name = "duckdb"
+
+    def range_select(self, lo, hi, alias):
+        return f"(SELECT unnest(generate_series({lo}, {hi})) AS {alias})"
+
+    def explode_range(self, inner, alias, lo, hi):
+        return (f"SELECT *, unnest(generate_series(CAST({lo} AS BIGINT), "
+                f"CAST({hi} AS BIGINT))) AS {alias} FROM ({inner}) _er_{alias}")
+
+    def split(self, col, delim="' '"):
+        return f"string_split({col}, {delim})"
+
+    def asize(self, arr):
+        return f"len({arr})"
+
+    def elem(self, arr, i):
+        return f"list_extract({arr}, CAST({i} AS INT))"
+
+    def afilter(self, arr, var, pred):
+        return f"list_filter({arr}, {var} -> {pred})"
+
+    def shr(self, x, n):
+        return f"(CAST({x} AS BIGINT) >> CAST({n} AS INT))"
+
+
+SPARK = SparkDialect()
+DUCK = DuckDialect()

@@ -1,0 +1,144 @@
+"""Network accessibility: bounded multi-source shortest paths on the
+road graph, as an iterative DataFrame relaxation (SURVEY.md J6/A12).
+
+Reference semantics: sfnetworks::st_network_cost Dijkstra from each
+address's snapped node to park pseudo-entrances, min per address,
+NA → unreachable → flag FALSE (accessibility.R:320-358).
+
+Spark mapping: the graph is a DataFrame of directed edges; park
+entrance nodes seed a frontier at dist 0; each round relaxes
+    frontier ⋈ edges → candidate dists → min per node vs settled
+until no improvement or the distance bound is hit (≤ NET_MAX_DIST,
+so ≤ bound/hop rounds — the reference's buffer bound gives the same
+cutoff).  This is Bellman-Ford with early exit ≈ pregel-on-DataFrames.
+
+Scale notes: each round is one shuffle on node_id; `localCheckpoint`
+every few rounds truncates the exploding lineage (classic iterative-
+algorithm hygiene on Spark); the frontier shrinks monotonically.  The
+settled table stays small (nodes within the bound of any park), so the
+final points⋈dist join is a broadcast.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import constants as C
+
+
+def bidirectional(edges: DataFrame) -> DataFrame:
+    """Undirected edges stored once → directed both ways at use."""
+    fwd = edges.select("src", "dst", "length_m")
+    rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"),
+                       "length_m")
+    return fwd.unionByName(rev)
+
+
+def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
+                      max_dist: float = C.NET_MAX_DIST,
+                      hop: float = C.NET_HOP,
+                      checkpoint_every: int = 4) -> DataFrame:
+    """Min network distance from any source node, bounded by max_dist.
+
+    sources: DataFrame with column `node_id`.  Returns
+    (node_id, net_dist) for every node within max_dist of a source.
+    """
+    settled = sources.select("node_id").distinct() \
+                     .withColumn("net_dist", F.lit(0.0))
+    frontier = settled
+    max_rounds = int(max_dist // hop) + 1
+    for it in range(max_rounds):
+        relaxed = (frontier.join(edges_bidir,
+                                 frontier["node_id"] == edges_bidir["src"])
+                   .select(F.col("dst").alias("node_id"),
+                           (F.col("net_dist") + F.col("length_m"))
+                           .alias("net_dist"))
+                   .where(F.col("net_dist") <= max_dist)
+                   .groupBy("node_id").agg(F.min("net_dist").alias("net_dist")))
+        # keep only genuine improvements → new frontier
+        joined = relaxed.alias("r").join(
+            settled.alias("s"), on="node_id", how="left")
+        frontier = (joined
+                    .where(F.col("s.net_dist").isNull()
+                           | (F.col("r.net_dist") < F.col("s.net_dist")))
+                    .select("node_id", F.col("r.net_dist").alias("net_dist")))
+        if (it + 1) % checkpoint_every == 0:
+            frontier = frontier.localCheckpoint(eager=True)
+            if frontier.rdd.isEmpty():
+                break
+        settled = (settled.unionByName(frontier)
+                   .groupBy("node_id").agg(F.min("net_dist").alias("net_dist")))
+        if (it + 1) % checkpoint_every == 0:
+            settled = settled.localCheckpoint(eager=True)
+    return settled
+
+
+def snap_node_expr(coord: str):
+    """Snap a coordinate to the nearest lattice index (exact — lattice
+    spacing 100 m, coordinates integer meters)."""
+    last = C.ROAD_N - 1
+    idx = F.floor((F.col(coord) + 50.0) / 100.0).cast("long")
+    return F.least(F.greatest(idx, F.lit(0)), F.lit(last))
+
+
+def network_access(points: DataFrame, edges: DataFrame,
+                   entrances: DataFrame,
+                   buffer_m: float = C.BUFFER_M,
+                   max_dist: float = C.NET_MAX_DIST) -> DataFrame:
+    """(point_id, network_dist, reachable_in_buffer): bounded network
+    distance from each point's snapped node to the nearest park
+    entrance; NA→FALSE semantics of accessibility.R:345-349."""
+    dist = multi_source_dist(
+        bidirectional(edges),
+        entrances.select(F.col("entrance_node").alias("node_id")),
+        max_dist=max_dist)
+    snapped = points.select(
+        "point_id",
+        (snap_node_expr("y") * C.ROAD_N + snap_node_expr("x")).alias("node_id"))
+    out = snapped.join(F.broadcast(dist), "node_id", "left")
+    return out.select(
+        "point_id",
+        F.col("net_dist").alias("network_dist"),
+        (F.col("net_dist").isNotNull()
+         & (F.col("net_dist") <= buffer_m)).alias("reachable_in_buffer"))
+
+
+def largest_component_size(edges_bidir: DataFrame,
+                           max_iters: int = 64,
+                           checkpoint_every: int = 4) -> DataFrame:
+    """Size of the largest connected component (A10,
+    ndvi_calc.R:151-171) via min-label propagation to fixpoint.
+
+    Returns a 1-row DataFrame (component_size BIGINT).  Iterations are
+    bounded by graph diameter; label propagation halves distances to
+    the min label each round on lattice-like graphs.
+    """
+    nodes = (edges_bidir.select(F.col("src").alias("node_id"))
+             .union(edges_bidir.select(F.col("dst").alias("node_id")))
+             .distinct())
+    labels = nodes.withColumn("label", F.col("node_id"))
+    for it in range(max_iters):
+        # neighbor min (label propagation step)
+        nbr = (labels.join(edges_bidir,
+                           labels["node_id"] == edges_bidir["src"])
+               .select(F.col("dst").alias("node_id"), "label"))
+        # pointer jump: label[label[v]] — collapses label chains
+        # exponentially (O(log diameter) rounds instead of O(diameter))
+        lmap = labels.select(F.col("node_id").alias("label"),
+                             F.col("label").alias("jump"))
+        jumped = (labels.join(lmap, "label")
+                  .select("node_id", F.col("jump").alias("label")))
+        prop = (nbr.unionByName(labels).unionByName(jumped)
+                .groupBy("node_id").agg(F.min("label").alias("label")))
+        prop = prop.localCheckpoint(eager=True)
+        if (it + 1) % checkpoint_every == 0 or it >= 4:
+            changed = (prop.alias("p").join(labels.alias("l"), "node_id")
+                       .where(F.col("p.label") != F.col("l.label"))
+                       .limit(1).count())
+            labels = prop
+            if changed == 0:
+                break
+        else:
+            labels = prop
+    return (labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+            .agg(F.max("n").alias("component_size")))

@@ -1,0 +1,291 @@
+"""Query registry: every implemented operator as a (Spark DataFrame
+plan, DuckDB oracle SQL) pair.
+
+The oracle texts are built from the same shared-SQL world fragments
+(world.py) and the same integer-exact expression trees as the Spark
+implementations, so the driver's order-insensitive value-hash compare
+matches bit-for-bit.
+
+Naming contract: every computed column is aliased identically on both
+sides (driver sorts columns by name before hashing).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import constants as C
+from . import world
+from .dialect import DUCK, Dialect
+from .operators import accessibility, availability, network
+
+SF_DEFAULT = "/root/testdata/sf0.01"
+
+
+@dataclass
+class QSpec:
+    spark: Callable[[SparkSession, str], DataFrame]
+    oracle: Optional[str]          # DuckDB SQL, or None → rows-only check
+
+
+# ---------------------------------------------------------------------
+# oracle SQL fragment builders (DuckDB dialect)
+# ---------------------------------------------------------------------
+
+
+def _buffer_cells_sql(d: Dialect, res: int, buffer_m: int,
+                      src: str = "SELECT point_id, x, y FROM points") -> str:
+    lo = lambda c: d.floori(f"({c} - {buffer_m}) / {res}")
+    hi = lambda c: d.floori(f"({c} + {buffer_m}) / {res}")
+    e1 = d.explode_range(src, "ci", lo("x"), hi("x"))
+    e2 = d.explode_range(e1, "cj", lo("y"), hi("y"))
+    return (f"SELECT * FROM ({e2}) _bc WHERE "
+            f"((ci + 0.5) * {res} - x) * ((ci + 0.5) * {res} - x)"
+            f" + ((cj + 0.5) * {res} - y) * ((cj + 0.5) * {res} - y)"
+            f" <= {float(buffer_m) ** 2}")
+
+
+def _oracle_ndvi(d: Dialect) -> str:
+    v = world.ndvi_int_expr("ci", "cj")
+    return f"""
+{world.world_ctes(d, 'points')},
+cells AS ({_buffer_cells_sql(d, C.NDVI_RES, C.BUFFER_M)}),
+agg AS (
+  SELECT point_id, SUM(v) AS s1, SUM(v * v) AS s2, COUNT(*) AS n_cells
+  FROM (SELECT point_id, {v} AS v FROM cells) _v
+  GROUP BY point_id
+)
+SELECT point_id,
+       CAST(s1 AS DOUBLE) / (800.0 * n_cells) AS mean_ndvi,
+       sqrt((CAST(s2 AS DOUBLE)
+             - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(n_cells AS DOUBLE))
+            / (CAST(n_cells AS DOUBLE) - 1.0)) / 800.0 AS sd_ndvi,
+       n_cells
+FROM agg
+"""
+
+
+def _oracle_landcover(d: Dialect) -> str:
+    code = world.landcover_expr("ci", "cj")
+    cnt_cols = ",\n  ".join(
+        f"SUM(CASE WHEN code = {c} THEN 1 ELSE 0 END) AS cnt_{c}"
+        for c in C.LC_CODES)
+    frac_cols = ",\n       ".join(
+        f"CAST(cnt_{c} AS DOUBLE) / CAST(n_cells AS DOUBLE) AS {C.LC_LABELS[c]}"
+        for c in C.LC_CODES)
+    green = " + ".join(f"cnt_{c}" for c in C.GREEN_CODES)
+    return f"""
+{world.world_ctes(d, 'points')},
+cells AS ({_buffer_cells_sql(d, C.LC_RES, C.BUFFER_M)}),
+agg AS (
+  SELECT point_id, COUNT(*) AS n_cells,
+  {cnt_cols}
+  FROM (SELECT point_id, {code} AS code FROM cells) _c
+  GROUP BY point_id
+)
+SELECT point_id,
+       {frac_cols},
+       CAST({green} AS DOUBLE) / CAST(n_cells AS DOUBLE) AS greencover,
+       n_cells
+FROM agg
+"""
+
+
+def _oracle_disc_cover(d: Dialect, layer_cte: str, layer_name: str,
+                       lx: str, ly: str, lr: str,
+                       res: int, bucket: int, out_name: str) -> str:
+    lo = lambda c: d.floori(f"({c} - {lr}) / {bucket}")
+    hi = lambda c: d.floori(f"({c} + {lr}) / {bucket}")
+    lay_src = f"SELECT {lx}, {ly}, {lr} FROM {layer_name}"
+    lay1 = d.explode_range(lay_src, "bx", lo(lx), hi(lx))
+    lay2 = d.explode_range(lay1, "by", lo(ly), hi(ly))
+    cbx = d.floori(f"((ci + 0.5) * {res}) / {bucket}")
+    cby = d.floori(f"((cj + 0.5) * {res}) / {bucket}")
+    return f"""
+{world.world_ctes(d, 'points', layer_cte)},
+cells AS (
+  SELECT point_id, ci, cj, {cbx} AS bx, {cby} AS by
+  FROM ({_buffer_cells_sql(d, res, C.BUFFER_M)}) _cc
+),
+lay AS ({lay2}),
+covered AS (
+  SELECT DISTINCT c.point_id, c.ci, c.cj
+  FROM cells c JOIN lay l ON c.bx = l.bx AND c.by = l.by
+   AND ((c.ci + 0.5) * {res} - l.{lx}) * ((c.ci + 0.5) * {res} - l.{lx})
+     + ((c.cj + 0.5) * {res} - l.{ly}) * ((c.cj + 0.5) * {res} - l.{ly})
+     <= l.{lr} * l.{lr}
+),
+g AS (SELECT point_id, COUNT(*) AS g FROM covered GROUP BY point_id),
+n AS (SELECT point_id, COUNT(*) AS n_cells FROM cells GROUP BY point_id)
+SELECT n.point_id,
+       LEAST(CAST(COALESCE(g.g, 0) AS DOUBLE) / CAST(n.n_cells AS DOUBLE)
+             * 100.0, 100.0) AS {out_name},
+       n.n_cells AS n_cells
+FROM n LEFT JOIN g ON n.point_id = g.point_id
+"""
+
+
+def _oracle_euclid(d: Dialect) -> str:
+    return f"""
+{world.world_ctes(d, 'points', 'parks')},
+cand AS (
+  SELECT point_id,
+         CAST(x - cx AS BIGINT) * CAST(x - cx AS BIGINT)
+         + CAST(y - cy AS BIGINT) * CAST(y - cy AS BIGINT) AS d2
+  FROM points CROSS JOIN (SELECT * FROM parks
+                          WHERE area_m2 > {C.MIN_GREENSPACE_M2}) p
+),
+agg AS (SELECT point_id, MIN(d2) AS min_d2 FROM cand GROUP BY point_id)
+SELECT point_id,
+       sqrt(CAST(min_d2 AS DOUBLE)) AS closest_greenspace,
+       min_d2 <= {C.BUFFER_M ** 2} AS greenspace_in_buffer
+FROM agg
+"""
+
+
+def _oracle_knn(d: Dialect, k: int = 5) -> str:
+    return f"""
+{world.world_ctes(d, 'points', 'parks')},
+cand AS (
+  SELECT point_id, park_id,
+         CAST(x - cx AS BIGINT) * CAST(x - cx AS BIGINT)
+         + CAST(y - cy AS BIGINT) * CAST(y - cy AS BIGINT) AS d2
+  FROM points CROSS JOIN (SELECT * FROM parks
+                          WHERE area_m2 > {C.MIN_GREENSPACE_M2}) p
+),
+ranked AS (
+  SELECT point_id, park_id, d2,
+         CAST(ROW_NUMBER() OVER (PARTITION BY point_id
+                                 ORDER BY d2 ASC, park_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT point_id, rank, park_id, sqrt(CAST(d2 AS DOUBLE)) AS dist_m
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def _oracle_network(d: Dialect) -> str:
+    last = C.ROAD_N - 1
+    si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
+    sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
+    return f"""
+WITH RECURSIVE
+points AS ({world.points_sql(d)}),
+parks AS ({world.parks_sql(d)}),
+road_edges AS ({world.road_edges_sql(d)}),
+park_entrances AS ({world.park_entrances_sql(d)}),
+edges2 AS (
+  SELECT src, dst, length_m FROM road_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, length_m FROM road_edges
+),
+reach(node_id, net_dist) AS (
+  SELECT entrance_node AS node_id, CAST(0.0 AS DOUBLE) AS net_dist
+  FROM park_entrances
+  UNION
+  SELECT e.dst, r.net_dist + e.length_m
+  FROM reach r JOIN edges2 e ON e.src = r.node_id
+  WHERE r.net_dist + e.length_m <= {float(C.NET_MAX_DIST)}
+),
+nd AS (SELECT node_id, MIN(net_dist) AS net_dist FROM reach GROUP BY node_id),
+snapped AS (
+  SELECT point_id, ({sj}) * {C.ROAD_N} + ({si}) AS node_id FROM points
+)
+SELECT s.point_id,
+       nd.net_dist AS network_dist,
+       (nd.net_dist IS NOT NULL AND nd.net_dist <= {float(C.BUFFER_M)})
+           AS reachable_in_buffer
+FROM snapped s LEFT JOIN nd ON s.node_id = nd.node_id
+"""
+
+
+def _oracle_component(d: Dialect, seed_node: int) -> str:
+    return f"""
+WITH RECURSIVE
+road_edges AS ({world.road_edges_sql(d)}),
+edges2 AS (
+  SELECT src, dst FROM road_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst FROM road_edges
+),
+reach(node_id) AS (
+  SELECT CAST({seed_node} AS BIGINT) AS node_id
+  UNION
+  SELECT e.dst FROM reach r JOIN edges2 e ON e.src = r.node_id
+)
+SELECT COUNT(*) AS component_size FROM reach
+"""
+
+
+# ---------------------------------------------------------------------
+# Spark-side callables
+# ---------------------------------------------------------------------
+
+# seed for the component oracle: the lattice center node — verified to
+# sit in the giant component by tests/test_network.py
+COMPONENT_SEED = 100 * C.ROAD_N + 100
+
+
+def _q_ndvi(spark, sf):
+    return availability.ndvi_zonal(world.points_df(spark, sf))
+
+
+def _q_landcover(spark, sf):
+    return availability.landcover_fractions(world.points_df(spark, sf))
+
+
+def _q_greenspace_pct(spark, sf):
+    return availability.greenspace_pct(
+        world.points_df(spark, sf), world.parks_df(spark))
+
+
+def _q_canopy_pct(spark, sf):
+    return availability.canopy_pct(
+        world.points_df(spark, sf), world.trees_df(spark))
+
+
+def _q_euclid(spark, sf):
+    return accessibility.euclidean_access(
+        world.points_df(spark, sf), world.parks_df(spark))
+
+
+def _q_knn(spark, sf):
+    return accessibility.knn_parks(
+        world.points_df(spark, sf), world.parks_df(spark), k=5)
+
+
+def _q_network(spark, sf):
+    return network.network_access(
+        world.points_df(spark, sf), world.road_edges_df(spark),
+        world.park_entrances_df(spark))
+
+
+def _q_component(spark, sf):
+    return network.largest_component_size(
+        network.bidirectional(world.road_edges_df(spark)))
+
+
+def build_registry() -> dict[str, QSpec]:
+    d = DUCK
+    return {
+        "q_availability_ndvi": QSpec(_q_ndvi, _oracle_ndvi(d)),
+        "q_landcover_fractions": QSpec(_q_landcover, _oracle_landcover(d)),
+        "q_greenspace_pct": QSpec(
+            _q_greenspace_pct,
+            _oracle_disc_cover(d, "parks", "parks", "cx", "cy", "radius",
+                               res=C.LC_RES, bucket=500,
+                               out_name="greenspace_pct")),
+        "q_canopy_pct": QSpec(
+            _q_canopy_pct,
+            _oracle_disc_cover(d, "trees", "trees", "x", "y",
+                               "canopy_radius_m", res=10, bucket=50,
+                               out_name="canopy_pct")),
+        "q_accessibility_euclidean": QSpec(_q_euclid, _oracle_euclid(d)),
+        "q_knn_parks": QSpec(_q_knn, _oracle_knn(d)),
+        "q_accessibility_network": QSpec(_q_network, _oracle_network(d)),
+        "q_largest_component": QSpec(
+            _q_component, _oracle_component(d, COMPONENT_SEED)),
+    }

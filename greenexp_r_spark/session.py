@@ -1,0 +1,34 @@
+"""Tuned SparkSession builder.
+
+Scale posture (SURVEY.md §4.3): AQE on (skew-join splitting as the
+backstop behind our explicit salting), Arrow batches large enough to
+amortize the Python boundary, shuffle partitions sized for the test
+box but overridable for the bench's two-parallelism scaling runs.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def build_session(app: str = "greenexp", master: str | None = None,
+                  shuffle_partitions: int | None = None) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    master = master or f"local[{cpus}]"
+    shuffle = shuffle_partitions or int(os.environ.get(
+        "GREENEXP_SHUFFLE_PARTITIONS", str(max(8, int(cpus) if cpus.isdigit() else 32))))
+    return (
+        SparkSession.builder.appName(app).master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("GREENEXP_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
