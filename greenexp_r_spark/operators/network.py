@@ -73,6 +73,35 @@ def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
     return settled
 
 
+def multi_source_dist_bfs(edges_bidir: DataFrame, sources: DataFrame,
+                          max_dist: float = C.NET_MAX_DIST,
+                          hop: float = C.NET_HOP) -> DataFrame:
+    """Uniform-weight fast path: every edge costs `hop`, so Dijkstra
+    degenerates to BFS layering — a node's distance is final the first
+    time it is reached.  Each round is frontier ⋈ edges → distinct →
+    anti-join settled; ~2 narrow shuffles per layer, frontier-sized.
+    """
+    frontier = sources.select("node_id").distinct().localCheckpoint(eager=True)
+    seen = frontier
+    layers = [frontier.withColumn("net_dist", F.lit(0.0))]
+    n_layers = int(max_dist // hop)
+    for layer in range(1, n_layers + 1):
+        nxt = (frontier.join(edges_bidir,
+                             frontier["node_id"] == edges_bidir["src"])
+               .select(F.col("dst").alias("node_id")).distinct()
+               .join(seen, "node_id", "left_anti")
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        layers.append(nxt.withColumn("net_dist", F.lit(float(layer) * hop)))
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    return out
+
+
 def snap_node_expr(coord: str):
     """Snap a coordinate to the nearest lattice index (exact — lattice
     spacing 100 m, coordinates integer meters)."""
@@ -88,7 +117,7 @@ def network_access(points: DataFrame, edges: DataFrame,
     """(point_id, network_dist, reachable_in_buffer): bounded network
     distance from each point's snapped node to the nearest park
     entrance; NA→FALSE semantics of accessibility.R:345-349."""
-    dist = multi_source_dist(
+    dist = multi_source_dist_bfs(
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
         max_dist=max_dist)

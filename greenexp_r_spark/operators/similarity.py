@@ -1,0 +1,142 @@
+"""Similarity search over the embeddings table: brute-force cosine
+top-k (correctness baseline) and an IVF-partitioned variant (the
+scale path), plus embedding-cosine near-duplicate detection.
+
+Determinism doctrine: embeddings are quantized to integer milli-units
+(round(v*1000)) so every dot product / norm is an exact BIGINT sum —
+bit-identical across engines, partition orders, and retries.  Floats
+appear only in the final cos = dot/(|a||b|) expression.
+
+All vector math runs through Spark higher-order functions
+(zip_with/aggregate) — JVM-side, no Python.  The Arrow/numpy batched
+variant for throughput lives in bench.py's hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .. import constants as C
+
+NEARDUP_SHIFT = 3          # planted near-dup: every element + 3 milli-units
+NEARDUP_MOD = 10
+
+
+def quantized(embeddings: DataFrame) -> DataFrame:
+    """(vec_id, q: array<long>, norm2: long) — milli-unit quantization."""
+    q = F.transform(F.col("embedding"),
+                    lambda v: F.round(v.cast("double") * 1000).cast("long"))
+    df = embeddings.select("vec_id", q.alias("q"))
+    norm2 = F.aggregate(
+        F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return df.select("vec_id", "q", norm2.alias("norm2"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0).cast("long"), lambda acc, x: acc + x)
+
+
+def _cos(dot, na, nb):
+    return (dot.cast("double")
+            / (F.sqrt(na.cast("double")) * F.sqrt(nb.cast("double"))))
+
+
+def brute_force_topk(embeddings: DataFrame, k: int = C.ANN_K,
+                     n_queries: int = C.ANN_QUERIES) -> DataFrame:
+    """Exact cosine top-k for the first `n_queries` vectors.
+    Output: (query_id, rank, neighbor_id, cos_sim)."""
+    qv = quantized(embeddings)
+    queries = (qv.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qq"), F.col("norm2").alias("qn")))
+    cand = (queries.join(F.broadcast(qv), F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    _cos(_dot(F.col("qq"), F.col("q")),
+                         F.col("qn"), F.col("norm2")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+
+
+def ivf_assign(qv: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Centroids = every IVF_CENTROID_MOD-th vector; assign each vector
+    to its max-cosine centroid (deterministic tie-break on centroid id).
+    Returns (centroids, assignments(vec_id, q, norm2, list_id))."""
+    cent = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
+            .select(F.col("vec_id").alias("list_id"),
+                    F.col("q").alias("cq"), F.col("norm2").alias("cn")))
+    scored = (qv.join(F.broadcast(cent))
+              .select("vec_id", "q", "norm2", "list_id",
+                      _cos(_dot(F.col("q"), F.col("cq")),
+                           F.col("norm2"), F.col("cn")).alias("cos_c")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("list_id").asc())
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("vec_id", "q", "norm2", "list_id"))
+    return cent, assign
+
+
+def ivf_topk(embeddings: DataFrame, k: int = C.ANN_K,
+             n_queries: int = C.ANN_QUERIES,
+             nprobe: int = C.IVF_NPROBE) -> DataFrame:
+    """IVF approximate top-k: probe the `nprobe` nearest centroid lists
+    only.  At scale the lists are Iceberg partitions → the search is
+    partition-pruned instead of a full scan.
+    Output: (query_id, rank, neighbor_id, cos_sim)."""
+    qv = quantized(embeddings)
+    cent, assign = ivf_assign(qv)
+    queries = (qv.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qq"), F.col("norm2").alias("qn")))
+    probe_scored = (queries.join(F.broadcast(cent))
+                    .select("query_id", "qq", "qn", "list_id",
+                            _cos(_dot(F.col("qq"), F.col("cq")),
+                                 F.col("qn"), F.col("cn")).alias("cos_c")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("list_id").asc())
+    probes = (probe_scored.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select("query_id", "qq", "qn", "list_id"))
+    cand = (probes.join(assign, "list_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    _cos(_dot(F.col("qq"), F.col("q")),
+                         F.col("qn"), F.col("norm2")).alias("cos_sim")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+
+
+def neardup_pairs(embeddings: DataFrame,
+                  threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs over an augmented corpus
+    with planted near-dups (every NEARDUP_MOD-th vector, all elements
+    shifted +NEARDUP_SHIFT milli-units → cos ≈ 0.9996).
+    Output: (vec_id_a, vec_id_b, cos_sim), a < b."""
+    qv = quantized(embeddings)
+    shifted = (qv.where(F.col("vec_id") % NEARDUP_MOD == 0)
+               .select((F.col("vec_id") + 100_000).alias("vec_id"),
+                       F.transform(F.col("q"),
+                                   lambda x: x + NEARDUP_SHIFT).alias("q")))
+    shifted = shifted.select(
+        "vec_id", "q",
+        F.aggregate(F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+                    F.lit(0).cast("long"), lambda acc, x: acc + x)
+        .alias("norm2"))
+    corpus = qv.unionByName(shifted)
+    l = corpus.select(F.col("vec_id").alias("vec_id_a"),
+                      F.col("q").alias("qa"), F.col("norm2").alias("na"))
+    r = corpus.select(F.col("vec_id").alias("vec_id_b"),
+                      F.col("q").alias("qb"), F.col("norm2").alias("nb"))
+    pairs = (l.join(F.broadcast(r), F.col("vec_id_a") < F.col("vec_id_b"))
+             .select("vec_id_a", "vec_id_b",
+                     _cos(_dot(F.col("qa"), F.col("qb")),
+                          F.col("na"), F.col("nb")).alias("cos_sim")))
+    return pairs.where(F.col("cos_sim") >= threshold)

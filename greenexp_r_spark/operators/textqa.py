@@ -1,0 +1,85 @@
+"""Text-analysis operators for the training-data pipeline: token
+counting, quality scoring, language ID, document fingerprinting.
+
+All per-document computations are array/higher-order-function
+expressions (JVM-side, whole-stage codegen) — the 100 TB posture is
+one narrow map stage, zero shuffles, zero Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import constants as C
+from ..functions import text as T
+
+# 131^k mod P31, k = 0..7 — positional weights for the rolling
+# fingerprint (a bounded-window polynomial hash).
+FP_POWS = [pow(131, k, C.P31) for k in range(8)]
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, n_chars, mean_token_len) — whitespace
+    tokenization; mean length excludes the separators."""
+    w = T.words(F.col("text"))
+    n_tok = F.size(w).cast("long")
+    n_chars = F.length("text").cast("long")
+    mean_len = ((n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"))
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"), n_chars.alias("n_chars"),
+        mean_len.alias("mean_token_len"))
+
+
+def _marker_count(warr, markers: list[str]):
+    lst = ", ".join(f"'{m}'" for m in markers)
+    return F.size(F.filter(warr, lambda x: x.isin(markers))).cast("long")
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tokens, stopword_cnt, stopword_ratio, quality) —
+    length/stopword-ratio heuristics of C4/Gopher-style filters."""
+    w = T.words(F.col("text"))
+    n_tok = F.size(w).cast("long")
+    stop = _marker_count(w, C.STOPWORDS_EN)
+    ratio = stop.cast("double") / n_tok.cast("double")
+    quality = (ratio * 0.5
+               + F.least(n_tok, F.lit(100)).cast("double") / 200.0)
+    return docs.select(
+        "doc_id", n_tok.alias("n_tokens"), stop.alias("stopword_cnt"),
+        ratio.alias("stopword_ratio"), quality.alias("quality"))
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, predicted_lang, lang_match) — marker-word n-gram
+    heuristic with deterministic argmax tie-break (en > nl > fr)."""
+    w = T.words(F.col("text"))
+    cnt_en = _marker_count(w, C.LANG_MARKERS["en"])
+    cnt_nl = _marker_count(w, C.LANG_MARKERS["nl"])
+    cnt_fr = _marker_count(w, C.LANG_MARKERS["fr"])
+    g = F.greatest(cnt_en, cnt_nl, cnt_fr)
+    pred = (F.when(cnt_en == g, "en")
+            .when(cnt_nl == g, "nl")
+            .otherwise("fr"))
+    return docs.select(
+        "doc_id", "lang", pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("lang_match"))
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """(doc_id, fingerprint) — position-weighted polynomial hash over
+    word hashes (rolling-hash document signature, window 8).
+
+    Computed with explode + integer aggregate (not a Python loop):
+    fp = SUM_i wh(w_i) * 131^((i-1) mod 8)  mod  2^31-1.
+    """
+    w = T.words(F.col("text"))
+    e = (docs.select("doc_id", w.alias("warr"))
+         .withColumn("pos", F.explode(F.sequence(F.lit(1), F.size("warr")))))
+    wh = T.word_hash(F.element_at(F.col("warr"), F.col("pos").cast("int")))
+    pow_arms = F.element_at(
+        F.array(*[F.lit(p) for p in FP_POWS]),
+        ((F.col("pos") - 1) % 8).cast("int") + 1)
+    term = (wh * pow_arms) % C.P31
+    return (e.select("doc_id", term.alias("term"))
+            .groupBy("doc_id")
+            .agg((F.sum("term") % C.P31).alias("fingerprint")))

@@ -269,6 +269,13 @@ def _q_component(spark, sf):
 
 
 def build_registry() -> dict[str, QSpec]:
+    out = dict(_geo_registry())
+    from .registry_pipeline import build_pipeline_registry
+    out.update(build_pipeline_registry())
+    return out
+
+
+def _geo_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
         "q_availability_ndvi": QSpec(_q_ndvi, _oracle_ndvi(d)),

@@ -1,0 +1,386 @@
+"""Registry section 2: training-data pipeline queries (text analysis,
+dedup, similarity search, multimodal metadata, events rollup) with
+their DuckDB oracles."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import constants as C
+from .dialect import DUCK, Dialect
+from .functions import text as T
+from .operators import dedup, multimodal, similarity, textqa
+from .registry import QSpec
+
+
+def _docs(spark, sf):
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
+def _emb(spark, sf):
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
+
+
+# ---------------------------------------------------------------------
+# text analysis oracles
+# ---------------------------------------------------------------------
+
+
+def _oracle_token_stats(d: Dialect) -> str:
+    w = d.split("text")
+    return f"""
+SELECT doc_id,
+       CAST({d.asize(w)} AS BIGINT) AS n_tokens,
+       CAST(length(text) AS BIGINT) AS n_chars,
+       CAST(CAST(length(text) AS BIGINT) - (CAST({d.asize(w)} AS BIGINT) - 1)
+            AS DOUBLE) / CAST({d.asize(w)} AS BIGINT) AS mean_token_len
+FROM documents
+"""
+
+
+def _in_list(items):
+    return ", ".join(f"'{m}'" for m in items)
+
+
+def _oracle_quality(d: Dialect) -> str:
+    w = d.split("text")
+    stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
+    return f"""
+SELECT doc_id, n_tokens, stopword_cnt,
+       CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS stopword_ratio,
+       (CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+           + CAST(LEAST(n_tokens, 100) AS DOUBLE) / 200.0 AS quality
+FROM (
+  SELECT doc_id,
+         CAST({d.asize(w)} AS BIGINT) AS n_tokens,
+         CAST({d.asize(stop)} AS BIGINT) AS stopword_cnt
+  FROM documents
+) _q
+"""
+
+
+def _oracle_langid(d: Dialect) -> str:
+    w = d.split("text")
+    cnt = {
+        lang: f"CAST({d.asize(d.afilter(w, 'w', f'w IN ({_in_list(C.LANG_MARKERS[lang])})'))} AS BIGINT)"
+        for lang in ("en", "nl", "fr")
+    }
+    return f"""
+SELECT doc_id, lang,
+       CASE WHEN cnt_en = g THEN 'en'
+            WHEN cnt_nl = g THEN 'nl'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN cnt_en = g THEN 'en'
+             WHEN cnt_nl = g THEN 'nl'
+             ELSE 'fr' END) = lang AS lang_match
+FROM (
+  SELECT doc_id, lang, cnt_en, cnt_nl, cnt_fr,
+         GREATEST(cnt_en, cnt_nl, cnt_fr) AS g
+  FROM (SELECT doc_id, lang, {cnt['en']} AS cnt_en,
+               {cnt['nl']} AS cnt_nl, {cnt['fr']} AS cnt_fr
+        FROM documents) _c
+) _g
+"""
+
+
+def _oracle_fingerprint(d: Dialect) -> str:
+    pow_case = "CASE ((pos - 1) % 8) " + " ".join(
+        f"WHEN {k} THEN {p}" for k, p in enumerate(textqa.FP_POWS)) + " END"
+    wh = T.word_hash_sql(d.elem("warr", "pos"))
+    inner = f"SELECT doc_id, {d.split('text')} AS warr FROM documents"
+    exploded = d.explode_range(inner, "pos", "1", d.asize("warr"))
+    return f"""
+SELECT doc_id, SUM(term) % {C.P31} AS fingerprint
+FROM (
+  SELECT doc_id, (CAST({wh} AS BIGINT) * ({pow_case})) % {C.P31} AS term
+  FROM ({exploded}) _e
+) _t
+GROUP BY doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# dedup oracles
+# ---------------------------------------------------------------------
+
+
+def _oracle_exact_dup(d: Dialect) -> str:
+    return f"""
+WITH corpus AS ({dedup.corpus_sql()}),
+groups AS (
+  SELECT text, MIN(doc_id) AS dup_group_min, COUNT(*) AS group_size
+  FROM corpus GROUP BY text HAVING COUNT(*) > 1
+)
+SELECT g.dup_group_min, c.doc_id, g.group_size
+FROM corpus c JOIN groups g ON c.text = g.text
+"""
+
+
+def _shingles_sql(d: Dialect) -> str:
+    inner = (f"SELECT doc_id, {d.split('text')} AS warr FROM corpus "
+             f"WHERE {d.asize(d.split('text'))} >= 2")
+    exploded = d.explode_range(inner, "pos", "1",
+                               f"{d.asize('warr')} - 1")
+    wh1 = T.word_hash_sql(d.elem("warr", "pos"))
+    wh2 = T.word_hash_sql(d.elem("warr", "pos + 1"))
+    sh = T.shingle_hash_sql(f"CAST({wh1} AS BIGINT)", f"CAST({wh2} AS BIGINT)")
+    return f"SELECT DISTINCT doc_id, {sh} AS sh FROM ({exploded}) _s"
+
+
+def _oracle_minhash_pairs(d: Dialect) -> str:
+    mh_cols = ",\n         ".join(
+        f"MIN({T.minhash_sql('sh', a, b)}) AS mh{j}"
+        for j, (a, b) in enumerate(C.MINHASH_PERMS))
+    n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
+    band_union = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, {b} AS band, mh{2 * b} AS h1, mh{2 * b + 1} AS h2 FROM sig"
+        for b in range(n_bands))
+    return f"""
+WITH corpus AS ({dedup.corpus_sql()}),
+shingles AS ({_shingles_sql(d)}),
+sig AS (
+  SELECT doc_id, {mh_cols}
+  FROM shingles GROUP BY doc_id
+),
+bands AS (
+  {band_union}
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+  FROM bands l JOIN bands r
+    ON l.band = r.band AND l.h1 = r.h1 AND l.h2 = r.h2
+   AND l.doc_id < r.doc_id
+),
+sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT i.doc_a, i.doc_b,
+       CAST(i.n_inter AS DOUBLE)
+       / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+FROM inter i
+JOIN sizes za ON za.doc_id = i.doc_a
+JOIN sizes zb ON zb.doc_id = i.doc_b
+WHERE CAST(i.n_inter AS DOUBLE)
+      / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
+      >= {C.JACCARD_THRESHOLD}
+"""
+
+
+def _oracle_simhash_pairs(d: Dialect) -> str:
+    bits = C.SIMHASH_BITS
+    cnt_cols = ",\n         ".join(
+        f"SUM(CASE WHEN ({d.shr('sh', str(b))} & 1) = 1 THEN 1 ELSE 0 END) AS c{b}"
+        for b in range(bits))
+    sim = " + ".join(
+        f"CASE WHEN c{b} * 2 > n_sh THEN {1 << b} ELSE 0 END"
+        for b in range(bits))
+    return f"""
+WITH corpus AS ({dedup.corpus_sql()}),
+shingles AS ({_shingles_sql(d)}),
+sums AS (
+  SELECT doc_id, COUNT(*) AS n_sh,
+         {cnt_cols}
+  FROM shingles GROUP BY doc_id
+),
+sig AS (SELECT doc_id, CAST({sim} AS BIGINT) AS simhash FROM sums)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {C.SIMHASH_MAX_HAMMING}
+"""
+
+
+# ---------------------------------------------------------------------
+# similarity oracles
+# ---------------------------------------------------------------------
+
+_QUANT = ("SELECT vec_id, list_transform(embedding, "
+          "v -> CAST(round(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS q "
+          "FROM embeddings")
+
+_NORM = ("SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm2 "
+         "FROM quant")
+
+
+def _cos_sql(dot: str, na: str, nb: str) -> str:
+    return (f"CAST({dot} AS DOUBLE) / (sqrt(CAST({na} AS DOUBLE)) "
+            f"* sqrt(CAST({nb} AS DOUBLE)))")
+
+
+def _oracle_brute_topk(d: Dialect) -> str:
+    cos = _cos_sql("CAST(list_dot_product(qs.q, c.q) AS BIGINT)",
+                   "qs.norm2", "c.norm2")
+    return f"""
+WITH quant AS ({_QUANT}),
+qv AS ({_NORM}),
+cand AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM (SELECT * FROM qv WHERE vec_id < {C.ANN_QUERIES}) qs
+  JOIN qv c ON c.vec_id <> qs.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {C.ANN_K}
+"""
+
+
+def _oracle_ivf_topk(d: Dialect) -> str:
+    cos_c = _cos_sql("CAST(list_dot_product(v.q, ct.q) AS BIGINT)",
+                     "v.norm2", "ct.norm2")
+    cos_q = _cos_sql("CAST(list_dot_product(qs.q, ct.q) AS BIGINT)",
+                     "qs.norm2", "ct.norm2")
+    cos = _cos_sql("CAST(list_dot_product(qs.q, a.q) AS BIGINT)",
+                   "qs.norm2", "a.norm2")
+    return f"""
+WITH quant AS ({_QUANT}),
+qv AS ({_NORM}),
+cent AS (SELECT vec_id AS list_id, q, norm2 FROM qv
+         WHERE vec_id % {C.IVF_CENTROID_MOD} = 0),
+assign AS (
+  SELECT vec_id, q, norm2, list_id FROM (
+    SELECT v.vec_id, v.q, v.norm2, ct.list_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos_c} DESC, ct.list_id ASC) AS rn
+    FROM qv v CROSS JOIN cent ct
+  ) _a WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q, norm2, list_id FROM (
+    SELECT qs.vec_id AS query_id, qs.q, qs.norm2, ct.list_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+               ORDER BY {cos_q} DESC, ct.list_id ASC) AS rn
+    FROM (SELECT * FROM qv WHERE vec_id < {C.ANN_QUERIES}) qs
+    CROSS JOIN cent ct
+  ) _p WHERE rn <= {C.IVF_NPROBE}
+),
+cand AS (
+  SELECT qs.query_id, a.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM probes qs JOIN assign a ON a.list_id = qs.list_id
+  WHERE a.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {C.ANN_K}
+"""
+
+
+def _oracle_neardup(d: Dialect) -> str:
+    cos = _cos_sql("CAST(list_dot_product(a.q, b.q) AS BIGINT)",
+                   "a.norm2", "b.norm2")
+    return f"""
+WITH quant AS ({_QUANT}),
+base AS ({_NORM}),
+shifted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(q, x -> x + {similarity.NEARDUP_SHIFT}) AS q
+  FROM quant WHERE vec_id % {similarity.NEARDUP_MOD} = 0
+),
+shifted_n AS (
+  SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm2
+  FROM shifted
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM shifted_n)
+SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, {cos} AS cos_sim
+FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+WHERE {cos} >= 0.99
+"""
+
+
+# ---------------------------------------------------------------------
+# events rollup + multimodal
+# ---------------------------------------------------------------------
+
+
+def _oracle_events_hourly(d: Dialect) -> str:
+    return """
+SELECT date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       SUM(CAST(round(value * 1000000) AS BIGINT)) AS value_sum_micros
+FROM events
+GROUP BY date_trunc('hour', ts), event_type
+"""
+
+
+def _q_events_hourly(spark, sf):
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                 .alias("value_sum_micros")))
+
+
+def _oracle_multimodal(d: Dialect) -> str:
+    return """
+SELECT doc_id,
+       CAST(length(text) + 26 AS BIGINT) AS n_bytes,
+       CAST(64 + (length(text) + 26) % 512 AS BIGINT) AS fake_width,
+       CAST(64 + ((length(text) + 26) * 7) % 512 AS BIGINT) AS fake_height,
+       CASE WHEN (length(text) + 26) % 2 = 0 THEN 'png' ELSE 'jpeg' END
+           AS fmt
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------
+# assembly
+# ---------------------------------------------------------------------
+
+
+def build_pipeline_registry() -> dict[str, QSpec]:
+    d = DUCK
+    return {
+        "q_token_stats": QSpec(
+            lambda s, sf: textqa.token_stats(_docs(s, sf)),
+            _oracle_token_stats(d)),
+        "q_quality_score": QSpec(
+            lambda s, sf: textqa.quality_score(_docs(s, sf)),
+            _oracle_quality(d)),
+        "q_lang_id": QSpec(
+            lambda s, sf: textqa.lang_id(_docs(s, sf)),
+            _oracle_langid(d)),
+        "q_fingerprint": QSpec(
+            lambda s, sf: textqa.fingerprint(_docs(s, sf)),
+            _oracle_fingerprint(d)),
+        "q_dedup_exact": QSpec(
+            lambda s, sf: dedup.exact_duplicates(
+                dedup.augmented_corpus(_docs(s, sf))),
+            _oracle_exact_dup(d)),
+        "q_dedup_minhash_lsh": QSpec(
+            lambda s, sf: dedup.minhash_lsh_pairs(
+                dedup.augmented_corpus(_docs(s, sf))),
+            _oracle_minhash_pairs(d)),
+        "q_dedup_simhash": QSpec(
+            lambda s, sf: dedup.simhash_pairs(
+                dedup.augmented_corpus(_docs(s, sf))),
+            _oracle_simhash_pairs(d)),
+        "q_ann_brute_topk": QSpec(
+            lambda s, sf: similarity.brute_force_topk(_emb(s, sf)),
+            _oracle_brute_topk(d)),
+        "q_ann_ivf_topk": QSpec(
+            lambda s, sf: similarity.ivf_topk(_emb(s, sf)),
+            _oracle_ivf_topk(d)),
+        "q_embedding_neardup": QSpec(
+            lambda s, sf: similarity.neardup_pairs(_emb(s, sf)),
+            _oracle_neardup(d)),
+        "q_events_hourly": QSpec(_q_events_hourly, _oracle_events_hourly(d)),
+        "q_multimodal_meta": QSpec(
+            lambda s, sf: multimodal.decode_meta(_docs(s, sf)),
+            _oracle_multimodal(d)),
+    }
