@@ -1,0 +1,184 @@
+"""Visibility family: viewshed, visibility proportion, VGVI
+(vgvi_from_sf / vgvi_from_address / viewshed / visibility_proportion).
+
+Spark lifecycle (SURVEY.md §3.3): observers → applyInPandas over
+observer batches → numpy kernel (kernels/vgvi.py) with the broadcast
+LoS tables → per-observer metrics.  Patches are synthesized in-task
+from the closed-form world rasters (kernels/worldgrid.py), so the
+plan is a single narrow stage — the tile-join variant co-partitions
+real raster tiles with observer cells (operators/zonal_tiles.py).
+
+vgvi_from_address semantics (P10/A8): each address spawns
+`sample_points` seeded observers in its buffer disc; VGVI is averaged
+per address (vgvi_from_address.R:259-270, :369-371).
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (DoubleType, LongType, StructField,
+                               StructType)
+
+from .. import constants as C
+from ..kernels import vgvi as K
+from ..kernels import worldgrid as W
+
+VIS_SCHEMA = StructType([
+    StructField("point_id", LongType()),
+    StructField("visible_cells", LongType()),
+    StructField("disk_cells", LongType()),
+    StructField("visibility_proportion", DoubleType()),
+])
+
+VGVI_SCHEMA = StructType([
+    StructField("point_id", LongType()),
+    StructField("vgvi", DoubleType()),
+])
+
+
+def _patches(xs: np.ndarray, ys: np.ndarray, r: int, res: float):
+    """Synthesize (n, (2r+1)²) DSM and greenspace patches centered on
+    each observer's cell center, plus eye heights (DTM + 1.7 m,
+    vgvi_from_sf.R:240-244)."""
+    nc = 2 * r + 1
+    # observer cell center on the world grid
+    ccx = (np.floor(xs / res) + 0.5) * res
+    ccy = (np.floor(ys / res) + 0.5) * res
+    offs = (np.arange(nc) - r) * res
+    # patch rows top→bottom (row 0 = north), matching raster order
+    px = ccx[:, None, None] + offs[None, None, :]
+    py = ccy[:, None, None] - offs[None, :, None]
+    px = np.broadcast_to(px, (len(xs), nc, nc)).reshape(len(xs), -1)
+    py = np.broadcast_to(py, (len(xs), nc, nc)).reshape(len(xs), -1)
+    dsm = W.dsm(px, py)
+    gs = W.greenspace(px, py)
+    h0 = W.dtm(ccx, ccy) + C.OBSERVER_HEIGHT
+    return dsm, gs, h0
+
+
+def _disk_mask(r: int) -> np.ndarray:
+    """Radial analysis mask: center + every cell on some LoS ray
+    (viewshed.R:152-162)."""
+    from ..kernels import bresenham
+    ref = bresenham.los_reference(r)
+    cells = np.unique(ref[ref != bresenham.NA])
+    mask = np.zeros((2 * r + 1) ** 2, dtype=bool)
+    mask[cells] = True
+    mask[r * (2 * r + 1) + r] = True
+    return mask
+
+
+def viewshed_metrics(points: DataFrame,
+                     max_distance: float = C.VIS_MAX_DIST,
+                     res: float = C.VIS_RES,
+                     sample_mod: int = 10) -> DataFrame:
+    """(point_id, visible_cells, disk_cells, visibility_proportion) for
+    every sample_mod-th point (viewshed + visibility_proportion.R)."""
+    r = int(round(max_distance / res))
+    obs = points.where(F.col("point_id") % sample_mod == 0) \
+                .select("point_id", "x", "y")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        mask = _disk_mask(r)
+        disk = int(mask.sum())
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            dsm, _, h0 = _patches(xs, ys, r, res)
+            vis = K.viewshed_batch(dsm, h0, r)
+            nvis = (vis & mask[None, :]).sum(axis=1)
+            yield pd.DataFrame({
+                "point_id": pdf["point_id"],
+                "visible_cells": nvis.astype("int64"),
+                "disk_cells": np.int64(disk),
+                "visibility_proportion": nvis / disk,
+            })
+
+    return obs.repartition(max(obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+              .mapInPandas(run, VIS_SCHEMA)
+
+
+def vgvi_points(points: DataFrame,
+                max_distance: float = C.VIS_MAX_DIST,
+                res: float = C.VIS_RES,
+                fun: int = 1, m: float = C.VGVI_M, b: float = C.VGVI_B,
+                sample_mod: int = 10) -> DataFrame:
+    """(point_id, vgvi) — vgvi_from_sf over every sample_mod-th point."""
+    r = int(round(max_distance / res))
+    obs = points.where(F.col("point_id") % sample_mod == 0) \
+                .select("point_id", "x", "y")
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            xs = pdf["x"].to_numpy()
+            ys = pdf["y"].to_numpy()
+            dsm, gs, h0 = _patches(xs, ys, r, res)
+            out = K.vgvi_batch(dsm, gs, h0, r, res, max_distance, fun, m, b)
+            yield pd.DataFrame({"point_id": pdf["point_id"], "vgvi": out})
+
+    return obs.repartition(max(obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+              .mapInPandas(run, VGVI_SCHEMA)
+
+
+def vgvi_from_address(points: DataFrame,
+                      buffer_m: float = 100.0,
+                      sample_points: int = 10,
+                      max_distance: float = C.VIS_MAX_DIST,
+                      res: float = C.VIS_RES,
+                      fun: int = 1, m: float = C.VGVI_M,
+                      b: float = C.VGVI_B,
+                      sample_mod: int = 25) -> DataFrame:
+    """Mean VGVI over seeded random sample points in each address
+    buffer (vgvi_from_address.R:259-270 uses st_sample — we seed the
+    rejection sampler by point_id for reproducibility, SURVEY P10).
+    Output: (point_id, mean_vgvi, n_samples)."""
+    r = int(round(max_distance / res))
+    obs = points.where(F.col("point_id") % sample_mod == 0) \
+                .select("point_id", "x", "y")
+
+    def sample_xy(pid: int, x: float, y: float):
+        rng = np.random.RandomState(pid % (2 ** 31 - 1))
+        pts = []
+        while len(pts) < sample_points:
+            dx, dy = rng.uniform(-buffer_m, buffer_m, size=2)
+            if dx * dx + dy * dy <= buffer_m * buffer_m:
+                pts.append((x + dx, y + dy))
+        return pts
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("mean_vgvi", DoubleType()),
+        StructField("n_samples", LongType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            ids, xs, ys = [], [], []
+            for pid, x, y in zip(pdf["point_id"], pdf["x"], pdf["y"]):
+                for sx, sy in sample_xy(int(pid), float(x), float(y)):
+                    ids.append(pid)
+                    xs.append(sx)
+                    ys.append(sy)
+            dsm, gs, h0 = _patches(np.array(xs), np.array(ys), r, res)
+            v = K.vgvi_batch(dsm, gs, h0, r, res, max_distance, fun, m, b)
+            out = (pd.DataFrame({"point_id": ids, "vgvi": v})
+                   .groupby("point_id", as_index=False)
+                   .agg(mean_vgvi=("vgvi", "mean"),
+                        n_samples=("vgvi", "size")))
+            out["n_samples"] = out["n_samples"].astype("int64")
+            yield out
+
+    return obs.repartition(max(obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+              .mapInPandas(run, schema)

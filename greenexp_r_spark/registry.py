@@ -20,7 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from . import constants as C
 from . import world
 from .dialect import DUCK, Dialect
-from .operators import accessibility, availability, network
+from .operators import accessibility, availability, network, visibility
 
 SF_DEFAULT = "/root/testdata/sf0.01"
 
@@ -295,4 +295,16 @@ def _geo_registry() -> dict[str, QSpec]:
         "q_accessibility_network": QSpec(_q_network, _oracle_network(d)),
         "q_largest_component": QSpec(
             _q_component, _oracle_component(d, COMPONENT_SEED)),
+        # visibility kernels are not SQL-expressible → rows-only driver
+        # check; exactness is covered by tests/test_vgvi_kernels.py's
+        # sequential-oracle parity.
+        "q_viewshed": QSpec(
+            lambda s, sf: visibility.viewshed_metrics(
+                world.points_df(s, sf)), None),
+        "q_vgvi": QSpec(
+            lambda s, sf: visibility.vgvi_points(
+                world.points_df(s, sf)), None),
+        "q_vgvi_from_address": QSpec(
+            lambda s, sf: visibility.vgvi_from_address(
+                world.points_df(s, sf)), None),
     }
