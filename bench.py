@@ -1,0 +1,101 @@
+"""Benchmark harness: runs the headline exposure + pipeline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line.
+
+The headline metric mirrors BASELINE.json: end-to-end exposure-join
+throughput (points/sec) for the combined availability + accessibility
++ visibility pipeline, plus per-query wall times.  The reference
+baseline is ~7.2 addresses/sec for network accessibility alone
+(GreenExp_R README.md:390-396, 25,891 buildings ≈ 1 h single-node).
+
+Scaling evidence (BASELINE.md): run with SPARK_GRAFT_CPUS=8 and =32 on
+the same input; tools/scaling_bench.py automates the comparison.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+HEADLINE = [
+    # the three exposure families (north_star)
+    "q_availability_ndvi",
+    "q_landcover_fractions",
+    "q_greenspace_pct",
+    "q_canopy_pct",
+    "q_accessibility_euclidean",
+    "q_knn_parks",
+    "q_accessibility_network",
+    "q_vgvi",
+    "q_viewshed",
+    # training-data pipeline
+    "q_token_stats",
+    "q_fingerprint",
+    "q_dedup_minhash_lsh",
+    "q_dedup_simhash",
+    "q_ann_ivf_topk",
+    "q_events_hourly",
+]
+
+# queries whose cost scales with the points table (used for points/sec)
+EXPOSURE = {
+    "q_availability_ndvi", "q_landcover_fractions", "q_greenspace_pct",
+    "q_canopy_pct", "q_accessibility_euclidean", "q_knn_parks",
+    "q_accessibility_network", "q_vgvi", "q_viewshed",
+}
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from greenexp_r_spark.session import build_session
+    from greenexp_r_spark.registry import build_registry
+
+    spark = build_session(app="greenexp-bench", master=f"local[{cpus}]",
+                          shuffle_partitions=max(int(cpus) * 2, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+    reg = build_registry()
+
+    n_points = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+
+    times: dict[str, float] = {}
+    rows: dict[str, int] = {}
+    total = 0.0
+    for name in HEADLINE:
+        spec = reg[name]
+        t0 = time.time()
+        df = spec.spark(spark, sf_dir)
+        n = df.count()          # forces full execution, no driver collect
+        dt = time.time() - t0
+        times[name] = round(dt, 3)
+        rows[name] = n
+        total += dt
+
+    exposure_sec = sum(times[q] for q in HEADLINE if q in EXPOSURE)
+    # points processed per exposure query (visibility runs a 1/10 sample)
+    processed = sum(n_points // 10 if q in ("q_vgvi", "q_viewshed")
+                    else n_points for q in HEADLINE if q in EXPOSURE)
+    result = {
+        "metric": "headline exposure+pipeline suite wall time",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_dir,
+        "cpus": int(cpus),
+        "n_points": n_points,
+        "exposure_sec": round(exposure_sec, 3),
+        "exposure_points_per_sec": round(processed / exposure_sec, 1)
+        if exposure_sec else None,
+        "rows": rows,
+    }
+    print(json.dumps(result))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

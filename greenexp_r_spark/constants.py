@@ -105,8 +105,11 @@ MINHASH_PERMS = [                      # (a, b) pairs, h' = (a*h+b) % P31
 ]
 MINHASH_BAND_ROWS = 2                  # 8 perms → 4 bands of 2
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 16
+SIMHASH_BITS = 32            # 16 bits drowns in coincidental pairs at
+                             # ~10k docs; 32 keeps hamming≤3 meaningful
 SIMHASH_MAX_HAMMING = 3
+SIMHASH_BLOCKS = 8           # pigeonhole: ≤3 flipped bits damage ≤3 of
+                             # 8 nibbles → candidates share ≥1 nibble
 WORDHASH_P1, WORDHASH_P2 = 131, 7      # wh = ascii(c1)*131 + ascii(c2)*7 + len
 SHINGLE_MUL = 100_003                  # shingle = (wh1*SHINGLE_MUL + wh2) % P31
 

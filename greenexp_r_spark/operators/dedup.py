@@ -104,21 +104,26 @@ def minhash_lsh_pairs(corpus: DataFrame,
     shingle set → |∩| vs set sizes → Jaccard filter.
     Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    sig = minhash_signatures(corpus)
+    sh = _shingles(corpus).persist()
+    aggs = [F.min(T.minhash(F.col("sh"), a, b)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(C.MINHASH_PERMS)]
+    sig = sh.groupBy("doc_id").agg(*aggs)
     n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
-    bands = None
-    for b in range(n_bands):
-        part = sig.select(
-            "doc_id", F.lit(b).alias("band"),
-            F.col(f"mh{2 * b}").alias("h1"),
-            F.col(f"mh{2 * b + 1}").alias("h2"))
-        bands = part if bands is None else bands.unionByName(part)
+    # single-pass banding: posexplode of a struct array (a union of
+    # per-band selects would recompute the signature aggregate per band)
+    band_arr = F.array(*[
+        F.struct(F.col(f"mh{2 * b}").alias("h1"),
+                 F.col(f"mh{2 * b + 1}").alias("h2"))
+        for b in range(n_bands)])
+    bands = sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "hs")
+    ).select("doc_id", "band", F.col("hs.h1").alias("h1"),
+             F.col("hs.h2").alias("h2"))
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "h1", "h2")
     r = bands.select(F.col("doc_id").alias("doc_b"), "band", "h1", "h2")
     cand = (l.join(r, ["band", "h1", "h2"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    sh = _shingles(corpus)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     inter = (cand
              .join(sh.select(F.col("doc_id").alias("doc_a"),
@@ -141,7 +146,7 @@ def minhash_lsh_pairs(corpus: DataFrame,
 
 def simhash_signatures(corpus: DataFrame,
                        bits: int = C.SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash): per bit, sign of Σ(±1) over shingle hashes."""
+    """(doc_id, simhash): per bit, majority vote over shingle hashes."""
     sh = _shingles(corpus)
     sums = sh.groupBy("doc_id").agg(
         F.count(F.lit(1)).alias("n_sh"),
@@ -158,16 +163,17 @@ def simhash_signatures(corpus: DataFrame,
 def simhash_pairs(corpus: DataFrame,
                   max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
     """Pairs with simhash hamming distance ≤ 3, found by pigeonhole
-    nibble blocking (a pair differing in ≤3 of 16 bits must agree on
-    ≥1 of the 4 nibbles) — equi-join, no cross join.
+    nibble blocking (a pair differing in ≤3 of 32 bits damages ≤3 of
+    the 8 nibbles, so it must agree on ≥1) — equi-join, no cross join.
     Output: (doc_a, doc_b, hamming)."""
     sig = simhash_signatures(corpus)
-    nib = None
-    for k in range(4):
-        part = sig.select(
-            "doc_id", "simhash", F.lit(k).alias("nk"),
-            F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(15).alias("nv"))
-        nib = part if nib is None else nib.unionByName(part)
+    # single-pass nibble explosion (union-of-selects would recompute
+    # the signature aggregate once per nibble)
+    nib_arr = F.array(*[
+        F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(15)
+        for k in range(C.SIMHASH_BLOCKS)])
+    nib = sig.select("doc_id", "simhash",
+                     F.posexplode(nib_arr).alias("nk", "nv"))
     l = nib.select(F.col("doc_id").alias("doc_a"),
                    F.col("simhash").alias("sim_a"), "nk", "nv")
     r = nib.select(F.col("doc_id").alias("doc_b"),
