@@ -1,0 +1,201 @@
+"""Pure-numpy computational geometry (SURVEY P2/P5/P6/P7/P11, J4/U3).
+
+shapely is not available in this container (SURVEY.md §7 plan B), so
+the vector-geometry surface is implemented directly:
+
+    WKB point/polygon encode/decode (little-endian, geometry types
+    1/3 only — the fixture world is convex polygons and points)
+    polygon area / centroid (shoelace)
+    point-in-convex-polygon (half-plane test, vectorized over points)
+    convex hull (Andrew monotone chain)
+    convex clip (Sutherland–Hodgman against a convex clip polygon)
+    disc→polygon approximation (regular k-gon)
+
+All fixture polygons are convex (regular k-gons, FIXTURES.md §2), so
+convex algorithms are exact for the parity surface; the functions
+raise on misuse rather than silently accepting concave clips.  A real
+deployment swaps this module for shapely 2.x vectorized calls — the
+operator code depends only on these function signatures.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+WKB_POINT = 1
+WKB_POLYGON = 3
+
+
+# ---------------------------------------------------------------- WKB
+
+def wkb_point(x: float, y: float) -> bytes:
+    return struct.pack("<BIdd", 1, WKB_POINT, x, y)
+
+
+def parse_wkb_point(b: bytes) -> tuple[float, float]:
+    _, typ, x, y = struct.unpack("<BIdd", b)
+    if typ != WKB_POINT:
+        raise ValueError(f"not a WKB point: type {typ}")
+    return x, y
+
+
+def wkb_polygon(ring: np.ndarray) -> bytes:
+    """ring: (n, 2) open ring (first vertex not repeated)."""
+    ring = np.asarray(ring, dtype=float)
+    n = len(ring)
+    out = [struct.pack("<BII I", 1, WKB_POLYGON, 1, n + 1)]
+    for x, y in ring:
+        out.append(struct.pack("<dd", x, y))
+    out.append(struct.pack("<dd", ring[0, 0], ring[0, 1]))
+    return b"".join(out)
+
+
+def parse_wkb_polygon(b: bytes) -> np.ndarray:
+    """Returns the (n, 2) open exterior ring."""
+    byte_order, typ = struct.unpack_from("<BI", b, 0)
+    if byte_order != 1 or typ != WKB_POLYGON:
+        raise ValueError(f"unsupported WKB: order={byte_order} type={typ}")
+    (n_rings,) = struct.unpack_from("<I", b, 5)
+    if n_rings < 1:
+        raise ValueError("empty polygon")
+    (n_pts,) = struct.unpack_from("<I", b, 9)
+    coords = np.frombuffer(b, dtype="<f8", count=2 * n_pts, offset=13)
+    ring = coords.reshape(n_pts, 2)
+    return ring[:-1].copy()          # drop closing vertex
+
+
+# ------------------------------------------------------------- basics
+
+def polygon_area(ring: np.ndarray) -> float:
+    """Shoelace area (positive for CCW rings) — P11."""
+    x, y = ring[:, 0], ring[:, 1]
+    return 0.5 * float(np.dot(x, np.roll(y, -1)) - np.dot(y, np.roll(x, -1)))
+
+
+def polygon_centroid(ring: np.ndarray) -> tuple[float, float]:
+    """Area-weighted centroid — P2 (st_centroid)."""
+    x, y = ring[:, 0], ring[:, 1]
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    cross = x * yn - xn * y
+    a = cross.sum() / 2.0
+    if a == 0.0:
+        return float(x.mean()), float(y.mean())
+    cx = ((x + xn) * cross).sum() / (6.0 * a)
+    cy = ((y + yn) * cross).sum() / (6.0 * a)
+    return float(cx), float(cy)
+
+
+def is_convex(ring: np.ndarray) -> bool:
+    v = np.roll(ring, -1, axis=0) - ring
+    cross = v[:, 0] * np.roll(v, -1, axis=0)[:, 1] \
+        - v[:, 1] * np.roll(v, -1, axis=0)[:, 0]
+    return bool((cross >= 0).all() or (cross <= 0).all())
+
+
+def regular_polygon(cx: float, cy: float, radius: float,
+                    k: int) -> np.ndarray:
+    """Disc approximated by a regular k-gon (vertex 0 due east), CCW."""
+    ang = 2.0 * np.pi * np.arange(k) / k
+    return np.stack([cx + radius * np.cos(ang),
+                     cy + radius * np.sin(ang)], axis=1)
+
+
+# ----------------------------------------------- point-in-convex-poly
+
+def points_in_convex_polygon(px: np.ndarray, py: np.ndarray,
+                             ring: np.ndarray) -> np.ndarray:
+    """Vectorized half-plane containment test (boundary counts as
+    inside).  Requires a convex CCW ring."""
+    ring = np.asarray(ring, dtype=float)
+    if polygon_area(ring) < 0:
+        ring = ring[::-1]
+    inside = np.ones(np.shape(px), dtype=bool)
+    n = len(ring)
+    for i in range(n):
+        x1, y1 = ring[i]
+        x2, y2 = ring[(i + 1) % n]
+        inside &= (x2 - x1) * (py - y1) - (y2 - y1) * (px - x1) >= 0
+    return inside
+
+
+# ------------------------------------------------------- convex hull
+
+def convex_hull(points: np.ndarray) -> np.ndarray:
+    """Andrew monotone chain — P5 (st_convex_hull).  Returns the CCW
+    hull ring (open)."""
+    pts = np.unique(np.asarray(points, dtype=float), axis=0)
+    if len(pts) <= 2:
+        return pts
+    # lexicographic sort
+    order = np.lexsort((pts[:, 1], pts[:, 0]))
+    pts = pts[order]
+
+    def half(seq):
+        out = []
+        for p in seq:
+            while len(out) >= 2:
+                o, a = out[-2], out[-1]
+                if (a[0] - o[0]) * (p[1] - o[1]) \
+                        - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                    out.pop()
+                else:
+                    break
+            out.append(p)
+        return out
+
+    lower = half(pts)
+    upper = half(pts[::-1])
+    return np.array(lower[:-1] + upper[:-1])
+
+
+# ---------------------------------------------- Sutherland–Hodgman
+
+def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
+    """Clip polygon `subject` by convex CCW polygon `clip`
+    (Sutherland–Hodgman) — the exact-geometry variant of J4
+    (st_intersection).  Returns the (possibly empty) clipped ring."""
+    clip = np.asarray(clip, dtype=float)
+    if polygon_area(clip) < 0:
+        clip = clip[::-1]
+    if not is_convex(clip):
+        raise ValueError("clip polygon must be convex")
+    out = list(np.asarray(subject, dtype=float))
+    n = len(clip)
+    for i in range(n):
+        if not out:
+            return np.zeros((0, 2))
+        x1, y1 = clip[i]
+        x2, y2 = clip[(i + 1) % n]
+        inp = out
+        out = []
+
+        def side(p):
+            return (x2 - x1) * (p[1] - y1) - (y2 - y1) * (p[0] - x1)
+
+        def inter(a, bpt):
+            da, db = side(a), side(bpt)
+            t = da / (da - db)
+            return (a[0] + t * (bpt[0] - a[0]), a[1] + t * (bpt[1] - a[1]))
+
+        for j, cur in enumerate(inp):
+            prev = inp[j - 1]
+            cur_in = side(cur) >= 0
+            prev_in = side(prev) >= 0
+            if cur_in:
+                if not prev_in:
+                    out.append(inter(prev, cur))
+                out.append(tuple(cur))
+            elif prev_in:
+                out.append(inter(prev, cur))
+    return np.array(out) if out else np.zeros((0, 2))
+
+
+def intersection_area(subject: np.ndarray, clip: np.ndarray) -> float:
+    """|subject ∩ clip| for convex inputs (J4 clipped area,
+    canopy_coverage.R:334-345)."""
+    c = clip_convex(subject, clip)
+    if len(c) < 3:
+        return 0.0
+    return abs(polygon_area(c))

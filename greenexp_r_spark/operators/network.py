@@ -132,6 +132,72 @@ def network_access(points: DataFrame, edges: DataFrame,
          & (F.col("net_dist") <= buffer_m)).alias("reachable_in_buffer"))
 
 
+def isochrone_nodes(points_sample: DataFrame, edges: DataFrame,
+                    max_dist: float = C.BUFFER_M,
+                    hop: float = C.NET_HOP) -> DataFrame:
+    """Per-source isochrone node sets (A12, ndvi_calc.R:204-211):
+    labeled multi-source BFS — state is (src_id, node_id), so one
+    Spark loop serves every source simultaneously.  Returns
+    (point_id, node_id, net_dist)."""
+    eb = bidirectional(edges)
+    seeds = points_sample.select(
+        "point_id",
+        (snap_node_expr("y") * C.ROAD_N + snap_node_expr("x"))
+        .alias("node_id"))
+    frontier = seeds.distinct().localCheckpoint(eager=True)
+    seen = frontier
+    layers = [frontier.withColumn("net_dist", F.lit(0.0))]
+    for layer in range(1, int(max_dist // hop) + 1):
+        nxt = (frontier.join(eb, frontier["node_id"] == eb["src"])
+               .select("point_id", F.col("dst").alias("node_id"))
+               .distinct()
+               .join(seen, ["point_id", "node_id"], "left_anti")
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
+        layers.append(nxt.withColumn("net_dist",
+                                     F.lit(float(layer) * hop)))
+        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    out = layers[0]
+    for l in layers[1:]:
+        out = out.unionByName(l)
+    return out
+
+
+def isochrone_hulls(points_sample: DataFrame, edges: DataFrame,
+                    max_dist: float = C.BUFFER_M) -> DataFrame:
+    """Isochrone summary per source: node count + convex-hull area of
+    the reached lattice nodes (A12 + P5, ndvi_calc.R:229-236).
+    Output: (point_id, n_nodes, hull_area_m2)."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    from ..kernels import geom as G
+
+    iso = isochrone_nodes(points_sample, edges, max_dist)
+    nodes = iso.select(
+        "point_id",
+        (F.col("node_id") % C.ROAD_N).cast("double").alias("nx"),
+        F.floor(F.col("node_id") / C.ROAD_N).cast("double").alias("ny"))
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("n_nodes", LongType()),
+        StructField("hull_area_m2", DoubleType()),
+    ])
+
+    def hull(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[["nx", "ny"]].to_numpy() * C.ROAD_SPACING
+        h = G.convex_hull(pts)
+        area = abs(G.polygon_area(h)) if len(h) >= 3 else 0.0
+        return pd.DataFrame({"point_id": [key[0]],
+                             "n_nodes": [len(pdf)],
+                             "hull_area_m2": [area]})
+
+    return nodes.groupBy("point_id").applyInPandas(hull, schema)
+
+
 def largest_component_size(edges_bidir: DataFrame,
                            max_iters: int = 64,
                            checkpoint_every: int = 4) -> DataFrame:

@@ -1,0 +1,57 @@
+"""Street-level green cover (green_cover_streets.R): sample points
+along each road edge (P8 line sampling), read the land-cover class at
+each sample, aggregate class fractions + the greencover composite per
+street (A3/A4: tree+grassland+shrubland, green_cover_streets.R:244-246).
+
+The lattice edges are straight 100 m segments, so st_line_sample
+densification is exact integer interpolation: sample s_k at
+k·spacing along the edge, k = 0..(len/spacing - 1).
+
+Scale: one narrow explode (10 samples/edge), land-cover from the
+closed-form cell field (or the tile join at scale), one hash aggregate
+keyed by street — shuffle carries only per-street partials.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from .. import constants as C
+from .. import world
+
+SAMPLES_PER_EDGE = 10
+SPACING = 10  # meters
+
+
+def street_green_cover(edges: DataFrame) -> DataFrame:
+    n = C.ROAD_N
+    ex = lambda node: (node % n) * C.ROAD_SPACING
+    ey = lambda node: F.floor(node / n).cast("long") * C.ROAD_SPACING
+    e = edges.select(
+        "edge_id",
+        F.concat(F.lit("street_"), (F.col("edge_id") % 50).cast("string"))
+        .alias("name"),
+        ex(F.col("src")).alias("x1"), ey(F.col("src")).alias("y1"),
+        ex(F.col("dst")).alias("x2"), ey(F.col("dst")).alias("y2"))
+    s = e.withColumn("k", F.explode(F.sequence(
+        F.lit(0), F.lit(SAMPLES_PER_EDGE - 1))))
+    # integer sample coordinates along the segment
+    px = F.col("x1") + (F.col("x2") - F.col("x1")) / 100 * (F.col("k") * SPACING)
+    py = F.col("y1") + (F.col("y2") - F.col("y1")) / 100 * (F.col("k") * SPACING)
+    s = s.select("name",
+                 F.floor(px / C.LC_RES).cast("long").alias("ci"),
+                 F.floor(py / C.LC_RES).cast("long").alias("cj"))
+    s = s.withColumn("code", F.expr(world.landcover_expr("ci", "cj")))
+    aggs = [F.count(F.lit(1)).alias("n_samples")]
+    for c in C.LC_CODES:
+        aggs.append(F.sum(F.when(F.col("code") == c, 1).otherwise(0))
+                    .alias(f"cnt_{c}"))
+    g = s.groupBy("name").agg(*aggs)
+    nd = F.col("n_samples").cast("double")
+    cols = [F.col("name"), F.col("n_samples")]
+    for c in C.LC_CODES:
+        cols.append((F.col(f"cnt_{c}").cast("double") / nd)
+                    .alias(C.LC_LABELS[c]))
+    green = sum(F.col(f"cnt_{c}") for c in C.GREEN_CODES).cast("double") / nd
+    cols.append((green * 100.0).alias("greencover"))
+    return g.select(*cols)

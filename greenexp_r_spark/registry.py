@@ -272,6 +272,8 @@ def build_registry() -> dict[str, QSpec]:
     out = dict(_geo_registry())
     from .registry_pipeline import build_pipeline_registry
     out.update(build_pipeline_registry())
+    from .registry_geo2 import build_geo2_registry
+    out.update(build_geo2_registry())
     return out
 
 

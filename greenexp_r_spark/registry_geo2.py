@@ -1,0 +1,162 @@
+"""Registry section 3: IDW interpolation and street green cover."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from . import constants as C
+from . import world
+from .dialect import DUCK, Dialect
+from .operators import idw, network, overlay, streets
+from .registry import QSpec
+
+ISO_SAMPLE_MOD = 25
+
+
+def _oracle_idw(d: Dialect, k: int = 5) -> str:
+    return f"""
+{world.world_ctes(d, 'points', 'parks')},
+cand AS (
+  SELECT point_id, park_id, radius AS val,
+         CAST(x - cx AS BIGINT) * CAST(x - cx AS BIGINT)
+         + CAST(y - cy AS BIGINT) * CAST(y - cy AS BIGINT) AS d2
+  FROM points CROSS JOIN parks
+),
+top AS (
+  SELECT * FROM (
+    SELECT point_id, park_id, val, d2,
+           ROW_NUMBER() OVER (PARTITION BY point_id
+                              ORDER BY d2 ASC, park_id ASC) AS rank
+    FROM cand
+  ) _r WHERE rank <= {k}
+),
+arr AS (
+  SELECT point_id,
+         list(struct_pack(d2 := d2, park_id := park_id, val := val)
+              ORDER BY d2 ASC, park_id ASC) AS nn
+  FROM top GROUP BY point_id
+)
+SELECT point_id,
+       CASE WHEN nn[1].d2 = 0 THEN nn[1].val
+            ELSE list_reduce(list_prepend(
+                     CAST(0.0 AS DOUBLE),
+                     list_transform(nn, s -> s.val / s.d2)),
+                     (a, b) -> a + b)
+                 / list_reduce(list_prepend(
+                     CAST(0.0 AS DOUBLE),
+                     list_transform(nn, s -> 1.0 / s.d2)),
+                     (a, b) -> a + b)
+       END AS idw_value
+FROM arr
+"""
+
+
+def _oracle_streets(d: Dialect) -> str:
+    n = C.ROAD_N
+    cnt_cols = ",\n  ".join(
+        f"SUM(CASE WHEN code = {c} THEN 1 ELSE 0 END) AS cnt_{c}"
+        for c in C.LC_CODES)
+    frac_cols = ",\n       ".join(
+        f"CAST(cnt_{c} AS DOUBLE) / CAST(n_samples AS DOUBLE) AS {C.LC_LABELS[c]}"
+        for c in C.LC_CODES)
+    green = " + ".join(f"cnt_{c}" for c in C.GREEN_CODES)
+    ends = f"""
+    SELECT edge_id,
+           'street_' || CAST(edge_id % 50 AS STRING) AS name,
+           (src % {n}) * {C.ROAD_SPACING} AS x1,
+           {d.floori(f'src / {n}')} * {C.ROAD_SPACING} AS y1,
+           (dst % {n}) * {C.ROAD_SPACING} AS x2,
+           {d.floori(f'dst / {n}')} * {C.ROAD_SPACING} AS y2
+    FROM road_edges
+    """
+    sampled = d.explode_range(ends, "k", "0",
+                              str(streets.SAMPLES_PER_EDGE - 1))
+    px = f"(x1 + (x2 - x1) / 100 * (k * {streets.SPACING}))"
+    py = f"(y1 + (y2 - y1) / 100 * (k * {streets.SPACING}))"
+    code = world.landcover_expr(d.floori(f"{px} / {C.LC_RES}"),
+                                d.floori(f"{py} / {C.LC_RES}"))
+    return f"""
+{world.world_ctes(d, 'road_edges')},
+samples AS (
+  SELECT name, {code} AS code FROM ({sampled}) _s
+),
+agg AS (
+  SELECT name, COUNT(*) AS n_samples,
+  {cnt_cols}
+  FROM samples GROUP BY name
+)
+SELECT name, n_samples,
+       {frac_cols},
+       CAST({green} AS DOUBLE) / CAST(n_samples AS DOUBLE) * 100.0
+           AS greencover
+FROM agg
+"""
+
+
+def _oracle_isochrone(d: Dialect) -> str:
+    last = C.ROAD_N - 1
+    si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
+    sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
+    return f"""
+WITH RECURSIVE
+points AS ({world.points_sql(d)}),
+road_edges AS ({world.road_edges_sql(d)}),
+edges2 AS (
+  SELECT src, dst, length_m FROM road_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, length_m FROM road_edges
+),
+seeds AS (
+  SELECT point_id, ({sj}) * {C.ROAD_N} + ({si}) AS node_id
+  FROM points WHERE point_id % {ISO_SAMPLE_MOD} = 0
+),
+reach(point_id, node_id, net_dist) AS (
+  SELECT point_id, node_id, CAST(0.0 AS DOUBLE) FROM seeds
+  UNION
+  SELECT r.point_id, e.dst, r.net_dist + e.length_m
+  FROM reach r JOIN edges2 e ON e.src = r.node_id
+  WHERE r.net_dist + e.length_m <= {float(C.BUFFER_M)}
+),
+nd AS (
+  SELECT point_id, node_id, MIN(net_dist) AS net_dist
+  FROM reach GROUP BY point_id, node_id
+)
+SELECT point_id, COUNT(*) AS n_nodes, SUM(net_dist) AS total_dist
+FROM nd GROUP BY point_id
+"""
+
+
+def _q_isochrone_nodes(s, sf):
+    pts = world.points_df(s, sf).where(
+        F.col("point_id") % ISO_SAMPLE_MOD == 0)
+    iso = network.isochrone_nodes(pts, world.road_edges_df(s))
+    return iso.groupBy("point_id").agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("net_dist").alias("total_dist"))
+
+
+def build_geo2_registry() -> dict[str, QSpec]:
+    d = DUCK
+    return {
+        "q_idw": QSpec(
+            lambda s, sf: idw.idw_at_points(
+                world.points_df(s, sf), world.parks_df(s)),
+            _oracle_idw(d)),
+        "q_street_green_cover": QSpec(
+            lambda s, sf: streets.street_green_cover(
+                world.road_edges_df(s)),
+            _oracle_streets(d)),
+        "q_isochrone_nodes": QSpec(_q_isochrone_nodes, _oracle_isochrone(d)),
+        # convex-hull area is not SQL-expressible → rows-only; the hull
+        # kernel is exact-tested in tests/test_geom_kernels.py
+        "q_isochrone_hull": QSpec(
+            lambda s, sf: network.isochrone_hulls(
+                world.points_df(s, sf).where(
+                    F.col("point_id") % ISO_SAMPLE_MOD == 0),
+                world.road_edges_df(s)), None),
+        # exact polygon-clip overlay — verified against the grid
+        # discretization in tests/test_overlay.py
+        "q_greenspace_poly_pct": QSpec(
+            lambda s, sf: overlay.greenspace_polygon_pct(
+                world.points_df(s, sf), world.parks_df(s)), None),
+    }
