@@ -72,3 +72,37 @@ def dsm(x: np.ndarray, y: np.ndarray) -> np.ndarray:
 
 def greenspace(x: np.ndarray, y: np.ndarray) -> np.ndarray:
     return in_park(x, y).astype(float)
+
+
+def in_park_rows(px: np.ndarray, py: np.ndarray,
+                 ox: np.ndarray, oy: np.ndarray,
+                 reach: float) -> np.ndarray:
+    """Park mask for per-observer patch arrays px/py of shape
+    (n_obs, n_cells), pruned per park: a park is tested against a row
+    only if its disc can reach that observer's patch (center distance ≤
+    radius + reach).  Cuts the 60×full-array sweep of in_park() to the
+    handful of parks actually near each observer — the same
+    candidate-pruning idea as the J7 join, applied inside the kernel.
+    """
+    discs = park_discs()
+    out = np.zeros(px.shape, dtype=bool)
+    for cx, cy, r in discs:
+        rows = np.nonzero((ox - cx) ** 2 + (oy - cy) ** 2
+                          <= (r + reach) ** 2)[0]
+        if not len(rows):
+            continue
+        sub_x = px[rows]
+        sub_y = py[rows]
+        out[rows] |= (sub_x - cx) ** 2 + (sub_y - cy) ** 2 <= r * r
+    return out
+
+
+def patch_fields(px: np.ndarray, py: np.ndarray,
+                 ox: np.ndarray, oy: np.ndarray,
+                 reach: float) -> tuple[np.ndarray, np.ndarray]:
+    """(dsm, greenspace) for per-observer patches, computing the park
+    mask once with per-observer pruning."""
+    base = dtm(px, py)
+    b = building_height(px, py)
+    park = in_park_rows(px, py, ox, oy, reach)
+    return np.where(park, base, base + b), park.astype(float)

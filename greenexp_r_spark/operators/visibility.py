@@ -41,6 +41,16 @@ VGVI_SCHEMA = StructType([
     StructField("vgvi", DoubleType()),
 ])
 
+# observers per numpy batch: bounds patch memory to ~500·(2r+1)²·8B
+# (~26 MB at r=40) regardless of partition size, keeping the kernel's
+# working set cache-friendly and partition-count-independent
+KERNEL_BATCH = 500
+
+
+def _chunks(pdf: pd.DataFrame, size: int = KERNEL_BATCH):
+    for lo in range(0, len(pdf), size):
+        yield pdf.iloc[lo:lo + size]
+
 
 def _patches(xs: np.ndarray, ys: np.ndarray, r: int, res: float):
     """Synthesize (n, (2r+1)²) DSM and greenspace patches centered on
@@ -56,8 +66,9 @@ def _patches(xs: np.ndarray, ys: np.ndarray, r: int, res: float):
     py = ccy[:, None, None] - offs[None, :, None]
     px = np.broadcast_to(px, (len(xs), nc, nc)).reshape(len(xs), -1)
     py = np.broadcast_to(py, (len(xs), nc, nc)).reshape(len(xs), -1)
-    dsm = W.dsm(px, py)
-    gs = W.greenspace(px, py)
+    # patch corner is r*res*sqrt(2) from the center — the pruning reach
+    reach = (r + 1) * res * float(np.sqrt(2.0))
+    dsm, gs = W.patch_fields(px, py, ccx, ccy, reach)
     h0 = W.dtm(ccx, ccy) + C.OBSERVER_HEIGHT
     return dsm, gs, h0
 
@@ -87,22 +98,23 @@ def viewshed_metrics(points: DataFrame,
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         mask = _disk_mask(r)
         disk = int(mask.sum())
-        for pdf in it:
-            if not len(pdf):
-                continue
-            xs = pdf["x"].to_numpy()
-            ys = pdf["y"].to_numpy()
-            dsm, _, h0 = _patches(xs, ys, r, res)
-            vis = K.viewshed_batch(dsm, h0, r)
-            nvis = (vis & mask[None, :]).sum(axis=1)
-            yield pd.DataFrame({
-                "point_id": pdf["point_id"],
-                "visible_cells": nvis.astype("int64"),
-                "disk_cells": np.int64(disk),
-                "visibility_proportion": nvis / disk,
-            })
+        for full in it:
+            for pdf in _chunks(full):
+                if not len(pdf):
+                    continue
+                xs = pdf["x"].to_numpy()
+                ys = pdf["y"].to_numpy()
+                dsm, _, h0 = _patches(xs, ys, r, res)
+                vis = K.viewshed_batch(dsm, h0, r)
+                nvis = (vis & mask[None, :]).sum(axis=1)
+                yield pd.DataFrame({
+                    "point_id": pdf["point_id"],
+                    "visible_cells": nvis.astype("int64"),
+                    "disk_cells": np.int64(disk),
+                    "visibility_proportion": nvis / disk,
+                })
 
-    return obs.repartition(max(obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+    return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
               .mapInPandas(run, VIS_SCHEMA)
 
 
@@ -117,16 +129,19 @@ def vgvi_points(points: DataFrame,
                 .select("point_id", "x", "y")
 
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            xs = pdf["x"].to_numpy()
-            ys = pdf["y"].to_numpy()
-            dsm, gs, h0 = _patches(xs, ys, r, res)
-            out = K.vgvi_batch(dsm, gs, h0, r, res, max_distance, fun, m, b)
-            yield pd.DataFrame({"point_id": pdf["point_id"], "vgvi": out})
+        for full in it:
+            for pdf in _chunks(full):
+                if not len(pdf):
+                    continue
+                xs = pdf["x"].to_numpy()
+                ys = pdf["y"].to_numpy()
+                dsm, gs, h0 = _patches(xs, ys, r, res)
+                out = K.vgvi_batch(dsm, gs, h0, r, res,
+                                   max_distance, fun, m, b)
+                yield pd.DataFrame({"point_id": pdf["point_id"],
+                                    "vgvi": out})
 
-    return obs.repartition(max(obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+    return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
               .mapInPandas(run, VGVI_SCHEMA)
 
 
@@ -180,5 +195,5 @@ def vgvi_from_address(points: DataFrame,
             out["n_samples"] = out["n_samples"].astype("int64")
             yield out
 
-    return obs.repartition(max(obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+    return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
               .mapInPandas(run, schema)

@@ -274,6 +274,8 @@ def build_registry() -> dict[str, QSpec]:
     out.update(build_pipeline_registry())
     from .registry_geo2 import build_geo2_registry
     out.update(build_geo2_registry())
+    from .registry_relational import build_relational_registry
+    out.update(build_relational_registry())
     return out
 
 

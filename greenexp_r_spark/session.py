@@ -22,6 +22,7 @@ def build_session(app: str = "greenexp", master: str | None = None,
     return (
         SparkSession.builder.appName(app).master(master)
         .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -29,6 +30,10 @@ def build_session(app: str = "greenexp", master: str | None = None,
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("GREENEXP_DRIVER_MEM", "8g"))
+        # throughput GC: this is a batch-analytics JVM; G1's many
+        # concurrent threads showed pathological kernel time on the
+        # virtualized 32-vCPU test box
+        .config("spark.driver.extraJavaOptions", "-XX:+UseParallelGC")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

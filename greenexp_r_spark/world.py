@@ -214,6 +214,21 @@ def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def synthetic_points(spark: SparkSession, n: int,
+                     partitions: int | None = None) -> DataFrame:
+    """Scale-testing points table: same geocoding formulas applied to
+    spark.range ids — lets the bench grow the points side arbitrarily
+    without external data (BASELINE.md scaling protocol)."""
+    rng = spark.range(0, n, 1, partitions) if partitions \
+        else spark.range(n)
+    did = F.col("id")
+    return rng.select(
+        did.alias("point_id"),
+        _hash_col(did, C.X_MUL, C.X_ADD, C.WORLD_SIZE).cast("double").alias("x"),
+        _hash_col(did, C.Y_MUL, C.Y_ADD, C.WORLD_SIZE).cast("double").alias("y"),
+    )
+
+
 def parks_df(spark: SparkSession) -> DataFrame:
     return spark.sql(parks_sql(_spark_dialect()))
 

@@ -1,0 +1,51 @@
+"""Structured Streaming batch-equivalence + salted-join equivalence."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from greenexp_r_spark import world
+from greenexp_r_spark.plans import salting
+from greenexp_r_spark.streaming import events_stream
+
+from .conftest import SF_TEST
+
+
+def test_stream_equals_batch(spark):
+    path = f"{SF_TEST}/events.parquet"
+    got = (events_stream.run_available_now(spark, path)
+           .orderBy("hour", "event_type").toPandas())
+    ev = spark.read.parquet(path)
+    want = (ev.groupBy(F.date_trunc("hour", F.col("ts").cast("timestamp"))
+                       .alias("hour"),
+                       "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                 .alias("value_sum_micros"))
+            .orderBy("hour", "event_type").toPandas())
+    assert got.equals(want)
+
+
+def test_salted_join_equivalence(spark):
+    pts = world.with_cell_id(world.points_df(spark, SF_TEST))
+    parks = world.with_cell_id(world.parks_df(spark), x="cx", y="cy")
+    plain = (pts.join(parks.select("cell_id", "park_id"), "cell_id")
+             .select("point_id", "park_id"))
+    salted = salting.salted_join(
+        pts, parks.select("cell_id", "park_id"), key="cell_id",
+        row_key="point_id", threshold=5, n_salt=4
+    ).select("point_id", "park_id")
+    a = plain.orderBy("point_id", "park_id").toPandas()
+    b = salted.orderBy("point_id", "park_id").toPandas()
+    assert a.equals(b)
+    assert len(a) > 0
+
+
+def test_salting_spreads_hot_keys(spark):
+    pts = world.with_cell_id(world.points_df(spark, SF_TEST))
+    hot = salting.hot_keys(pts, "cell_id", threshold=1)
+    assert hot  # the fixture world is skewed by construction
+    salted = salting.salt_probe(pts, "cell_id", hot, 4, "point_id")
+    n_salts = (salted.where(F.col("cell_id").isin(hot))
+               .select("_salt").distinct().count())
+    assert n_salts > 1
