@@ -47,3 +47,33 @@ def idw_at_points(points: DataFrame, parks: DataFrame, k: int = 5,
     exact = F.element_at(F.col("nn"), 1)
     idw = F.when(exact["d2"] == 0, exact["val"]).otherwise(num / den)
     return g.select("point_id", idw.alias("idw_value"))
+
+
+def idw_to_grid(spark, parks: DataFrame, xmin: int, ymin: int,
+                size: int, res: int, k: int = 5,
+                value_col: str = "radius") -> DataFrame:
+    """sf_to_rast proper (sf_to_rast.R:121-183): rasterize a window by
+    IDW-interpolating site values onto every cell center.  Output is
+    tile-table-shaped rows (ci, cj, idw_value) ready for a tile sink
+    (S8).  Same deterministic fold as idw_at_points."""
+    nx = size // res
+    cells = (spark.range(nx * nx)
+             .select(((F.col("id") % nx) + xmin // res).alias("ci"),
+                     (F.floor(F.col("id") / nx).cast("long")
+                      + ymin // res).alias("cj")))
+    pts = cells.select(
+        (F.col("ci") * 10000 + F.col("cj")).alias("point_id"),
+        "ci", "cj",
+        ((F.col("ci") + 0.5) * res).alias("x"),
+        ((F.col("cj") + 0.5) * res).alias("y"))
+    # cell centers are *.5 offsets: scale to integers (×2) to keep the
+    # squared-distance arithmetic exact in BIGINT
+    pts2 = pts.select("point_id", "ci", "cj",
+                      (F.col("x") * 2).alias("x"),
+                      (F.col("y") * 2).alias("y"))
+    p2 = parks.select("park_id", (F.col("cx") * 2).alias("cx"),
+                      (F.col("cy") * 2).alias("cy"),
+                      F.col(value_col).alias("radius"))
+    out = idw_at_points(pts2, p2, k=k, value_col="radius")
+    return (out.join(pts.select("point_id", "ci", "cj"), "point_id")
+            .select("ci", "cj", "idw_value"))

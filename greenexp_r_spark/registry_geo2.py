@@ -93,6 +93,68 @@ FROM agg
 """
 
 
+IDW_GRID = {"xmin": 6000, "ymin": 6000, "size": 2000, "res": 10}
+
+
+def _oracle_idw_grid(d: Dialect, k: int = 5) -> str:
+    g = IDW_GRID
+    nx = g["size"] // g["res"]
+    ci0, cj0 = g["xmin"] // g["res"], g["ymin"] // g["res"]
+    return f"""
+{world.world_ctes(d, 'parks')},
+cells AS (
+  SELECT (i % {nx}) + {ci0} AS ci,
+         CAST(FLOOR(i / {nx}) AS BIGINT) + {cj0} AS cj
+  FROM (SELECT unnest(generate_series(0, {nx * nx - 1})) AS i) _i
+),
+pts AS (
+  SELECT ci, cj,
+         (ci + 0.5) * {g['res']} * 2 AS x,
+         (cj + 0.5) * {g['res']} * 2 AS y
+  FROM cells
+),
+cand AS (
+  SELECT p.ci, p.cj, k.park_id, k.radius AS val,
+         CAST(p.x - k.cx * 2 AS BIGINT) * CAST(p.x - k.cx * 2 AS BIGINT)
+         + CAST(p.y - k.cy * 2 AS BIGINT) * CAST(p.y - k.cy * 2 AS BIGINT)
+             AS d2
+  FROM pts p CROSS JOIN parks k
+),
+top AS (
+  SELECT * FROM (
+    SELECT ci, cj, park_id, val, d2,
+           ROW_NUMBER() OVER (PARTITION BY ci, cj
+                              ORDER BY d2 ASC, park_id ASC) AS rank
+    FROM cand
+  ) _r WHERE rank <= {k}
+),
+arr AS (
+  SELECT ci, cj,
+         list(struct_pack(d2 := d2, park_id := park_id, val := val)
+              ORDER BY d2 ASC, park_id ASC) AS nn
+  FROM top GROUP BY ci, cj
+)
+SELECT ci, cj,
+       CASE WHEN nn[1].d2 = 0 THEN nn[1].val
+            ELSE list_reduce(list_prepend(
+                     CAST(0.0 AS DOUBLE) ,
+                     list_transform(nn, s -> s.val / s.d2)),
+                     (a, b) -> a + b)
+                 / list_reduce(list_prepend(
+                     CAST(0.0 AS DOUBLE),
+                     list_transform(nn, s -> 1.0 / s.d2)),
+                     (a, b) -> a + b)
+       END AS idw_value
+FROM arr
+"""
+
+
+def _q_idw_grid(s, sf):
+    g = IDW_GRID
+    return idw.idw_to_grid(s, world.parks_df(s), g["xmin"], g["ymin"],
+                           g["size"], g["res"])
+
+
 def _oracle_isochrone(d: Dialect) -> str:
     last = C.ROAD_N - 1
     si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
@@ -146,6 +208,7 @@ def build_geo2_registry() -> dict[str, QSpec]:
             lambda s, sf: streets.street_green_cover(
                 world.road_edges_df(s)),
             _oracle_streets(d)),
+        "q_idw_grid": QSpec(_q_idw_grid, _oracle_idw_grid(d)),
         "q_isochrone_nodes": QSpec(_q_isochrone_nodes, _oracle_isochrone(d)),
         # convex-hull area is not SQL-expressible → rows-only; the hull
         # kernel is exact-tested in tests/test_geom_kernels.py

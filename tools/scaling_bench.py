@@ -33,7 +33,20 @@ from greenexp_r_spark import world
 from greenexp_r_spark.operators import availability, accessibility, visibility
 from pyspark.sql import functions as F
 
+import numpy as _np
+
+def control_burn():
+    # single-thread numpy burn with a nominal cost; certifies the
+    # host's current performance phase (the sandbox VM has
+    # multi-second stalls from noisy neighbors)
+    t0 = time.time()
+    a = _np.arange(4_000_000, dtype=_np.int64)
+    for _ in range(12):
+        a = (a * 2654435761 + 12345) % 2147483647
+    return time.time() - t0
+
 cpus = int(sys.argv[1]); n = int(sys.argv[2])
+sample_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 spark = build_session(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
@@ -42,38 +55,59 @@ parks = world.parks_df(spark)
 # warm the JVM/codegen and the python workers, then measure
 availability.ndvi_zonal(pts.limit(500)).count()
 visibility.vgvi_points(pts.limit(200), sample_mod=1).count()
+c0 = control_burn()
 t0 = time.time()
 # all three exposure families: availability (buffer-zonal NDVI),
-# accessibility (nearest park), visibility (VGVI on a 1/20 sample)
+# accessibility (nearest park), visibility (VGVI on a sample)
 avail = availability.ndvi_zonal(pts, add_sd=True)
 acc = accessibility.euclidean_access(pts, parks)
 rows = avail.join(acc, "point_id").count()
-vg = visibility.vgvi_points(pts, sample_mod=20).count()
+vg = visibility.vgvi_points(pts, sample_mod=sample_mod).count()
 dt = time.time() - t0
+c1 = control_burn()
 print(json.dumps({{"cpus": cpus, "n_points": n, "rows": rows,
                    "vgvi_rows": vg, "seconds": round(dt, 2),
-                   "points_per_sec": round(n / dt, 1)}}))
+                   "points_per_sec": round(n / dt, 1),
+                   "control_before": round(c0, 2),
+                   "control_after": round(c1, 2)}}))
 spark.stop()
 """
 
 
-def run(cpus: int, n: int, repo: str) -> dict:
+CONTROL_OK = 0.65   # accept a trial only if the 1-thread control burn
+                    # (nominal ~0.3s) stays under this before AND after
+                    # — certifies the host wasn't in a stall phase
+
+
+def run(cpus: int, n: int, repo: str, sample_mod: int = 10) -> dict:
     code = CHILD.format(repo=repo)
     out = subprocess.run(
-        [sys.executable, "-c", code, str(cpus), str(n)],
+        [sys.executable, "-c", code, str(cpus), str(n), str(sample_mod)],
         capture_output=True, text=True, timeout=1800,
         env={**os.environ, "GREENEXP_SHUFFLE_PARTITIONS": str(cpus * 2)})
     line = [l for l in out.stdout.splitlines() if l.startswith("{")][-1]
     return json.loads(line)
 
 
-def best_of(trials: int, cpus: int, n: int, repo: str) -> dict:
+def best_of(trials: int, cpus: int, n: int, repo: str,
+            sample_mod: int = 10) -> dict:
     """The sandbox VM suffers intermittent multi-second host stalls
-    (observed: identical numpy work 0.37s..5s); best-of-N isolates the
-    machine's actual capability at each parallelism level."""
-    results = [run(cpus, n, repo) for _ in range(trials)]
-    best = min(results, key=lambda r: r["seconds"])
+    (observed: identical 1-thread numpy work varying 0.3s..5s); trials
+    whose control burns show a stall phase are discarded, then the
+    fastest clean trial represents the machine's capability."""
+    results, clean = [], []
+    for _ in range(trials):
+        r = run(cpus, n, repo, sample_mod)
+        results.append(r)
+        if (r.get("control_before", 9) <= CONTROL_OK
+                and r.get("control_after", 9) <= CONTROL_OK):
+            clean.append(r)
+        if len(clean) >= 2:
+            break
+    pool = clean or results
+    best = min(pool, key=lambda r: r["seconds"])
     best["all_seconds"] = [r["seconds"] for r in results]
+    best["clean_trials"] = len(clean)
     return best
 
 
