@@ -192,6 +192,61 @@ def clip_convex(subject: np.ndarray, clip: np.ndarray) -> np.ndarray:
     return np.array(out) if out else np.zeros((0, 2))
 
 
+def make_valid(ring: np.ndarray) -> np.ndarray:
+    """P7 (st_make_valid) for the convex fixture surface: enforce CCW
+    orientation and drop consecutive duplicate vertices; raises on
+    self-intersecting (non-convex after cleaning) rings, which the
+    fixture world never produces."""
+    ring = np.asarray(ring, dtype=float)
+    keep = np.any(ring != np.roll(ring, 1, axis=0), axis=1)
+    ring = ring[keep]
+    if polygon_area(ring) < 0:
+        ring = ring[::-1]
+    if not is_convex(ring):
+        raise ValueError("non-convex ring: full make_valid requires a "
+                         "general geometry library")
+    return ring
+
+
+def wkb_multipolygon(rings: list) -> bytes:
+    """Encode a MULTIPOLYGON of single-ring polygons."""
+    out = [struct.pack("<BII", 1, 6, len(rings))]
+    for r in rings:
+        out.append(wkb_polygon(np.asarray(r, dtype=float)))
+    return b"".join(out)
+
+
+def explode_multipolygon(b: bytes) -> list:
+    """P6 (st_cast MULTI→single): split a WKB MULTIPOLYGON into its
+    member polygon rings; a plain POLYGON returns a 1-element list."""
+    byte_order, typ = struct.unpack_from("<BI", b, 0)
+    if typ == WKB_POLYGON:
+        return [parse_wkb_polygon(b)]
+    if typ != 6:
+        raise ValueError(f"not a (multi)polygon: type {typ}")
+    (n,) = struct.unpack_from("<I", b, 5)
+    rings, off = [], 9
+    for _ in range(n):
+        (n_rings,) = struct.unpack_from("<I", b, off + 5)
+        (n_pts,) = struct.unpack_from("<I", b, off + 9)
+        end = off + 13 + 16 * n_pts
+        rings.append(parse_wkb_polygon(b[off:end]))
+        off = end
+    return rings
+
+
+def aggregate_block_mean(values: np.ndarray, nrow: int, ncol: int,
+                         fact: int) -> np.ndarray:
+    """V10 (terra::aggregate fact=k): coarsen a raster by block-mean —
+    the reference's resolution knob for viewshed cost
+    (vgvi_from_sf.R:226-230).  nrow/ncol must be divisible by fact."""
+    if nrow % fact or ncol % fact:
+        raise ValueError("aggregate: dims not divisible by fact")
+    a = np.asarray(values, dtype=float).reshape(nrow, ncol)
+    return a.reshape(nrow // fact, fact, ncol // fact, fact) \
+            .mean(axis=(1, 3)).reshape(-1)
+
+
 def intersection_area(subject: np.ndarray, clip: np.ndarray) -> float:
     """|subject ∩ clip| for convex inputs (J4 clipped area,
     canopy_coverage.R:334-345)."""

@@ -197,9 +197,64 @@ def _q_isochrone_nodes(s, sf):
         F.sum("net_dist").alias("total_dist"))
 
 
+N_SCENES = 24
+
+
+def _q_scene_selection(s, sf):
+    """S2/A11/W3 analog: synthetic imagery catalog → least-cloudy
+    scene per month (the STAC argmin of ndvi_calc.R:299-302,
+    generalized to a per-group top-1 window)."""
+    from pyspark.sql import Window
+    scenes = s.range(N_SCENES).select(
+        F.col("id").alias("scene_id"),
+        (F.col("id") % 12).alias("month"),
+        ((F.col("id") * 2654435761 + 7) % C.P31 % 100).alias("cloud_cover"))
+    w = Window.partitionBy("month").orderBy(
+        F.col("cloud_cover").asc(), F.col("scene_id").asc())
+    return (scenes.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select("month", "scene_id", "cloud_cover"))
+
+
+def _oracle_scene(d: Dialect) -> str:
+    return f"""
+WITH scenes AS (
+  SELECT i AS scene_id, i % 12 AS month,
+         ((i * 2654435761 + 7) % {C.P31}) % 100 AS cloud_cover
+  FROM (SELECT unnest(generate_series(0, {N_SCENES - 1})) AS i) _i
+)
+SELECT month, scene_id, cloud_cover FROM (
+  SELECT month, scene_id, cloud_cover,
+         ROW_NUMBER() OVER (PARTITION BY month
+             ORDER BY cloud_cover ASC, scene_id ASC) AS rn
+  FROM scenes
+) _r WHERE rn = 1
+"""
+
+
+def _q_events_props(s, sf):
+    """Semi-structured extraction: JSON props field aggregated per
+    event type (get_json_object — JVM-side JSON path)."""
+    ev = s.read.parquet(f"{sf}/events.parquet")
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.groupBy("event_type")
+            .agg(F.sum(k).alias("k_sum"),
+                 F.count(F.lit(1)).alias("n_events")))
+
+
+_ORACLE_EVENTS_PROPS = """
+SELECT event_type,
+       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       COUNT(*) AS n_events
+FROM events GROUP BY event_type
+"""
+
+
 def build_geo2_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
+        "q_scene_selection": QSpec(_q_scene_selection, _oracle_scene(d)),
+        "q_events_props": QSpec(_q_events_props, _ORACLE_EVENTS_PROPS),
         "q_idw": QSpec(
             lambda s, sf: idw.idw_at_points(
                 world.points_df(s, sf), world.parks_df(s)),
