@@ -25,18 +25,11 @@ from greenexp_r_spark.operators import accessibility, availability
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship combined-exposure query on sf0.001: per address point,
-    availability (buffer-zonal mean NDVI) + accessibility (distance to
-    nearest ≥400 m² park, in-300m flag) joined on point_id."""
-    sf = "/root/testdata/sf0.001"
-    points = world.points_df(spark, sf)
-    parks = world.parks_df(spark)
-    avail = availability.ndvi_zonal(points)
-    access = accessibility.euclidean_access(points, parks)
-    return (points.select("point_id", "url", "x", "y")
-            .join(avail, "point_id")
-            .join(access, "point_id")
-            .select("point_id", "url", "x", "y", "mean_ndvi", "sd_ndvi",
-                    "closest_greenspace", "greenspace_in_buffer"))
+    availability (buffer-zonal mean/sd NDVI) + accessibility (distance
+    to nearest ≥400 m² park, in-300m flag) joined on point_id.  The
+    same query is gate-checked against its DuckDB oracle as
+    q_exposure_combined."""
+    return registry._q_combined(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -229,6 +229,62 @@ SELECT COUNT(*) AS component_size FROM reach
 COMPONENT_SEED = 100 * C.ROAD_N + 100
 
 
+def _oracle_combined(d: Dialect) -> str:
+    """Flagship: per-point availability + accessibility in one row —
+    the end-to-end exposure join of BASELINE.json's metric."""
+    ndvi = _oracle_ndvi(d)
+    euclid_cand = f"""
+  SELECT point_id,
+         CAST(x - cx AS BIGINT) * CAST(x - cx AS BIGINT)
+         + CAST(y - cy AS BIGINT) * CAST(y - cy AS BIGINT) AS d2
+  FROM points CROSS JOIN (SELECT * FROM parks
+                          WHERE area_m2 > {C.MIN_GREENSPACE_M2}) p
+"""
+    return f"""
+{world.world_ctes(d, 'points', 'parks')},
+cells AS ({_buffer_cells_sql(d, C.NDVI_RES, C.BUFFER_M)}),
+agg AS (
+  SELECT point_id, SUM(v) AS s1, SUM(v * v) AS s2, COUNT(*) AS n_cells
+  FROM (SELECT point_id, {world.ndvi_int_expr('ci', 'cj')} AS v
+        FROM cells) _v
+  GROUP BY point_id
+),
+avail AS (
+  SELECT point_id,
+         CAST(s1 AS DOUBLE) / (800.0 * n_cells) AS mean_ndvi,
+         sqrt((CAST(s2 AS DOUBLE)
+               - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                 / CAST(n_cells AS DOUBLE))
+              / (CAST(n_cells AS DOUBLE) - 1.0)) / 800.0 AS sd_ndvi,
+         n_cells
+  FROM agg
+),
+acc AS (
+  SELECT point_id, MIN(d2) AS min_d2 FROM ({euclid_cand}) _c
+  GROUP BY point_id
+)
+SELECT p.point_id, p.url, p.x, p.y,
+       a.mean_ndvi, a.sd_ndvi,
+       sqrt(CAST(c.min_d2 AS DOUBLE)) AS closest_greenspace,
+       c.min_d2 <= {C.BUFFER_M ** 2} AS greenspace_in_buffer
+FROM points p
+JOIN avail a ON p.point_id = a.point_id
+JOIN acc c ON p.point_id = c.point_id
+"""
+
+
+def _q_combined(spark, sf):
+    points = world.points_df(spark, sf)
+    parks = world.parks_df(spark)
+    avail = availability.ndvi_zonal(points)
+    access = accessibility.euclidean_access(points, parks)
+    return (points.select("point_id", "url", "x", "y")
+            .join(avail.drop("n_cells"), "point_id")
+            .join(access, "point_id")
+            .select("point_id", "url", "x", "y", "mean_ndvi", "sd_ndvi",
+                    "closest_greenspace", "greenspace_in_buffer"))
+
+
 def _q_ndvi(spark, sf):
     return availability.ndvi_zonal(world.points_df(spark, sf))
 
@@ -282,6 +338,7 @@ def build_registry() -> dict[str, QSpec]:
 def _geo_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
+        "q_exposure_combined": QSpec(_q_combined, _oracle_combined(d)),
         "q_availability_ndvi": QSpec(_q_ndvi, _oracle_ndvi(d)),
         "q_landcover_fractions": QSpec(_q_landcover, _oracle_landcover(d)),
         "q_greenspace_pct": QSpec(
