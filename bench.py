@@ -23,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
     # the three exposure families (north_star)
+    "q_exposure_combined",
     "q_availability_ndvi",
     "q_landcover_fractions",
     "q_greenspace_pct",
@@ -43,6 +44,7 @@ HEADLINE = [
 
 # queries whose cost scales with the points table (used for points/sec)
 EXPOSURE = {
+    "q_exposure_combined",
     "q_availability_ndvi", "q_landcover_fractions", "q_greenspace_pct",
     "q_canopy_pct", "q_accessibility_euclidean", "q_knn_parks",
     "q_accessibility_network", "q_vgvi", "q_viewshed",

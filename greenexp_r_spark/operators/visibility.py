@@ -15,7 +15,6 @@ per address (vgvi_from_address.R:259-270, :369-371).
 
 from __future__ import annotations
 
-import math
 from collections.abc import Iterator
 
 import numpy as np

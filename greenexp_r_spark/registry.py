@@ -352,6 +352,15 @@ def _geo_registry() -> dict[str, QSpec]:
                                "canopy_radius_m", res=10, bucket=50,
                                out_name="canopy_pct")),
         "q_accessibility_euclidean": QSpec(_q_euclid, _oracle_euclid(d)),
+        # same semantics through the cell-index plan (J2 scale path);
+        # shares the broadcast-path oracle because results are equal
+        "q_accessibility_cells": QSpec(
+            lambda s, sf: __import__(
+                "greenexp_r_spark.operators.knn_cells",
+                fromlist=["euclidean_access_cells"]
+            ).euclidean_access_cells(world.points_df(s, sf),
+                                     world.parks_df(s)),
+            _oracle_euclid(d)),
         "q_knn_parks": QSpec(_q_knn, _oracle_knn(d)),
         "q_accessibility_network": QSpec(_q_network, _oracle_network(d)),
         "q_largest_component": QSpec(
