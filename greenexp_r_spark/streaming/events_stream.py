@@ -50,6 +50,33 @@ def hourly_rollup_stream(spark: SparkSession, events_path: str,
                     "n_events", "value_sum_micros"))
 
 
+def streaming_dedup(spark: SparkSession, events_path: str,
+                    watermark: str = "2 hours") -> DataFrame:
+    """Stateful exact dedup on the stream: dropDuplicates over
+    event_id keeps per-key state bounded by the event-time watermark —
+    the streaming counterpart of the pipeline's exact dedup operator
+    (late duplicates beyond the watermark age out of state)."""
+    events_path = stage_as_dir(events_path)
+    static = spark.read.parquet(events_path)
+    stream = (spark.readStream.schema(static.schema).parquet(events_path)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    return (stream
+            .withWatermark("ts", watermark)
+            .dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique")))
+
+
+def run_dedup_available_now(spark: SparkSession, events_path: str,
+                            table_name: str = "events_dedup_stream"
+                            ) -> DataFrame:
+    q = (streaming_dedup(spark, events_path)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def run_available_now(spark: SparkSession, events_path: str,
                       table_name: str = "events_hourly_stream") -> DataFrame:
     """Drain the source with availableNow and return the result as a

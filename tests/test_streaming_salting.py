@@ -49,3 +49,15 @@ def test_salting_spreads_hot_keys(spark):
     n_salts = (salted.where(F.col("cell_id").isin(hot))
                .select("_salt").distinct().count())
     assert n_salts > 1
+
+
+def test_streaming_dedup_equals_batch_distinct(spark):
+    path = f"{SF_TEST}/events.parquet"
+    got = (events_stream.run_dedup_available_now(spark, path)
+           .orderBy("event_type").toPandas())
+    ev = spark.read.parquet(path)
+    want = (ev.dropDuplicates(["event_id"])
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n_unique"))
+            .orderBy("event_type").toPandas())
+    assert got.equals(want)
