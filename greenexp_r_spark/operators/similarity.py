@@ -14,6 +14,8 @@ variant for throughput lives in bench.py's hot path.
 
 from __future__ import annotations
 
+import numpy as np
+
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .. import constants as C
@@ -110,6 +112,74 @@ def ivf_topk(embeddings: DataFrame, k: int = C.ANN_K,
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos_sim").desc(), F.col("neighbor_id").asc())
     return (cand.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+
+
+def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
+                           n_queries: int = C.ANN_QUERIES) -> DataFrame:
+    """Arrow-batched variant of brute_force_topk: the (small) query
+    matrix rides to every task as a Spark broadcast; each Arrow batch
+    of candidates is scored with ONE numpy int64 matmul against all
+    queries, emitting per-batch partial top-k; a final window takes
+    the global top-k.  Same quantized-integer dot products → results
+    identical to the JVM-expression path (tested).
+
+    This is the 100 TB shape for similarity search when the built-in
+    higher-order functions become the bottleneck: compute moves to
+    BLAS-backed batch matmul, shuffle carries only (query, candidate,
+    score) partials capped at k per (batch, query).
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    qv = quantized(embeddings)
+    qrows = qv.where(F.col("vec_id") < n_queries) \
+              .orderBy("vec_id").collect()
+    qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
+    qmat = np.array([r.q for r in qrows], dtype=np.int64)
+    qnorm = np.sqrt(np.array([r.norm2 for r in qrows], dtype=np.float64))
+    sc = embeddings.sparkSession.sparkContext
+    bq = sc.broadcast((qids, qmat, qnorm))
+
+    schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ])
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, Q, Qn = bq.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            cand = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            cn = np.sqrt(pdf["norm2"].to_numpy().astype(np.float64))
+            # exact: integer dot products, float only at the end
+            dots = cand @ Q.T                        # (batch, n_q)
+            cos = dots / (cn[:, None] * Qn[None, :])
+            cids = pdf["vec_id"].to_numpy()
+            out_q, out_n, out_c = [], [], []
+            for j, qid in enumerate(ids):
+                col = cos[:, j]
+                mask = cids != qid
+                # per-batch partial top-k with a tie margin (global
+                # top-k + deterministic tie-break via the final window)
+                order = np.argsort(-col[mask], kind="stable")[:k + 8]
+                sel = np.nonzero(mask)[0][order]
+                out_q.extend([qid] * len(sel))
+                out_n.extend(cids[sel])
+                out_c.extend(col[sel])
+            yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
+                                "cos_sim": out_c})
+
+    partials = qv.mapInPandas(score, schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (partials.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 

@@ -373,6 +373,10 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_ann_brute_topk": QSpec(
             lambda s, sf: similarity.brute_force_topk(_emb(s, sf)),
             _oracle_brute_topk(d)),
+        # Arrow/numpy matmul path — identical results, same oracle
+        "q_ann_numpy_topk": QSpec(
+            lambda s, sf: similarity.brute_force_topk_numpy(_emb(s, sf)),
+            _oracle_brute_topk(d)),
         "q_ann_ivf_topk": QSpec(
             lambda s, sf: similarity.ivf_topk(_emb(s, sf)),
             _oracle_ivf_topk(d)),
