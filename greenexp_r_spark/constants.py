@@ -105,11 +105,23 @@ MINHASH_PERMS = [                      # (a, b) pairs, h' = (a*h+b) % P31
 ]
 MINHASH_BAND_ROWS = 2                  # 8 perms → 4 bands of 2
 JACCARD_THRESHOLD = 0.5
-SIMHASH_BITS = 32            # 16 bits drowns in coincidental pairs at
-                             # ~10k docs; 32 keeps hamming≤3 meaningful
+SIMHASH_BITS = 60            # 60 = 4 blocks × 15 bits; wide enough that
+                             # hamming≤3 means near-identical shingle sets
 SIMHASH_MAX_HAMMING = 3
-SIMHASH_BLOCKS = 8           # pigeonhole: ≤3 flipped bits damage ≤3 of
-                             # 8 nibbles → candidates share ≥1 nibble
+SIMHASH_BLOCKS = 4           # pigeonhole: ≤3 flipped bits damage ≤3 of
+                             # 4 blocks → candidates share ≥1 whole block
+SIMHASH_BLOCK_BITS = 15      # 32_768-value blocking keyspace per block
+                             # (round 1's 4-bit nibbles had 16 → n/16
+                             # bucket sizes → quadratic candidates)
+# per-bit affine rehash of the (31-bit) shingle so all 60 signature
+# bits are fair coins — bit b = parity of (sh*a_b + b_b) % P31.
+# Without this, bits ≥ 31 of the raw shingle are always 0 and the top
+# block would match every pair.
+SIMHASH_BIT_PERMS = [
+    ((1_103_515_245 * (b + 1) + 12_345) % P31,
+     (214_013 * (b + 1) + 2_531_011) % P31)
+    for b in range(SIMHASH_BITS)
+]
 WORDHASH_P1, WORDHASH_P2 = 131, 7      # wh = ascii(c1)*131 + ascii(c2)*7 + len
 SHINGLE_MUL = 100_003                  # shingle = (wh1*SHINGLE_MUL + wh2) % P31
 

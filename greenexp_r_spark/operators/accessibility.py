@@ -49,6 +49,27 @@ def euclidean_access(points: DataFrame, parks: DataFrame,
     )
 
 
+BROADCAST_PARK_LIMIT = 200_000   # dim rows beyond which the broadcast
+                                 # cross stops being the right plan
+
+
+def euclidean_access_auto(points: DataFrame, parks: DataFrame,
+                          buffer_m: float = C.BUFFER_M,
+                          min_area_m2: float = C.MIN_GREENSPACE_M2
+                          ) -> DataFrame:
+    """Size-routed euclidean access: tiny park dims take the broadcast
+    cross + map-side min-agg (the README-scale plan); larger layers
+    route through the cell-index equi-join (knn_cells), which is
+    gate-verified identical.  The probe is a bounded limit-count, not
+    a full dim scan."""
+    n_probe = parks.limit(BROADCAST_PARK_LIMIT + 1).count()
+    if n_probe <= BROADCAST_PARK_LIMIT:
+        return euclidean_access(points, parks, buffer_m, min_area_m2)
+    from .knn_cells import euclidean_access_cells
+    return euclidean_access_cells(points, parks, buffer_m,
+                                  min_area_m2=min_area_m2)
+
+
 def knn_parks(points: DataFrame, parks: DataFrame, k: int = 5,
               min_area_m2: float = C.MIN_GREENSPACE_M2) -> DataFrame:
     """Top-k nearest park centroids per point (FNN k=5 analog, W2).

@@ -1,5 +1,5 @@
 """Deduplication operators for the training-data pipeline:
-exact (hash-groupBy), MinHash+LSH, SimHash with nibble-block LSH.
+exact (hash-first groupBy), MinHash+LSH, SimHash with block LSH.
 
 Corpus: the driver's documents are all distinct, so dedup queries run
 over an *augmented corpus* with deterministically planted duplicates —
@@ -7,14 +7,24 @@ exact copies (doc_id+1_000_000 for every 10th doc) and near-dups with
 the last word dropped (doc_id+2_000_000 for every 7th doc).  The same
 construction is embedded in the oracle SQL.
 
-Scale notes:
-  * exact dedup: one hash aggregate on a 64-bit content hash — the
-    canonical 100 TB shape (shuffle carries (hash, id), never text).
-  * MinHash-LSH: signatures are map-side array math; candidate
-    generation is an equi-join on (band, band_hash) — no cross join
-    anywhere; verification joins only candidate pairs' shingle sets.
-  * SimHash: 16-bit signature; pigeonhole blocking on 4 nibbles turns
-    hamming≤3 search into an equi-join too.
+Scale notes (the 100 TB shapes):
+  * exact dedup is two-phase: phase 1 shuffles only (xxhash64(text),
+    doc_id) to find candidate hash groups; phase 2 semi-joins the
+    corpus down to those candidates and groups the *surviving slice*
+    by text (exact — collisions can't merge distinct texts).  Full
+    documents are never shuffled corpus-wide.
+  * MinHash signatures are 100% row-local: the distinct shingle set
+    and all 8 permutation mins are array expressions (array_distinct /
+    transform / array_min) — zero shuffle before the band stage.
+    Candidate generation is an equi-join on (band, h1, h2); the exact
+    Jaccard verify joins shingle arrays for candidate pairs only and
+    compares them row-locally with array_intersect.
+  * SimHash signatures are row-local too (per-bit majority via
+    size(filter(sh_arr, ...))).  60-bit signature, pigeonhole blocking
+    on 4 × 15-bit blocks: a pair within hamming ≤ 3 damages ≤ 3
+    blocks, so it must agree on ≥ 1 — an equi-join with a 32_768-value
+    keyspace per block (vs 16 for the round-1 nibble scheme, whose
+    n/16-sized buckets made candidate volume quadratic in the corpus).
 """
 
 from __future__ import annotations
@@ -57,41 +67,61 @@ def corpus_sql() -> str:
 
 
 def exact_duplicates(corpus: DataFrame) -> DataFrame:
-    """Exact dedup groups: (text → member doc_ids).  Emits one row per
-    duplicated document: (dup_group_min, doc_id).  The group key is the
-    minimum doc_id of the identical-text group (stable canonical
-    representative), never the text itself — at scale the shuffle key
-    is a 64-bit hash + the verify join."""
-    groups = (corpus
+    """Exact dedup groups: one row per duplicated document,
+    (dup_group_min, doc_id, group_size), group key = min doc_id of the
+    identical-text group.
+
+    Two-phase hash-first plan: the corpus-wide shuffle carries only
+    (xxhash64(text), doc_id); full text is shuffled solely for the
+    candidate slice whose hash repeats (the actual duplicates), where
+    the exact text groupBy settles collisions.
+    """
+    hashed = corpus.select("doc_id", "text",
+                           F.xxhash64("text").alias("h"))
+    cand_h = (hashed.groupBy("h")
+              .agg(F.count(F.lit(1)).alias("n"))
+              .where(F.col("n") > 1)
+              .select("h"))
+    slice_ = hashed.join(cand_h, "h", "left_semi")
+    groups = (slice_
               .groupBy("text")
               .agg(F.min("doc_id").alias("dup_group_min"),
                    F.count(F.lit(1)).alias("group_size"))
               .where(F.col("group_size") > 1))
-    return (corpus.join(groups, "text")
-            .select("dup_group_min", "doc_id", "group_size")
-            .orderBy("dup_group_min", "doc_id"))
+    return (slice_.join(groups, "text")
+            .select("dup_group_min", "doc_id", "group_size"))
 
 
-def _shingles(corpus: DataFrame) -> DataFrame:
-    """Distinct word-bigram shingle hashes per doc (doc_id, sh)."""
+def shingle_arrays(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr): the distinct word-bigram shingle hash set per
+    document as a row-local array — zero shuffle (round 1 exploded to
+    (doc_id, shingle) rows and ran a global .distinct(), an
+    O(corpus-tokens) shuffle the signatures never needed)."""
     w = T.words(F.col("text"))
-    e = (corpus.select("doc_id", w.alias("warr"))
-         .where(F.size("warr") >= 2)
-         .withColumn("pos",
-                     F.explode(F.sequence(F.lit(1), F.size("warr") - 1))))
-    wh1 = T.word_hash(F.element_at(F.col("warr"), F.col("pos").cast("int")))
-    wh2 = T.word_hash(
-        F.element_at(F.col("warr"), (F.col("pos") + 1).cast("int")))
-    return (e.select("doc_id", T.shingle_hash(wh1, wh2).alias("sh"))
-            .distinct())
+    df = corpus.select("doc_id", w.alias("warr")).where(F.size("warr") >= 2)
+    sh = F.transform(
+        F.sequence(F.lit(1), F.size("warr") - 1),
+        lambda i: T.shingle_hash(
+            T.word_hash(F.element_at(F.col("warr"), i)),
+            T.word_hash(F.element_at(F.col("warr"), i + 1))))
+    return df.select("doc_id", F.array_distinct(sh).alias("sh_arr"))
+
+
+def _mh_lambda(a: int, b: int):
+    # factory, not default-arg lambda: PySpark counts default args in
+    # the higher-order-function arity check
+    return lambda s: T.minhash(s, a, b)
+
+
+def _minhash_cols():
+    return [F.array_min(F.transform(F.col("sh_arr"), _mh_lambda(a, b)))
+            .alias(f"mh{j}") for j, (a, b) in enumerate(C.MINHASH_PERMS)]
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh7): min over shingles of 8 affine permutations."""
-    sh = _shingles(corpus)
-    aggs = [F.min(T.minhash(F.col("sh"), a, b)).alias(f"mh{j}")
-            for j, (a, b) in enumerate(C.MINHASH_PERMS)]
-    return sh.groupBy("doc_id").agg(*aggs)
+    """(doc_id, mh0..mh7): min over shingles of 8 affine permutations,
+    computed entirely row-locally from the shingle array."""
+    return shingle_arrays(corpus).select("doc_id", *_minhash_cols())
 
 
 def minhash_lsh_pairs(corpus: DataFrame,
@@ -99,18 +129,15 @@ def minhash_lsh_pairs(corpus: DataFrame,
                       ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact Jaccard verify.
 
-    Plan: signatures → explode to (band, h1, h2) keys → self equi-join
-    on the band key → distinct candidate pairs → join each side's
-    shingle set → |∩| vs set sizes → Jaccard filter.
-    Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
+    Plan: row-local signatures → posexplode to (band, h1, h2) keys →
+    self equi-join on the band key → distinct candidate pairs → join
+    each side's shingle *array* → row-local array_intersect Jaccard.
+    The only shuffles are the band join and the candidate-bounded
+    array joins.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    sh = _shingles(corpus).persist()
-    aggs = [F.min(T.minhash(F.col("sh"), a, b)).alias(f"mh{j}")
-            for j, (a, b) in enumerate(C.MINHASH_PERMS)]
-    sig = sh.groupBy("doc_id").agg(*aggs)
+    sh = shingle_arrays(corpus).persist()
+    sig = sh.select("doc_id", *_minhash_cols())
     n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
-    # single-pass banding: posexplode of a struct array (a union of
-    # per-band selects would recompute the signature aggregate per band)
     band_arr = F.array(*[
         F.struct(F.col(f"mh{2 * b}").alias("h1"),
                  F.col(f"mh{2 * b + 1}").alias("h2"))
@@ -124,61 +151,59 @@ def minhash_lsh_pairs(corpus: DataFrame,
     cand = (l.join(r, ["band", "h1", "h2"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b").distinct())
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    inter = (cand
+    verif = (cand
              .join(sh.select(F.col("doc_id").alias("doc_a"),
-                             F.col("sh").alias("sa")), "doc_a")
+                             F.col("sh_arr").alias("sa")), "doc_a")
              .join(sh.select(F.col("doc_id").alias("doc_b"),
-                             F.col("sh").alias("sb")), "doc_b")
-             .where(F.col("sa") == F.col("sb"))
-             .groupBy("doc_a", "doc_b")
-             .agg(F.count(F.lit(1)).alias("n_inter")))
-    out = (inter
-           .join(sizes.select(F.col("doc_id").alias("doc_a"),
-                              F.col("n_sh").alias("na")), "doc_a")
-           .join(sizes.select(F.col("doc_id").alias("doc_b"),
-                              F.col("n_sh").alias("nb")), "doc_b"))
-    jac = (F.col("n_inter").cast("double")
-           / (F.col("na") + F.col("nb") - F.col("n_inter")).cast("double"))
-    return (out.select("doc_a", "doc_b", jac.alias("jaccard"))
+                             F.col("sh_arr").alias("sb")), "doc_b"))
+    n_inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = (n_inter.cast("double")
+           / (F.size("sa") + F.size("sb") - n_inter).cast("double"))
+    return (verif.select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= jaccard_threshold))
 
 
 def simhash_signatures(corpus: DataFrame,
                        bits: int = C.SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash): per bit, majority vote over shingle hashes."""
-    sh = _shingles(corpus)
-    sums = sh.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_sh"),
-        *[F.sum(F.when(F.shiftright(F.col("sh"), b).bitwiseAND(1) == 1, 1)
-                .otherwise(0)).alias(f"c{b}") for b in range(bits)])
+    """(doc_id, simhash): per bit, majority vote over the shingle set —
+    row-local size(filter(...)) per bit, zero shuffle.  Bit b of a
+    shingle is the parity of an affine rehash (SIMHASH_BIT_PERMS), so
+    every signature bit is a fair coin and every 15-bit block key is
+    uniformly distributed."""
+    def bit_filter(a: int, bb: int):
+        return lambda s: ((s * a + bb) % C.P31).bitwiseAND(1) == 1
+
+    sh = shingle_arrays(corpus)
+    n_sh = F.size("sh_arr")
     sim = None
     for b in range(bits):
-        bit = F.when(F.col(f"c{b}") * 2 > F.col("n_sh"),
-                     F.lit(1 << b)).otherwise(F.lit(0))
+        a, bb = C.SIMHASH_BIT_PERMS[b]
+        cb = F.size(F.filter(F.col("sh_arr"), bit_filter(a, bb)))
+        bit = F.when(cb * 2 > n_sh, F.lit(1 << b)).otherwise(F.lit(0))
         sim = bit if sim is None else sim + bit
-    return sums.select("doc_id", sim.cast("long").alias("simhash"))
+    return sh.select("doc_id", sim.cast("long").alias("simhash"))
 
 
 def simhash_pairs(corpus: DataFrame,
                   max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
     """Pairs with simhash hamming distance ≤ 3, found by pigeonhole
-    nibble blocking (a pair differing in ≤3 of 32 bits damages ≤3 of
-    the 8 nibbles, so it must agree on ≥1) — equi-join, no cross join.
+    block LSH: a pair differing in ≤3 of 60 bits damages ≤3 of the
+    4 15-bit blocks, so it must agree on ≥1 — an equi-join whose
+    blocking keyspace is 32_768 values per block (candidate volume
+    stays O(n·dup_rate), not O(n²/16) like round 1's nibbles).
     Output: (doc_a, doc_b, hamming)."""
     sig = simhash_signatures(corpus)
-    # single-pass nibble explosion (union-of-selects would recompute
-    # the signature aggregate once per nibble)
-    nib_arr = F.array(*[
-        F.shiftright(F.col("simhash"), 4 * k).bitwiseAND(15)
+    blk_arr = F.array(*[
+        F.shiftright(F.col("simhash"), C.SIMHASH_BLOCK_BITS * k)
+        .bitwiseAND((1 << C.SIMHASH_BLOCK_BITS) - 1)
         for k in range(C.SIMHASH_BLOCKS)])
-    nib = sig.select("doc_id", "simhash",
-                     F.posexplode(nib_arr).alias("nk", "nv"))
-    l = nib.select(F.col("doc_id").alias("doc_a"),
-                   F.col("simhash").alias("sim_a"), "nk", "nv")
-    r = nib.select(F.col("doc_id").alias("doc_b"),
-                   F.col("simhash").alias("sim_b"), "nk", "nv")
-    cand = (l.join(r, ["nk", "nv"])
+    blk = sig.select("doc_id", "simhash",
+                     F.posexplode(blk_arr).alias("bk", "bv"))
+    l = blk.select(F.col("doc_id").alias("doc_a"),
+                   F.col("simhash").alias("sim_a"), "bk", "bv")
+    r = blk.select(F.col("doc_id").alias("doc_b"),
+                   F.col("simhash").alias("sim_b"), "bk", "bv")
+    cand = (l.join(r, ["bk", "bv"])
             .where(F.col("doc_a") < F.col("doc_b"))
             .select("doc_a", "doc_b", "sim_a", "sim_b").distinct())
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))

@@ -184,12 +184,44 @@ def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 
 
-def neardup_pairs(embeddings: DataFrame,
-                  threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs over an augmented corpus
-    with planted near-dups (every NEARDUP_MOD-th vector, all elements
-    shifted +NEARDUP_SHIFT milli-units → cos ≈ 0.9996).
-    Output: (vec_id_a, vec_id_b, cos_sim), a < b."""
+NEARDUP_LSH_BANDS = 6      # miss prob per true pair ≈ (1 - p^r)^b with
+NEARDUP_LSH_BITS = 12      # per-bit sign agreement p ≈ 0.99 → ~1e-6
+
+
+def _lsh_band_keys(qcol):
+    """Random-hyperplane sign-bit LSH keys, fully row-local.
+
+    72 deterministic ±1 hyperplanes (sign = parity of xxhash64 of the
+    (bit, dim) index); projections via nested higher-order functions —
+    JVM-side, no Python.  The 72 sign bits fold into BANDS keys of
+    BITS bits each; a near-identical pair (cos ≥ 0.99) agrees on every
+    bit w.p. ~0.99, so it collides on ≥1 whole band w.p. ≈ 1 - 1e-6.
+    At larger corpus sizes raise BITS (keyspace 2^BITS per band) to
+    keep random-bucket sizes O(1) — the join shape stays an equi-join.
+    """
+    n = NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS
+    proj = F.transform(
+        F.sequence(F.lit(0), F.lit(n - 1)),
+        lambda i: F.aggregate(
+            F.transform(qcol, lambda x, d: F.when(
+                F.xxhash64(i * 1024 + d).bitwiseAND(1) == 0,
+                x).otherwise(-x)),
+            F.lit(0).cast("long"), lambda acc, x: acc + x))
+    bits = F.transform(
+        proj, lambda p: F.when(p >= 0, F.lit(1)).otherwise(F.lit(0))
+        .cast("long"))
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(NEARDUP_LSH_BANDS - 1)),
+        lambda b: F.aggregate(
+            F.slice(bits, b * NEARDUP_LSH_BITS + 1,
+                    F.lit(NEARDUP_LSH_BITS)),
+            F.lit(0).cast("long"), lambda acc, x: acc * 2 + x))
+
+
+def neardup_corpus(embeddings: DataFrame) -> DataFrame:
+    """Quantized embeddings ∪ planted near-dups (every NEARDUP_MOD-th
+    vector, all elements shifted +NEARDUP_SHIFT milli-units →
+    cos ≈ 0.9996)."""
     qv = quantized(embeddings)
     shifted = (qv.where(F.col("vec_id") % NEARDUP_MOD == 0)
                .select((F.col("vec_id") + 100_000).alias("vec_id"),
@@ -200,13 +232,38 @@ def neardup_pairs(embeddings: DataFrame,
         F.aggregate(F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
                     F.lit(0).cast("long"), lambda acc, x: acc + x)
         .alias("norm2"))
-    corpus = qv.unionByName(shifted)
-    l = corpus.select(F.col("vec_id").alias("vec_id_a"),
-                      F.col("q").alias("qa"), F.col("norm2").alias("na"))
-    r = corpus.select(F.col("vec_id").alias("vec_id_b"),
-                      F.col("q").alias("qb"), F.col("norm2").alias("nb"))
-    pairs = (l.join(F.broadcast(r), F.col("vec_id_a") < F.col("vec_id_b"))
-             .select("vec_id_a", "vec_id_b",
-                     _cos(_dot(F.col("qa"), F.col("qb")),
-                          F.col("na"), F.col("nb")).alias("cos_sim")))
+    return qv.unionByName(shifted)
+
+
+def neardup_pairs(embeddings: DataFrame,
+                  threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Round 1 ran an all-pairs BroadcastNestedLoopJoin (O(n²) — a
+    scale-killer); this is the 100 TB shape: random-hyperplane
+    sign-bit LSH band keys (row-local, `_lsh_band_keys`) → band
+    equi-join → distinct candidate pairs → exact quantized-integer
+    cosine verify on candidates only.
+    Output: (vec_id_a, vec_id_b, cos_sim), a < b.
+    """
+    corpus = neardup_corpus(embeddings).persist()
+    keys = corpus.select(
+        "vec_id", F.posexplode(_lsh_band_keys(F.col("q")))
+        .alias("band", "bkey"))
+    l = keys.select(F.col("vec_id").alias("vec_id_a"), "band", "bkey")
+    r = keys.select(F.col("vec_id").alias("vec_id_b"), "band", "bkey")
+    cand = (l.join(r, ["band", "bkey"])
+            .where(F.col("vec_id_a") < F.col("vec_id_b"))
+            .select("vec_id_a", "vec_id_b").distinct())
+    verif = (cand
+             .join(corpus.select(F.col("vec_id").alias("vec_id_a"),
+                                 F.col("q").alias("qa"),
+                                 F.col("norm2").alias("na")), "vec_id_a")
+             .join(corpus.select(F.col("vec_id").alias("vec_id_b"),
+                                 F.col("q").alias("qb"),
+                                 F.col("norm2").alias("nb")), "vec_id_b"))
+    pairs = verif.select(
+        "vec_id_a", "vec_id_b",
+        _cos(_dot(F.col("qa"), F.col("qb")),
+             F.col("na"), F.col("nb")).alias("cos_sim"))
     return pairs.where(F.col("cos_sim") >= threshold)

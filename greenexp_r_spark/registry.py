@@ -277,7 +277,7 @@ def _q_combined(spark, sf):
     points = world.points_df(spark, sf)
     parks = world.parks_df(spark)
     avail = availability.ndvi_zonal(points)
-    access = accessibility.euclidean_access(points, parks)
+    access = accessibility.euclidean_access_auto(points, parks)
     return (points.select("point_id", "url", "x", "y")
             .join(avail.drop("n_cells"), "point_id")
             .join(access, "point_id")

@@ -244,7 +244,8 @@ def _q_events_props(s, sf):
 
 _ORACLE_EVENTS_PROPS = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS k_sum,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS k_sum,
        COUNT(*) AS n_events
 FROM events GROUP BY event_type
 """

@@ -91,7 +91,7 @@ def _oracle_fingerprint(d: Dialect) -> str:
     inner = f"SELECT doc_id, {d.split('text')} AS warr FROM documents"
     exploded = d.explode_range(inner, "pos", "1", d.asize("warr"))
     return f"""
-SELECT doc_id, SUM(term) % {C.P31} AS fingerprint
+SELECT doc_id, CAST(SUM(term) % {C.P31} AS BIGINT) AS fingerprint
 FROM (
   SELECT doc_id, (CAST({wh} AS BIGINT) * ({pow_case})) % {C.P31} AS term
   FROM ({exploded}) _e
@@ -175,8 +175,9 @@ WHERE CAST(i.n_inter AS DOUBLE)
 def _oracle_simhash_pairs(d: Dialect) -> str:
     bits = C.SIMHASH_BITS
     cnt_cols = ",\n         ".join(
-        f"SUM(CASE WHEN ({d.shr('sh', str(b))} & 1) = 1 THEN 1 ELSE 0 END) AS c{b}"
-        for b in range(bits))
+        f"SUM(CASE WHEN (((sh * {a} + {b}) % {C.P31}) & 1) = 1"
+        f" THEN 1 ELSE 0 END) AS c{k}"
+        for k, (a, b) in enumerate(C.SIMHASH_BIT_PERMS))
     sim = " + ".join(
         f"CASE WHEN c{b} * 2 > n_sh THEN {1 << b} ELSE 0 END"
         for b in range(bits))
@@ -311,7 +312,8 @@ def _oracle_events_hourly(d: Dialect) -> str:
     return """
 SELECT date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
-       SUM(CAST(round(value * 1000000) AS BIGINT)) AS value_sum_micros
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS value_sum_micros
 FROM events
 GROUP BY date_trunc('hour', ts), event_type
 """

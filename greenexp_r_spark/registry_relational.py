@@ -8,11 +8,14 @@ from .registry import QSpec
 _ORACLE_PRICING = """
 WITH g AS (
   SELECT l_returnflag, l_linestatus,
-         SUM(CAST(round(l_quantity * 100) AS BIGINT)) AS sum_qty_c,
-         SUM(CAST(round(l_extendedprice * 100) AS BIGINT)) AS sum_price_c,
-         SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
-                  AS BIGINT)) AS sum_disc_price_micro,
-         SUM(CAST(round(l_discount * 10000) AS BIGINT)) AS sum_disc_bp,
+         CAST(SUM(CAST(round(l_quantity * 100) AS BIGINT))
+              AS BIGINT) AS sum_qty_c,
+         CAST(SUM(CAST(round(l_extendedprice * 100) AS BIGINT))
+              AS BIGINT) AS sum_price_c,
+         CAST(SUM(CAST(round(l_extendedprice * (1.0 - l_discount) * 1000000)
+                  AS BIGINT)) AS BIGINT) AS sum_disc_price_micro,
+         CAST(SUM(CAST(round(l_discount * 10000) AS BIGINT))
+              AS BIGINT) AS sum_disc_bp,
          COUNT(*) AS count_order
   FROM lineitem GROUP BY l_returnflag, l_linestatus
 )
@@ -26,7 +29,8 @@ FROM g
 
 _ORACLE_TOP_CUST = """
 WITH rev AS (
-  SELECT o_custkey, SUM(CAST(round(o_totalprice * 100) AS BIGINT))
+  SELECT o_custkey,
+         CAST(SUM(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
              AS revenue_c,
          COUNT(*) AS n_orders
   FROM orders GROUP BY o_custkey
@@ -49,7 +53,8 @@ QUALIFY rank <= 5
 _ORACLE_NATION = """
 SELECT n.n_name AS nation, o.o_orderpriority,
        COUNT(*) AS n_orders,
-       SUM(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS total_c
+       CAST(SUM(CAST(round(o.o_totalprice * 100) AS BIGINT))
+            AS BIGINT) AS total_c
 FROM orders o
 JOIN customer c ON o.o_custkey = c.c_custkey
 JOIN nation n ON c.c_nationkey = n.n_nationkey

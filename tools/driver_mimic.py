@@ -19,9 +19,16 @@ for t in ["region","nation","customer","supplier","part","orders","lineitem","ev
     con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF}/{t}.parquet')")
 
 def vhash(pdf):
+    # Type-sensitive: the real driver hashes typed values, so an int64
+    # Spark column vs a HUGEINT→float64/object DuckDB column must
+    # mismatch here too (round-1 lesson: to_csv masked exactly that).
     pdf = pdf[sorted(pdf.columns)]
     pdf = pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(drop=True)
-    return hashlib.md5(pdf.to_csv(index=False, float_format="%.17g").encode()).hexdigest()
+    # dtype *kind* only: int32 vs int64 is representation (driver matches
+    # those), but int vs float/object (the HUGEINT trap) must mismatch
+    kinds = [d.kind for d in pdf.dtypes]
+    payload = repr(kinds) + "\n" + pdf.to_csv(index=False, float_format="%.17g")
+    return hashlib.md5(payload.encode()).hexdigest()
 
 qs, os_ = E.queries(), E.oracle_sql()
 results = {}
