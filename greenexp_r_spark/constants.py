@@ -29,11 +29,25 @@ NDVI_H_A, NDVI_H_B = 73_856_093, 19_349_663   # classic spatial-hash primes
 NDVI_MOD = 1_000             # h in [0,1000)
 NDVI_NA_MOD = 97             # h % 97 == 0 → NA cell (→ 0 per ndvi_calc.R:336)
 
+# ---- Sentinel-2-style two-band raster (ndvi_calc.R:315-318:
+#      ndvi = (nir - red) / (red + nir)).  Bands are positive integer
+#      reflectances; per-cell ndvi is quantized with FLOOR (identical
+#      in numpy/Spark/DuckDB — round() differs: numpy is banker's) so
+#      zonal sums stay integer-exact. --------------------------------------
+RED_H_A, RED_H_B = 15_485_863, 32_452_843
+NIR_H_A, NIR_H_B = 49_979_687, 67_867_967
+RED_MOD, NIR_MOD = 2_000, 3_000
+BAND_Q = 1_000_000           # ndvi micro-unit quantization
+
 # ---- land-cover virtual raster (ESA WorldCover codes,
 #      land_cover.R:312-347) ----------------------------------------------
 LC_RES = 10
 LC_H_A, LC_H_B = 40_503, 104_729
-LC_CODES = [10, 20, 30, 40, 50, 60, 80, 90]
+LC_CODES = [10, 20, 30, 40, 50, 60, 80, 90]   # codes present in the world
+LC_ALL_CODES = [10, 20, 30, 40, 50, 60, 70, 80, 90, 95, 100]
+# ^ full WorldCover class list the reference hard-codes as output
+#   columns (land_cover.R:393-399); absent codes emit zero-filled
+#   columns (its setdiff missing-column fill)
 # code → label map, land_cover.R:333-347
 LC_LABELS = {
     10: "tree_cover", 20: "shrubland", 30: "grassland", 40: "cropland",
@@ -77,6 +91,20 @@ ROAD_DEL_MOD = 17            # hash % 17 == 0 → edge deleted (detours +
                              # ndvi_calc.R:151-171)
 NET_MAX_DIST = 1_000         # bounded network search radius, meters
 NET_HOP = 100                # edge weight = lattice spacing
+# heterogeneous edge weights (weight = edge_length(), the reference's
+# actual Dijkstra semantics, accessibility.R:343-356 / ndvi_calc.R:175-176):
+# length_m = 80 + hash(edge_id) % 61 → 80..140 m
+WEDGE_MUL, WEDGE_ADD = 48_271, 3
+WEDGE_SPAN = 61
+WEDGE_BASE = 80
+# pseudo-entrances: network nodes inside the dissolved (radius+20 m)
+# park buffer (accessibility.R:223-247, st_buffer(greenspace, 20))
+ENTRANCE_BUFFER_M = 20
+# "unbounded" OD fallback (accessibility.R:352-358): cap far above the
+# world's true max shortest path so the search is effectively unbounded
+# (verified empirically; reference reports Max 27,532 m the same way —
+# finite because the network is)
+EXT_MAX_DIST = 8_000
 
 # ---- canopy trees (canopy_coverage.R:269-291) ----------------------------
 N_TREES = 600

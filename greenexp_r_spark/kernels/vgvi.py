@@ -128,6 +128,15 @@ def vgvi_batch(dsm_patches: np.ndarray, gs_patches: np.ndarray,
     # --- the reference's 1-based-cell quirk: coordinates of visible
     # cells are taken from cell+1 (vgvi.cpp:117,140), the observer's
     # own coordinates from the true cell (vgvi.cpp:141).
+    # Extent note: VGVI_cpp's output depends on the raster crop it is
+    # handed (cell+1 walks the flattened array of WHATEVER extent the
+    # caller cropped).  This kernel reproduces the single-observer
+    # crop rendering — cell+1 at a row's right edge wraps to the next
+    # patch row, exactly as VGVI_cpp does on a width-(2r+1) raster.
+    # vgvi_from_sf.R:217-230 crops to the bbox of the *whole observer
+    # set*, so multi-observer reference runs read a different (true
+    # right-neighbor) cell there; parity is defined against the
+    # per-observer crop, the only extent that is observer-independent.
     cell_ids = np.arange(ncell)
     shifted = cell_ids + 1
     s_rows, s_cols = divmod(shifted, nc)      # may run off the last row

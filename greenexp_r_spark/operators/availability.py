@@ -104,9 +104,15 @@ def landcover_fractions(points: DataFrame,
     g = cells.groupBy("point_id").agg(*aggs)
     n = F.col("n_cells").cast("double")
     cols = [F.col("point_id")]
-    for c in C.LC_CODES:
-        cols.append((F.col(f"cnt_{c}").cast("double") / n)
-                    .alias(C.LC_LABELS[c]))
+    # 12-column parity with land_cover.R:393-399: every WorldCover
+    # class appears, zero-filled when absent from the raster (the
+    # reference's setdiff(codes, ...) missing-column fill, U4)
+    for c in C.LC_ALL_CODES:
+        if c in C.LC_CODES:
+            cols.append((F.col(f"cnt_{c}").cast("double") / n)
+                        .alias(C.LC_LABELS[c]))
+        else:
+            cols.append(F.lit(0.0).alias(C.LC_LABELS[c]))
     green = sum(F.col(f"cnt_{c}") for c in C.GREEN_CODES).cast("double") / n
     cols.append(green.alias("greencover"))
     cols.append(F.col("n_cells"))

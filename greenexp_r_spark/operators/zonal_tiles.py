@@ -93,6 +93,10 @@ def ndvi_zonal_tiles(points: DataFrame, tiles: DataFrame,
     agg = partials.groupBy("point_id").agg(
         F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
         F.sum("n").alias("n_cells"))
+    return _ndvi_stats(agg, add_sd)
+
+
+def _ndvi_stats(agg: DataFrame, add_sd: bool) -> DataFrame:
     n = F.col("n_cells")
     mean = F.col("s1").cast("double") / (F.lit(800.0) * n)
     out = [F.col("point_id"), mean.alias("mean_ndvi")]
@@ -104,3 +108,73 @@ def ndvi_zonal_tiles(points: DataFrame, tiles: DataFrame,
         out.append((F.sqrt(var) / F.lit(800.0)).alias("sd_ndvi"))
     out.append(n)
     return agg.select(*out)
+
+
+def ndvi_bands_zonal_tiles(points: DataFrame, s2_tiles: DataFrame,
+                           buffer_m: float = C.BUFFER_M) -> DataFrame:
+    """Zonal mean NDVI computed FROM TWO BANDS — the actual Sentinel-2
+    workflow of ndvi_calc.R:315-318 (`ndvi = (nir − red)/(red + nir)`)
+    that the single-band virtual raster can't represent.
+
+    Per-cell ndvi is quantized to integer micro-units with FLOOR
+    (floor((nir−red)·1e6/(nir+red)) — identical in numpy, Spark and
+    DuckDB; round() is not: numpy rounds half-to-even), so the partial
+    sums stay integer-exact.  Same join/partial-agg shape as
+    ndvi_zonal_tiles.  Output: (point_id, mean_ndvi_bands, n_cells).
+    """
+    res = C.NDVI_RES
+    span = TILE_CELLS * res
+    p = points.select("point_id", "x", "y")
+    lo = lambda c: F.floor((c - buffer_m) / span).cast("long")
+    hi = lambda c: F.floor((c + buffer_m) / span).cast("long")
+    cand = (p
+            .withColumn("tx", F.explode(F.sequence(lo(F.col("x")),
+                                                   hi(F.col("x")))))
+            .withColumn("ty", F.explode(F.sequence(lo(F.col("y")),
+                                                   hi(F.col("y"))))))
+    joined = cand.join(
+        s2_tiles.select(F.col("tx").alias("ttx"), F.col("ty").alias("tty"),
+                        "xmin", "ymin", "res", "ncol", "nrow",
+                        "red", "nir"),
+        (F.col("tx") == F.col("ttx")) & (F.col("ty") == F.col("tty")))
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("s1", LongType()),
+        StructField("n", LongType()),
+    ])
+
+    def zonal(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        r2 = float(buffer_m) ** 2
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out_pid, out_s1, out_n = [], [], []
+            for (xmin, ymin), grp in pdf.groupby(["xmin", "ymin"],
+                                                 sort=False):
+                red = np.asarray(grp["red"].iloc[0], dtype=np.int64)
+                nir = np.asarray(grp["nir"].iloc[0], dtype=np.int64)
+                v = np.floor((nir - red) * float(C.BAND_Q)
+                             / (nir + red)).astype(np.int64)
+                ncol = int(grp["ncol"].iloc[0])
+                tres = float(grp["res"].iloc[0])
+                cx = xmin + (np.arange(ncol) + 0.5) * tres
+                cy = ymin + (np.arange(int(grp["nrow"].iloc[0])) + 0.5) * tres
+                for pid, px, py in zip(grp["point_id"], grp["x"], grp["y"]):
+                    dx2 = (cx - px) ** 2
+                    dy2 = (cy - py) ** 2
+                    mask = (dy2[:, None] + dx2[None, :]).reshape(-1) <= r2
+                    vm = v[mask]
+                    out_pid.append(pid)
+                    out_s1.append(int(vm.sum()))
+                    out_n.append(int(vm.size))
+            yield pd.DataFrame({"point_id": out_pid, "s1": out_s1,
+                                "n": out_n})
+
+    partials = joined.mapInPandas(zonal, schema)
+    agg = partials.groupBy("point_id").agg(
+        F.sum("s1").alias("s1"), F.sum("n").alias("n_cells"))
+    mean = (F.col("s1").cast("double")
+            / (F.lit(float(C.BAND_Q)) * F.col("n_cells")))
+    return agg.select("point_id", mean.alias("mean_ndvi_bands"),
+                      F.col("n_cells"))

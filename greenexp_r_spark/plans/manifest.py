@@ -50,8 +50,10 @@ def _unit_checksum(df: DataFrame, text_col: str):
     """Order-independent 64-bit fold of per-row text hashes (xor via
     bit_xor aggregate — associative/commutative, safe under any
     partitioning)."""
+    # coalesce: bit_xor over zero rows is NULL, which would crash the
+    # int() coercion downstream — an empty unit checksums to 0
     return df.agg(
-        F.expr(f"bit_xor(xxhash64({text_col}))").alias("cksum"),
+        F.expr(f"coalesce(bit_xor(xxhash64({text_col})), 0)").alias("cksum"),
         F.count(F.lit(1)).alias("n")).collect()[0]
 
 
@@ -116,11 +118,15 @@ def verify_text_invariant(spark: SparkSession, source: DataFrame,
                "_part", F.pmod(F.xxhash64(F.col(key_col)),
                                F.lit(run.n_parts)))
            .groupBy("_part")
-           .agg(F.expr(f"bit_xor(xxhash64({text_col}))").alias("cur_cksum"),
+           .agg(F.expr(f"coalesce(bit_xor(xxhash64({text_col})), 0)")
+                .alias("cur_cksum"),
                 F.count(F.lit(1)).alias("cur_n")))
+    # a unit empty in the current source has no group row → its
+    # checksum is the same 0 an empty unit records (see _unit_checksum)
     return (m.join(cur, m.part_id == cur._part, "left")
-            .where((F.col("cur_cksum") != F.col("text_checksum"))
-                   | (F.col("cur_n") != F.col("rows_in"))
-                   | F.col("cur_cksum").isNull())
+            .where((F.coalesce(F.col("cur_cksum"), F.lit(0))
+                    != F.col("text_checksum"))
+                   | (F.coalesce(F.col("cur_n"), F.lit(0))
+                      != F.col("rows_in")))
             .select("part_id", "rows_in", "cur_n",
                     "text_checksum", "cur_cksum"))

@@ -74,8 +74,10 @@ def _oracle_landcover(d: Dialect) -> str:
         f"SUM(CASE WHEN code = {c} THEN 1 ELSE 0 END) AS cnt_{c}"
         for c in C.LC_CODES)
     frac_cols = ",\n       ".join(
-        f"CAST(cnt_{c} AS DOUBLE) / CAST(n_cells AS DOUBLE) AS {C.LC_LABELS[c]}"
-        for c in C.LC_CODES)
+        (f"CAST(cnt_{c} AS DOUBLE) / CAST(n_cells AS DOUBLE)"
+         f" AS {C.LC_LABELS[c]}") if c in C.LC_CODES
+        else f"CAST(0.0 AS DOUBLE) AS {C.LC_LABELS[c]}"
+        for c in C.LC_ALL_CODES)
     green = " + ".join(f"cnt_{c}" for c in C.GREEN_CODES)
     return f"""
 {world.world_ctes(d, 'points')},
@@ -167,7 +169,13 @@ FROM ranked WHERE rank <= {k}
 """
 
 
-def _oracle_network(d: Dialect) -> str:
+def _oracle_network_generic(d: Dialect, edges_sql: str, entrances_sql: str,
+                            max_dist: float) -> str:
+    """Recursive-CTE Dijkstra oracle, parameterized over the edge table
+    (uniform or heterogeneous weights), the entrance-node set (snapped
+    centroids or pseudo-entrances) and the distance bound (buffer or
+    extended OD fallback).  Distances are integer-valued doubles on
+    both engines, so path sums are exact."""
     last = C.ROAD_N - 1
     si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
     sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
@@ -175,8 +183,8 @@ def _oracle_network(d: Dialect) -> str:
 WITH RECURSIVE
 points AS ({world.points_sql(d)}),
 parks AS ({world.parks_sql(d)}),
-road_edges AS ({world.road_edges_sql(d)}),
-park_entrances AS ({world.park_entrances_sql(d)}),
+road_edges AS ({edges_sql}),
+park_entrances AS ({entrances_sql}),
 edges2 AS (
   SELECT src, dst, length_m FROM road_edges
   UNION ALL
@@ -188,7 +196,7 @@ reach(node_id, net_dist) AS (
   UNION
   SELECT e.dst, r.net_dist + e.length_m
   FROM reach r JOIN edges2 e ON e.src = r.node_id
-  WHERE r.net_dist + e.length_m <= {float(C.NET_MAX_DIST)}
+  WHERE r.net_dist + e.length_m <= {float(max_dist)}
 ),
 nd AS (SELECT node_id, MIN(net_dist) AS net_dist FROM reach GROUP BY node_id),
 snapped AS (
@@ -200,6 +208,30 @@ SELECT s.point_id,
            AS reachable_in_buffer
 FROM snapped s LEFT JOIN nd ON s.node_id = nd.node_id
 """
+
+
+def _oracle_network(d: Dialect) -> str:
+    return _oracle_network_generic(
+        d, world.road_edges_sql(d), world.park_entrances_sql(d),
+        C.NET_MAX_DIST)
+
+
+def _oracle_network_weighted(d: Dialect) -> str:
+    return _oracle_network_generic(
+        d, world.road_edges_weighted_sql(d), world.park_entrances_sql(d),
+        C.NET_MAX_DIST)
+
+
+def _oracle_network_entrances(d: Dialect) -> str:
+    return _oracle_network_generic(
+        d, world.road_edges_sql(d), world.park_entrance_nodes_sql(d),
+        C.NET_MAX_DIST)
+
+
+def _oracle_network_extended(d: Dialect) -> str:
+    return _oracle_network_generic(
+        d, world.road_edges_sql(d), world.park_entrances_sql(d),
+        C.EXT_MAX_DIST)
 
 
 def _oracle_component(d: Dialect, seed_node: int) -> str:
@@ -225,7 +257,7 @@ SELECT COUNT(*) AS component_size FROM reach
 # ---------------------------------------------------------------------
 
 # seed for the component oracle: the lattice center node — verified to
-# sit in the giant component by tests/test_network.py
+# sit in the giant component by tests/test_geo_queries.py
 COMPONENT_SEED = 100 * C.ROAD_N + 100
 
 
@@ -319,6 +351,27 @@ def _q_network(spark, sf):
         world.park_entrances_df(spark))
 
 
+def _q_network_weighted(spark, sf):
+    return network.network_access_weighted(
+        world.points_df(spark, sf), world.road_edges_weighted_df(spark),
+        world.park_entrances_df(spark))
+
+
+def _q_network_entrances(spark, sf):
+    """Pseudo-entrance variant (accessibility.R:223-247): entrance
+    nodes = road nodes inside the dissolved 20 m park buffer, not
+    snapped centroids."""
+    return network.network_access(
+        world.points_df(spark, sf), world.road_edges_df(spark),
+        world.park_entrance_nodes_df(spark))
+
+
+def _q_network_extended(spark, sf):
+    return network.network_access_extended(
+        world.points_df(spark, sf), world.road_edges_df(spark),
+        world.park_entrances_df(spark))
+
+
 def _q_component(spark, sf):
     return network.largest_component_size(
         network.bidirectional(world.road_edges_df(spark)))
@@ -363,6 +416,12 @@ def _geo_registry() -> dict[str, QSpec]:
             _oracle_euclid(d)),
         "q_knn_parks": QSpec(_q_knn, _oracle_knn(d)),
         "q_accessibility_network": QSpec(_q_network, _oracle_network(d)),
+        "q_accessibility_weighted": QSpec(
+            _q_network_weighted, _oracle_network_weighted(d)),
+        "q_accessibility_entrances": QSpec(
+            _q_network_entrances, _oracle_network_entrances(d)),
+        "q_accessibility_extended": QSpec(
+            _q_network_extended, _oracle_network_extended(d)),
         "q_largest_component": QSpec(
             _q_component, _oracle_component(d, COMPONENT_SEED)),
         # visibility kernels are not SQL-expressible → rows-only driver
@@ -377,4 +436,12 @@ def _geo_registry() -> dict[str, QSpec]:
         "q_vgvi_from_address": QSpec(
             lambda s, sf: visibility.vgvi_from_address(
                 world.points_df(s, sf)), None),
+        # observer densification (vgvi_from_sf.R:191-210): LINESTRING →
+        # st_line_sample points, POLYGON → masked grid points
+        "q_vgvi_lines": QSpec(
+            lambda s, sf: visibility.vgvi_lines(
+                world.road_edges_df(s)), None),
+        "q_vgvi_polygons": QSpec(
+            lambda s, sf: visibility.vgvi_polygons(
+                world.parks_df(s)), None),
     }

@@ -232,6 +232,35 @@ SELECT month, scene_id, cloud_cover FROM (
 """
 
 
+def _q_ndvi_bands(s, sf):
+    """S3/two-band parity: zonal NDVI computed from red+NIR tile
+    bands (ndvi_calc.R:315-318) through the materialized tile join."""
+    from .operators.zonal_tiles import ndvi_bands_zonal_tiles
+    from .sources.tiles import s2_tiles_df
+    return ndvi_bands_zonal_tiles(world.points_df(s, sf), s2_tiles_df(s))
+
+
+def _oracle_ndvi_bands(d: Dialect) -> str:
+    from .registry import _buffer_cells_sql
+    red = world.band_expr("ci", "cj", C.RED_H_A, C.RED_H_B, C.RED_MOD)
+    nir = world.band_expr("ci", "cj", C.NIR_H_A, C.NIR_H_B, C.NIR_MOD)
+    return f"""
+{world.world_ctes(d, 'points')},
+cells AS ({_buffer_cells_sql(d, C.NDVI_RES, C.BUFFER_M)}),
+v AS (
+  SELECT point_id,
+         CAST(FLOOR((nir - red) * {float(C.BAND_Q)} / (nir + red))
+              AS BIGINT) AS v
+  FROM (SELECT point_id, {red} AS red, {nir} AS nir FROM cells) _b
+)
+SELECT point_id,
+       CAST(SUM(v) AS DOUBLE) / ({float(C.BAND_Q)} * COUNT(*))
+           AS mean_ndvi_bands,
+       COUNT(*) AS n_cells
+FROM v GROUP BY point_id
+"""
+
+
 def _q_events_props(s, sf):
     """Semi-structured extraction: JSON props field aggregated per
     event type (get_json_object — JVM-side JSON path)."""
@@ -255,6 +284,7 @@ def build_geo2_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
         "q_scene_selection": QSpec(_q_scene_selection, _oracle_scene(d)),
+        "q_ndvi_bands": QSpec(_q_ndvi_bands, _oracle_ndvi_bands(d)),
         "q_events_props": QSpec(_q_events_props, _ORACLE_EVENTS_PROPS),
         "q_idw": QSpec(
             lambda s, sf: idw.idw_at_points(

@@ -52,17 +52,20 @@ def hourly_rollup_stream(spark: SparkSession, events_path: str,
 
 def streaming_dedup(spark: SparkSession, events_path: str,
                     watermark: str = "2 hours") -> DataFrame:
-    """Stateful exact dedup on the stream: dropDuplicates over
-    event_id keeps per-key state bounded by the event-time watermark —
-    the streaming counterpart of the pipeline's exact dedup operator
-    (late duplicates beyond the watermark age out of state)."""
+    """Stateful exact dedup on the stream, with state actually bounded
+    by the event-time watermark: dropDuplicatesWithinWatermark keys on
+    event_id and evicts entries once the watermark passes their event
+    time.  (Plain dropDuplicates(["event_id"]) — round 1 — never
+    evicts when the event-time column isn't part of the key: state
+    grows without bound, contradicting the documented semantics even
+    though the small-scale results were right.)"""
     events_path = stage_as_dir(events_path)
     static = spark.read.parquet(events_path)
     stream = (spark.readStream.schema(static.schema).parquet(events_path)
               .withColumn("ts", F.col("ts").cast("timestamp")))
     return (stream
             .withWatermark("ts", watermark)
-            .dropDuplicates(["event_id"])
+            .dropDuplicatesWithinWatermark(["event_id"])
             .groupBy("event_type")
             .agg(F.count(F.lit(1)).alias("n_unique")))
 

@@ -135,6 +135,13 @@ def ndvi_expr(ci: str, cj: str, na_as_null: bool = False) -> str:
             f"ELSE CAST(({h} % {C.NDVI_MOD}) - 200 AS DOUBLE) / 800.0 END")
 
 
+def band_expr(ci: str, cj: str, a: int, b: int, mod: int) -> str:
+    """Positive integer band reflectance of raster cell (ci, cj) —
+    the closed form of sources/tiles.band_tile_values (red/NIR bands
+    for the ndvi_calc.R:315-318 band-math workflow)."""
+    return f"(1 + {cell_hash_expr(ci, cj, a, b)} % {mod})"
+
+
 def landcover_expr(ci: str, cj: str) -> str:
     """ESA-WorldCover-style class code of cell (ci, cj) — dialect-free
     CASE chain (P18's code→label map is applied on top)."""
@@ -168,6 +175,44 @@ def road_edges_sql(d: Dialect) -> str:
     """
 
 
+def road_edges_weighted_sql(d: Dialect) -> str:
+    """The same lattice with heterogeneous edge lengths 80..140 m —
+    the reference's true Dijkstra surface (`weight = edge_length()`,
+    accessibility.R:343-356, ndvi_calc.R:175-176), which the uniform
+    lattice can't distinguish from BFS."""
+    base = road_edges_sql(d)
+    w = (f"CAST({C.WEDGE_BASE} + ((CAST(edge_id AS BIGINT) * {C.WEDGE_MUL}"
+         f" + {C.WEDGE_ADD}) % {C.P31}) % {C.WEDGE_SPAN} AS DOUBLE)")
+    return f"""
+    SELECT edge_id, src, dst, {w} AS length_m
+    FROM ({base}) _re
+    """
+
+
+def park_entrance_nodes_sql(d: Dialect) -> str:
+    """Pseudo-entrance nodes (accessibility.R:223-247): network nodes
+    inside the dissolved 20 m buffer of the (≥400 m²) greenspace —
+    i.e. lattice nodes within (radius + 20) of a park center; the
+    dissolve (st_union) is the DISTINCT over parks.  Small parks whose
+    buffer contains no node contribute none, as in the reference."""
+    r = f"(radius + {C.ENTRANCE_BUFFER_M})"
+    last = C.ROAD_N - 1
+    lo = lambda c: (f"LEAST(GREATEST({d.floori(f'({c} - {r} + 99) / 100')},"
+                    f" 0), {last})")
+    hi = lambda c: (f"LEAST(GREATEST({d.floori(f'({c} + {r}) / 100')},"
+                    f" 0), {last})")
+    src = (f"SELECT cx, cy, radius FROM parks"
+           f" WHERE area_m2 > {C.MIN_GREENSPACE_M2}")
+    e1 = d.explode_range(src, "ni", lo("cx"), hi("cx"))
+    e2 = d.explode_range(e1, "nj", lo("cy"), hi("cy"))
+    return f"""
+    SELECT DISTINCT nj * {C.ROAD_N} + ni AS entrance_node
+    FROM ({e2}) _en
+    WHERE (ni * 100 - cx) * (ni * 100 - cx)
+        + (nj * 100 - cy) * (nj * 100 - cy) <= {r} * {r}
+    """
+
+
 def park_entrances_sql(d: Dialect) -> str:
     """Park pseudo-entrance nodes: each ≥400 m² park snaps its centroid
     to the nearest lattice node (accessibility.R:223-247 analog)."""
@@ -186,6 +231,8 @@ def world_ctes(d: Dialect, *names: str) -> str:
     frags = {
         "points": points_sql, "parks": parks_sql, "trees": trees_sql,
         "road_edges": road_edges_sql, "park_entrances": park_entrances_sql,
+        "road_edges_weighted": road_edges_weighted_sql,
+        "park_entrance_nodes": park_entrance_nodes_sql,
     }
     parts = [f"{n} AS ({frags[n](d)})" for n in names]
     return "WITH " + ",\n".join(parts)
@@ -245,6 +292,16 @@ def park_entrances_df(spark: SparkSession) -> DataFrame:
     d = _spark_dialect()
     return spark.sql(
         world_ctes(d, "parks") + "\n" + park_entrances_sql(d))
+
+
+def road_edges_weighted_df(spark: SparkSession) -> DataFrame:
+    return spark.sql(road_edges_weighted_sql(_spark_dialect()))
+
+
+def park_entrance_nodes_df(spark: SparkSession) -> DataFrame:
+    d = _spark_dialect()
+    return spark.sql(
+        world_ctes(d, "parks") + "\n" + park_entrance_nodes_sql(d))
 
 
 def with_cell_id(df: DataFrame, x: str = "x", y: str = "y",

@@ -1,0 +1,84 @@
+"""Round-2 network parity operators: weighted Dijkstra, pseudo-
+entrances, extended (full-OD fallback) search.
+
+Reference semantics: accessibility.R:223-247 (entrances), :343-356
+(weight = edge_length Dijkstra), :352-358 (full OD matrix fallback).
+"""
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from greenexp_r_spark import constants as C, world
+from greenexp_r_spark.operators import network
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def pts(spark):
+    return world.points_df(spark, SF)
+
+
+def test_weighted_edges_heterogeneous(spark):
+    e = world.road_edges_weighted_df(spark)
+    stats = e.agg(F.min("length_m").alias("lo"),
+                  F.max("length_m").alias("hi"),
+                  F.countDistinct("length_m").alias("nd")).first()
+    assert stats.lo >= C.WEDGE_BASE
+    assert stats.hi <= C.WEDGE_BASE + C.WEDGE_SPAN - 1
+    assert stats.nd > 10  # genuinely heterogeneous
+
+
+def test_weighted_vs_bfs_bounds(spark, pts):
+    """Weighted shortest path with lengths in [80, 140] must sit within
+    [0.8, 1.4]x the uniform-100m BFS distance for every reachable node
+    (same lattice, same entrance seeds)."""
+    bfs = network.network_access(
+        pts, world.road_edges_df(spark), world.park_entrances_df(spark))
+    wgt = network.network_access_weighted(
+        pts, world.road_edges_weighted_df(spark),
+        world.park_entrances_df(spark))
+    j = (bfs.select("point_id", F.col("network_dist").alias("d_bfs"))
+         .join(wgt.select("point_id", F.col("network_dist").alias("d_w")),
+               "point_id")
+         .where(F.col("d_bfs").isNotNull() & (F.col("d_bfs") > 0)))
+    bad = j.where((F.col("d_w") < 0.8 * F.col("d_bfs") - 1e-9)
+                  | (F.col("d_w") > 1.4 * F.col("d_bfs") + 1e-9)).count()
+    assert bad == 0
+    assert j.count() > 0
+
+
+def test_entrance_nodes_inside_dissolved_buffer(spark):
+    """Every pseudo-entrance node lies within radius+20 m of some
+    qualifying park; and parks large enough to contain a node
+    contribute at least one."""
+    en = world.park_entrance_nodes_df(spark).toPandas()
+    parks = world.parks_df(spark).where(
+        F.col("area_m2") > C.MIN_GREENSPACE_M2).toPandas()
+    assert len(en) > 0
+    n = C.ROAD_N
+    for node in en.entrance_node:
+        nx, ny = (node % n) * 100, (node // n) * 100
+        ok = ((parks.cx - nx) ** 2 + (parks.cy - ny) ** 2
+              <= (parks.radius + C.ENTRANCE_BUFFER_M) ** 2).any()
+        assert ok, f"node {node} outside every park buffer"
+
+
+def test_extended_agrees_with_bounded(spark, pts):
+    """Where the bounded search found a distance, the extended search
+    must report the identical one; where it did not, extended must be
+    ≥ the bound (or null only for disconnected islands)."""
+    b = network.network_access(
+        pts, world.road_edges_df(spark), world.park_entrances_df(spark))
+    e = network.network_access_extended(
+        pts, world.road_edges_df(spark), world.park_entrances_df(spark),
+        ext_max_dist=2000.0)
+    j = (b.select("point_id", F.col("network_dist").alias("db"))
+         .join(e.select("point_id", F.col("network_dist").alias("de")),
+               "point_id"))
+    mismatch = j.where(F.col("db").isNotNull()
+                       & (F.col("db") != F.col("de"))).count()
+    assert mismatch == 0
+    beyond = j.where(F.col("db").isNull() & F.col("de").isNotNull())
+    assert beyond.where(F.col("de") <= C.NET_MAX_DIST).count() == 0

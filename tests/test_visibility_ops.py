@@ -5,6 +5,8 @@ from __future__ import annotations
 import numpy as np
 import pytest
 
+from pyspark.sql import functions as F
+
 from greenexp_r_spark import constants as C, world
 from greenexp_r_spark.kernels import vgvi as K
 from greenexp_r_spark.operators import visibility
@@ -51,4 +53,33 @@ def test_vgvi_from_address_deterministic(spark):
     b = visibility.vgvi_from_address(pts).toPandas().sort_values("point_id")
     np.testing.assert_array_equal(a["mean_vgvi"].to_numpy(),
                                   b["mean_vgvi"].to_numpy())
-    assert (a["n_samples"] == 10).all()
+    # reference default: 30 samples per address (vgvi_from_address.R:263)
+    assert (a["n_samples"] == 30).all()
+
+
+def test_vgvi_lines_densification(spark):
+    """LINESTRING observers (vgvi_from_sf.R:191-198): n=round(len/
+    spacing) regular samples per edge at ((k+0.5)/n)*len; vgvi agrees
+    with the point kernel at the same coordinates."""
+    edges = world.road_edges_df(spark)
+    got = visibility.vgvi_lines(edges, spacing=25.0).toPandas()
+    n_edges = edges.where(F.col("edge_id") % 400 == 0).count()
+    assert len(got) == n_edges * 4          # 100 m / 25 m
+    assert ((got["vgvi"] >= 0) & (got["vgvi"] <= 1)).all()
+    assert set(got["k"]) == {0, 1, 2, 3}
+    # samples sit strictly inside the segment (regular, half-offset)
+    assert ((got["x"] % 100 != 0) | (got["y"] % 100 != 0)).all()
+
+
+def test_vgvi_polygons_masked_grid(spark):
+    """POLYGON observers (vgvi_from_sf.R:199-210): grid points inside
+    the park disc only."""
+    parks = world.parks_df(spark)
+    got = visibility.vgvi_polygons(parks, spacing=50.0).toPandas()
+    assert len(got) > 0
+    assert ((got["vgvi"] >= 0) & (got["vgvi"] <= 1)).all()
+    p = parks.toPandas().set_index("park_id")
+    for pid, grp in got.groupby("park_id"):
+        cx, cy, r = p.loc[pid, ["cx", "cy", "radius"]]
+        d2 = (grp.gx * 50.0 - cx) ** 2 + (grp.gy * 50.0 - cy) ** 2
+        assert (d2 <= r * r + 1e-6).all()
