@@ -116,6 +116,88 @@ def ivf_topk(embeddings: DataFrame, k: int = C.ANN_K,
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 
 
+def ivf_train_kmeans(embeddings: DataFrame, iters: int = 2) -> DataFrame:
+    """Lloyd-refined IVF centroids, DataFrame-native (the gate's
+    ivf_topk uses deterministic sampled centroids — fine for
+    correctness, but real IVF recall needs trained lists).
+
+    Each iteration: assign = max-cosine centroid (broadcast hash
+    join + window argmax), update = per-(list, dim) mean via
+    posexplode + avg, re-quantized to integer milli-units so the next
+    assignment's dot products stay exact.  Deterministic end-to-end:
+    init = every IVF_CENTROID_MOD-th vector, ties break on list_id.
+    Returns (list_id, cq, cn) ready for `ivf_topk_trained`.
+    """
+    qv = quantized(embeddings)
+    cent = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
+            .select(F.col("vec_id").alias("list_id"),
+                    F.col("q").alias("cq"), F.col("norm2").alias("cn")))
+    for _ in range(iters):
+        scored = (qv.join(F.broadcast(cent))
+                  .select("vec_id", "q", "list_id",
+                          _cos(_dot(F.col("q"), F.col("cq")),
+                               F.col("norm2"), F.col("cn")).alias("cos_c")))
+        w = Window.partitionBy("vec_id").orderBy(
+            F.col("cos_c").desc(), F.col("list_id").asc())
+        assign = (scored.withColumn("rn", F.row_number().over(w))
+                  .where(F.col("rn") == 1).select("vec_id", "q", "list_id"))
+        upd = (assign.select("list_id",
+                             F.posexplode(F.col("q")).alias("pos", "v"))
+               .groupBy("list_id", "pos").agg(F.avg("v").alias("mv"))
+               .groupBy("list_id")
+               .agg(F.transform(
+                   F.array_sort(F.collect_list(
+                       F.struct(F.col("pos"), F.col("mv")))),
+                   lambda s: F.round(s["mv"]).cast("long")).alias("cq")))
+        cn = F.aggregate(
+            F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
+            F.lit(0).cast("long"), lambda acc, x: acc + x)
+        cent = upd.select("list_id", "cq", cn.alias("cn"))
+    return cent
+
+
+def ivf_topk_trained(embeddings: DataFrame, k: int = C.ANN_K,
+                     n_queries: int = C.ANN_QUERIES,
+                     nprobe: int = C.IVF_NPROBE,
+                     iters: int = 2) -> DataFrame:
+    """ivf_topk over k-means-trained lists (better recall than the
+    sampled-centroid gate variant; not SQL-expressible → rows-only
+    gate + pytest invariants).  Output like ivf_topk."""
+    qv = quantized(embeddings)
+    cent = ivf_train_kmeans(embeddings, iters)
+    scored = (qv.join(F.broadcast(cent))
+              .select("vec_id", "q", "norm2", "list_id",
+                      _cos(_dot(F.col("q"), F.col("cq")),
+                           F.col("norm2"), F.col("cn")).alias("cos_c")))
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("cos_c").desc(), F.col("list_id").asc())
+    assign = (scored.withColumn("rn", F.row_number().over(w))
+              .where(F.col("rn") == 1)
+              .select("vec_id", "q", "norm2", "list_id"))
+    queries = (qv.where(F.col("vec_id") < n_queries)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("q").alias("qq"), F.col("norm2").alias("qn")))
+    probe_scored = (queries.join(F.broadcast(cent))
+                    .select("query_id", "qq", "qn", "list_id",
+                            _cos(_dot(F.col("qq"), F.col("cq")),
+                                 F.col("qn"), F.col("cn")).alias("cos_c")))
+    wp = Window.partitionBy("query_id").orderBy(
+        F.col("cos_c").desc(), F.col("list_id").asc())
+    probes = (probe_scored.withColumn("rn", F.row_number().over(wp))
+              .where(F.col("rn") <= nprobe)
+              .select("query_id", "qq", "qn", "list_id"))
+    cand = (probes.join(assign, "list_id")
+            .where(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", F.col("vec_id").alias("neighbor_id"),
+                    _cos(_dot(F.col("qq"), F.col("q")),
+                         F.col("qn"), F.col("norm2")).alias("cos_sim")))
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_id").asc())
+    return (cand.withColumn("rank", F.row_number().over(w2))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id", "cos_sim"))
+
+
 def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
                            n_queries: int = C.ANN_QUERIES) -> DataFrame:
     """Arrow-batched variant of brute_force_topk: the (small) query

@@ -117,6 +117,60 @@ def viewshed_metrics(points: DataFrame,
               .mapInPandas(run, VIS_SCHEMA)
 
 
+def viewshed_raster(points: DataFrame,
+                    max_distance: float = C.VIS_MAX_DIST,
+                    res: float = C.VIS_RES,
+                    sample_mod: int = 100) -> DataFrame:
+    """The reference's actual viewshed OUTPUT (R/viewshed.R:152-162):
+    the masked 0/1 raster — cells on some LoS ray get 1/0 visibility,
+    cells outside the radial mask are NA (omitted here).  Emitted as
+    cell rows in world raster indexing (ci=floor(x/res),
+    cj=floor(y/res)) — the S8 raster-sink shape, one row per
+    (observer, masked cell).
+    Output: (point_id, ci, cj, visible)."""
+    from pyspark.sql.types import IntegerType
+    r = int(round(max_distance / res))
+    obs = points.where(F.col("point_id") % sample_mod == 0) \
+                .select("point_id", "x", "y")
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("ci", LongType()),
+        StructField("cj", LongType()),
+        StructField("visible", IntegerType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nc = 2 * r + 1
+        mask = _disk_mask(r)
+        midx = np.nonzero(mask)[0]
+        mrow, mcol = np.divmod(midx, nc)
+        for full in it:
+            for pdf in _chunks(full):
+                if not len(pdf):
+                    continue
+                xs = pdf["x"].to_numpy()
+                ys = pdf["y"].to_numpy()
+                dsm, _, h0 = _patches(xs, ys, r, res)
+                vis = K.viewshed_batch(dsm, h0, r)
+                # world cell indices of each masked patch cell
+                ci0 = np.floor(xs / res).astype(np.int64)
+                cj0 = np.floor(ys / res).astype(np.int64)
+                n_obs, n_m = len(xs), len(midx)
+                ci = (ci0[:, None] + (mcol - r)[None, :]).reshape(-1)
+                cj = (cj0[:, None] - (mrow - r)[None, :]).reshape(-1)
+                yield pd.DataFrame({
+                    "point_id": np.repeat(
+                        pdf["point_id"].to_numpy(), n_m),
+                    "ci": ci, "cj": cj,
+                    "visible": vis[:, midx].reshape(-1)
+                    .astype("int32"),
+                })
+
+    par = max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)
+    return obs.repartition(par).mapInPandas(run, schema)
+
+
 def vgvi_points(points: DataFrame,
                 max_distance: float = C.VIS_MAX_DIST,
                 res: float = C.VIS_RES,

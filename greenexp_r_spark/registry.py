@@ -430,6 +430,11 @@ def _geo_registry() -> dict[str, QSpec]:
         "q_viewshed": QSpec(
             lambda s, sf: visibility.viewshed_metrics(
                 world.points_df(s, sf)), None),
+        # the reference's actual viewshed OUTPUT (R/viewshed.R:152-162):
+        # the masked 0/1 raster as S8 cell rows
+        "q_viewshed_raster": QSpec(
+            lambda s, sf: visibility.viewshed_raster(
+                world.points_df(s, sf)), None),
         "q_vgvi": QSpec(
             lambda s, sf: visibility.vgvi_points(
                 world.points_df(s, sf)), None),

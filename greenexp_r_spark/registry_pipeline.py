@@ -382,6 +382,10 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_ann_ivf_topk": QSpec(
             lambda s, sf: similarity.ivf_topk(_emb(s, sf)),
             _oracle_ivf_topk(d)),
+        # k-means-trained IVF lists — Lloyd iterations aren't
+        # SQL-expressible → rows-only gate; invariants in pytest
+        "q_ann_ivf_kmeans": QSpec(
+            lambda s, sf: similarity.ivf_topk_trained(_emb(s, sf)), None),
         "q_embedding_neardup": QSpec(
             lambda s, sf: similarity.neardup_pairs(_emb(s, sf)),
             _oracle_neardup(d)),
