@@ -75,34 +75,38 @@ def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
 
 def multi_source_dist_bfs(edges_bidir: DataFrame, sources: DataFrame,
                           max_dist: float = C.NET_MAX_DIST,
-                          hop: float = C.NET_HOP,
-                          checkpoint_every: int = 1) -> DataFrame:
+                          hop: float = C.NET_HOP) -> DataFrame:
     """Uniform-weight fast path: every edge costs `hop`, so Dijkstra
     degenerates to BFS layering — a node's distance is final the first
     time it is reached.  Each round is frontier ⋈ edges → distinct →
     anti-join settled; ~2 narrow shuffles per layer, frontier-sized.
 
-    `checkpoint_every` batches the lineage truncation + emptiness
-    check to one driver round-trip per k layers (lineage depth stays
-    ≤ k) — the knob for deep searches like the extended OD fallback.
+    Iteration hygiene, all measured at sf0.01 on the 75-layer
+    extended search:
+      * frontier AND seen are localCheckpointed every layer — batching
+        either multiplies recompute or bloats plans (batched-both:
+        518 s; frontier-only-per-layer: 280 s; per-layer: 57 s);
+      * `seen` is coalesced to a flat partition count before each
+        checkpoint — unionByName accumulates the frontiers'
+        partitions, and by layer 75 every stage was scheduling ~80
+        near-empty tasks (pure task-launch overhead).
     """
     frontier = sources.select("node_id").distinct().localCheckpoint(eager=True)
     seen = frontier
+    n_parts = max(frontier.rdd.getNumPartitions(), 1)
     layers = [frontier.withColumn("net_dist", F.lit(0.0))]
     n_layers = int(max_dist // hop)
     for layer in range(1, n_layers + 1):
         nxt = (frontier.join(edges_bidir,
                              frontier["node_id"] == edges_bidir["src"])
                .select(F.col("dst").alias("node_id")).distinct()
-               .join(seen, "node_id", "left_anti"))
-        if layer % checkpoint_every == 0 or layer == n_layers:
-            nxt = nxt.localCheckpoint(eager=True)
-            if not nxt.take(1):
-                break
+               .join(seen, "node_id", "left_anti")
+               .localCheckpoint(eager=True))
+        if not nxt.take(1):
+            break
         layers.append(nxt.withColumn("net_dist", F.lit(float(layer) * hop)))
-        seen = seen.unionByName(nxt)
-        if layer % checkpoint_every == 0:
-            seen = seen.localCheckpoint(eager=True)
+        seen = (seen.unionByName(nxt).coalesce(n_parts)
+                .localCheckpoint(eager=True))
         frontier = nxt
     out = layers[0]
     for l in layers[1:]:
@@ -175,16 +179,15 @@ def network_access_extended(points: DataFrame, edges: DataFrame,
     EXT_MAX_DIST — chosen ≥ the world's max finite shortest path, so
     distances are exact for every connected node; only genuinely
     disconnected islands stay null (NA in the reference too).
-    Per-layer checkpointing (checkpoint_every=1): batching layers
-    multiplies recompute (each materialization re-runs the batch's
-    join tree), which costs more than the driver round-trips it saves
-    — measured 7 s/layer batched vs ~0.9 s/layer per-layer at sf0.01.
-    The scale fix for deep searches is hop-doubling (k-hop min-dist
-    edge sets), not batching."""
+    Per-layer checkpoint hygiene is in multi_source_dist_bfs.  The
+    asymptotic fix for very deep searches at cluster scale is
+    hop-doubling (k-hop min-dist edge sets halve the round count per
+    squaring); on this world the layer count (≤80) times a
+    frontier-sized shuffle is the cheaper total."""
     dist = multi_source_dist_bfs(
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=ext_max_dist, checkpoint_every=1)
+        max_dist=ext_max_dist)
     return _attach_points(points, dist, buffer_m)
 
 
