@@ -328,6 +328,64 @@ def _q_events_hourly(spark, sf):
                  .alias("value_sum_micros")))
 
 
+def _oracle_thumbnail(d: Dialect) -> str:
+    k = multimodal.THUMB_BLOCKS
+    dims = ("SELECT doc_id, text, length(text) AS lt, "
+            "32 + 4 * ((length(text) + 26) % 8) AS w0, "
+            "32 + 4 * (((length(text) + 26) * 3) % 8) AS h0 "
+            "FROM documents")
+    px_src = d.explode_range(dims, "i", "0", "h0 * w0 - 1")
+    r = d.floori("i / w0")
+    c = f"(i - ({r}) * w0)"
+    bi = d.floori(f"({r}) / (h0 / {k})")
+    bj = d.floori(f"({c}) / (w0 / {k})")
+    px = "ascii(substr(text, CAST(i % lt AS INT) + 1, 1))"
+    sum_cols = ",\n         ".join(
+        f"CAST(SUM(CASE WHEN bi = {i} AND bj = {j} THEN px ELSE 0 END)"
+        f" AS BIGINT) AS s{i}{j}"
+        for i in range(k) for j in range(k))
+    mean_cols = ",\n       ".join(
+        f"CAST(s{i}{j} AS DOUBLE) / ((h0 / {k}) * (w0 / {k})) AS b{i}{j}"
+        for i in range(k) for j in range(k))
+    return f"""
+WITH px AS (
+  SELECT doc_id, w0, h0, {bi} AS bi, {bj} AS bj, {px} AS px
+  FROM ({px_src}) _p
+),
+g AS (
+  SELECT doc_id, w0, h0,
+         {sum_cols}
+  FROM px GROUP BY doc_id, w0, h0
+)
+SELECT doc_id, CAST(w0 AS BIGINT) AS w0, CAST(h0 AS BIGINT) AS h0,
+       {mean_cols}
+FROM g
+"""
+
+
+def _oracle_frames(d: Dialect) -> str:
+    fb = multimodal.FRAME_BYTES
+    ev = multimodal.FRAME_SAMPLE_EVERY
+    ms = multimodal.FRAME_MS
+    pages = ("SELECT doc_id, '<html><body>' || text || '</body></html>'"
+             " AS s, length(text) + 26 AS n FROM documents")
+    fr = d.explode_range(
+        pages, "f", "0",
+        d.floori(f"(n + {fb} - 1) / {fb}") + " - 1")
+    by = d.explode_range(
+        f"SELECT * FROM ({fr}) _f WHERE f % {ev} = 0",
+        "i", "1", f"LEAST({fb}, n - f * {fb})")
+    return f"""
+SELECT doc_id, f AS frame_idx,
+       CAST(f * {ms} AS BIGINT) AS ts_ms,
+       CAST(LEAST({fb}, MIN(n) - f * {fb}) AS BIGINT) AS frame_bytes,
+       CAST(SUM(ascii(substr(s, CAST(f * {fb} + i AS INT), 1)))
+            AS BIGINT) AS checksum
+FROM ({by}) _b
+GROUP BY doc_id, f
+"""
+
+
 def _oracle_multimodal(d: Dialect) -> str:
     return """
 SELECT doc_id,
@@ -393,4 +451,13 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_multimodal_meta": QSpec(
             lambda s, sf: multimodal.decode_meta(_docs(s, sf)),
             _oracle_multimodal(d)),
+        # resize / feature-extract plumbing: fake decode → 4×4
+        # block-mean thumbnail (exact oracle over the same byte grid)
+        "q_multimodal_thumbnail": QSpec(
+            lambda s, sf: multimodal.thumbnail_stats(_docs(s, sf)),
+            _oracle_thumbnail(d)),
+        # video frame-sampling plumbing: every 2nd 256-byte frame
+        "q_multimodal_frames": QSpec(
+            lambda s, sf: multimodal.frame_samples(_docs(s, sf)),
+            _oracle_frames(d)),
     }
