@@ -30,6 +30,28 @@ def token_stats(docs: DataFrame) -> DataFrame:
         mean_len.alias("mean_token_len"))
 
 
+# BPE-ish pre-tokenization classes (the GPT-2-style split of letter
+# runs / digit runs / punctuation, minus the unicode categories the
+# ASCII corpus doesn't have).  Trivial regexes so Java (Spark) and
+# RE2 (DuckDB) agree byte-for-byte.
+RE_ALPHA = "[A-Za-z]+"
+RE_NUM = "[0-9]+"
+RE_OTHER = "[^A-Za-z0-9 ]"
+
+
+def token_pieces(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_alpha, n_num, n_other, n_pieces) — BPE-ish
+    pre-tokenizer piece counts (letter runs, digit runs, single
+    punctuation marks), all JVM regexp_extract_all."""
+    cnt = lambda p: F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
+    ).cast("long")
+    na, nn, no = cnt(RE_ALPHA), cnt(RE_NUM), cnt(RE_OTHER)
+    return docs.select(
+        "doc_id", na.alias("n_alpha"), nn.alias("n_num"),
+        no.alias("n_other"), (na + nn + no).alias("n_pieces"))
+
+
 def _marker_count(warr, markers: list[str]):
     lst = ", ".join(f"'{m}'" for m in markers)
     return F.size(F.filter(warr, lambda x: x.isin(markers))).cast("long")

@@ -38,6 +38,19 @@ FROM documents
 """
 
 
+def _oracle_token_bpe(d: Dialect) -> str:
+    c = lambda p: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
+    return f"""
+SELECT doc_id,
+       {c(textqa.RE_ALPHA)} AS n_alpha,
+       {c(textqa.RE_NUM)} AS n_num,
+       {c(textqa.RE_OTHER)} AS n_other,
+       {c(textqa.RE_ALPHA)} + {c(textqa.RE_NUM)} + {c(textqa.RE_OTHER)}
+           AS n_pieces
+FROM documents
+"""
+
+
 def _in_list(items):
     return ", ".join(f"'{m}'" for m in items)
 
@@ -409,6 +422,9 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_token_stats": QSpec(
             lambda s, sf: textqa.token_stats(_docs(s, sf)),
             _oracle_token_stats(d)),
+        "q_token_bpe": QSpec(
+            lambda s, sf: textqa.token_pieces(_docs(s, sf)),
+            _oracle_token_bpe(d)),
         "q_quality_score": QSpec(
             lambda s, sf: textqa.quality_score(_docs(s, sf)),
             _oracle_quality(d)),

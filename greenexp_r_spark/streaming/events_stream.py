@@ -70,6 +70,107 @@ def streaming_dedup(spark: SparkSession, events_path: str,
             .agg(F.count(F.lit(1)).alias("n_unique")))
 
 
+SESSION_GAP_S = 3600   # inactivity gap that closes a session
+
+
+def sessionize(spark: SparkSession, events_path: str,
+               gap_s: int = SESSION_GAP_S) -> DataFrame:
+    """Custom stateful operator via applyInPandasWithState: per-user
+    session windows with an inactivity gap.  State per key is ONE
+    compact open-session tuple (start, last_ts, n, value_sum) — never
+    an event buffer — so state size is O(active users), the 100 TB
+    shape for arbitrary stateful streaming.
+
+    Emits sessions as they CLOSE (append mode): a session closes when
+    a later event of the same user arrives more than `gap_s` after its
+    last event.  The trailing (still-open) session per user stays in
+    state; a production run adds EventTimeTimeout to flush it when
+    the watermark passes start+gap — with availableNow draining a
+    static source (the test harness), timeouts never fire, so the
+    batch-equivalence oracle excludes each user's last session.
+
+    Output: (user_id, session_start, session_end, n_events,
+    value_sum_micros).
+    """
+    import pandas as pd
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    from pyspark.sql.types import (LongType, StructField, StructType,
+                                   TimestampType)
+
+    out_schema = StructType([
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("value_sum_micros", LongType()),
+    ])
+    state_schema = StructType([
+        StructField("start_us", LongType()),
+        StructField("last_us", LongType()),
+        StructField("n", LongType()),
+        StructField("vsum", LongType()),
+    ])
+    gap_us = gap_s * 1_000_000
+
+    def fn(key, pdfs, state):
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        ts_us = rows["ts"].astype("int64").to_numpy()  # epoch micros? ns
+        # pandas datetime64[ns] → ns; convert to micros
+        ts_us = ts_us // 1_000
+        vals = (rows["value"] * 1_000_000).round().astype("int64").to_numpy()
+        if state.exists:
+            start, last, n, vsum = state.get
+        else:
+            start = last = int(ts_us[0])
+            n = 0
+            vsum = 0
+            if len(ts_us):
+                start = last = int(ts_us[0])
+        out = []
+        for t, v in zip(ts_us, vals):
+            if n > 0 and t - last > gap_us:
+                out.append((key[0], start, last, n, vsum))
+                start, n, vsum = int(t), 0, 0
+            if n == 0:
+                start = int(t)
+            last = int(t)
+            n += 1
+            vsum += int(v)
+        state.update((int(start), int(last), int(n), int(vsum)))
+        if out:
+            o = pd.DataFrame(out, columns=["user_id", "s", "e",
+                                           "n_events", "value_sum_micros"])
+            yield pd.DataFrame({
+                "user_id": o["user_id"],
+                "session_start": pd.to_datetime(o["s"], unit="us"),
+                "session_end": pd.to_datetime(o["e"], unit="us"),
+                "n_events": o["n_events"],
+                "value_sum_micros": o["value_sum_micros"],
+            })
+
+    events_path = stage_as_dir(events_path)
+    static = spark.read.parquet(events_path)
+    stream = (spark.readStream.schema(static.schema).parquet(events_path)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    return (stream
+            .groupBy("user_id")
+            .applyInPandasWithState(
+                fn, out_schema, state_schema, "append",
+                GroupStateTimeout.NoTimeout))
+
+
+def run_sessionize_available_now(spark: SparkSession, events_path: str,
+                                 table_name: str = "events_sessions"
+                                 ) -> DataFrame:
+    q = (sessionize(spark, events_path)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def run_dedup_available_now(spark: SparkSession, events_path: str,
                             table_name: str = "events_dedup_stream"
                             ) -> DataFrame:

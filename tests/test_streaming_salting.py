@@ -61,3 +61,39 @@ def test_streaming_dedup_equals_batch_distinct(spark):
             .agg(F.count(F.lit(1)).alias("n_unique"))
             .orderBy("event_type").toPandas())
     assert got.equals(want)
+
+
+def test_sessionize_matches_batch_oracle(spark):
+    """applyInPandasWithState sessionization ≡ batch gap-split
+    (excluding each user's trailing still-open session, which only an
+    event-time timeout would flush)."""
+    import pandas as pd
+
+    path = f"{SF_TEST}/events.parquet"
+    got = (events_stream.run_sessionize_available_now(spark, path)
+           .orderBy("user_id", "session_start").toPandas()
+           .reset_index(drop=True))
+
+    ev = pd.read_parquet(path).sort_values(["user_id", "ts", "event_id"])
+    gap = pd.Timedelta(seconds=events_stream.SESSION_GAP_S)
+    rows = []
+    for uid, g in ev.groupby("user_id"):
+        new_sess = (g["ts"].diff() > gap).cumsum()
+        sess = g.groupby(new_sess)
+        per = [(uid, s["ts"].iloc[0], s["ts"].iloc[-1], len(s),
+                int((s["value"] * 1_000_000).round().astype("int64").sum()))
+               for _, s in sess]
+        rows.extend(per[:-1])          # trailing session stays open
+    want = (pd.DataFrame(rows, columns=[
+        "user_id", "session_start", "session_end", "n_events",
+        "value_sum_micros"])
+        .sort_values(["user_id", "session_start"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    assert (got["user_id"] == want["user_id"]).all()
+    assert (got["n_events"].to_numpy() == want["n_events"].to_numpy()).all()
+    assert (got["value_sum_micros"].to_numpy()
+            == want["value_sum_micros"].to_numpy()).all()
+    assert (pd.to_datetime(got["session_start"]).to_numpy()
+            == pd.to_datetime(want["session_start"]).to_numpy()).all()
+    assert (pd.to_datetime(got["session_end"]).to_numpy()
+            == pd.to_datetime(want["session_end"]).to_numpy()).all()
