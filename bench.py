@@ -39,6 +39,9 @@ HEADLINE = [
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
     "q_ann_ivf_topk",
+    "q_embedding_neardup",
+    "q_token_bpe",
+    "q_multimodal_thumbnail",
     "q_events_hourly",
 ]
 

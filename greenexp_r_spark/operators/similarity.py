@@ -270,34 +270,64 @@ NEARDUP_LSH_BANDS = 6      # miss prob per true pair ≈ (1 - p^r)^b with
 NEARDUP_LSH_BITS = 12      # per-bit sign agreement p ≈ 0.99 → ~1e-6
 
 
-def _lsh_band_keys(qcol):
-    """Random-hyperplane sign-bit LSH keys, fully row-local.
-
-    72 deterministic ±1 hyperplanes (sign = parity of xxhash64 of the
-    (bit, dim) index); projections via nested higher-order functions —
-    JVM-side, no Python.  The 72 sign bits fold into BANDS keys of
-    BITS bits each; a near-identical pair (cos ≥ 0.99) agrees on every
-    bit w.p. ~0.99, so it collides on ≥1 whole band w.p. ≈ 1 - 1e-6.
-    At larger corpus sizes raise BITS (keyspace 2^BITS per band) to
-    keep random-bucket sizes O(1) — the join shape stays an equi-join.
-    """
+def _hyperplanes(dim: int) -> np.ndarray:
+    """Deterministic ±1 hyperplane matrix (n_bits, dim): sign = one
+    mixed bit of an integer hash of the (bit, dim) index.  Fixed for
+    all time — keys are reproducible across runs and partitions."""
     n = NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS
-    proj = F.transform(
-        F.sequence(F.lit(0), F.lit(n - 1)),
-        lambda i: F.aggregate(
-            F.transform(qcol, lambda x, d: F.when(
-                F.xxhash64(i * 1024 + d).bitwiseAND(1) == 0,
-                x).otherwise(-x)),
-            F.lit(0).cast("long"), lambda acc, x: acc + x))
-    bits = F.transform(
-        proj, lambda p: F.when(p >= 0, F.lit(1)).otherwise(F.lit(0))
-        .cast("long"))
-    return F.transform(
-        F.sequence(F.lit(0), F.lit(NEARDUP_LSH_BANDS - 1)),
-        lambda b: F.aggregate(
-            F.slice(bits, b * NEARDUP_LSH_BITS + 1,
-                    F.lit(NEARDUP_LSH_BITS)),
-            F.lit(0).cast("long"), lambda acc, x: acc * 2 + x))
+    idx = (np.arange(n, dtype=np.uint64)[:, None] * np.uint64(1024)
+           + np.arange(dim, dtype=np.uint64)[None, :])
+    h = (idx + np.uint64(1)) * np.uint64(2654435761)
+    h ^= h >> np.uint64(16)
+    return np.where((h >> np.uint64(7)) & np.uint64(1) == 0, 1, -1) \
+        .astype(np.int64)
+
+
+def _lsh_band_keys_numpy(corpus: DataFrame) -> DataFrame:
+    """(vec_id, band, bkey): random-hyperplane sign-bit LSH keys via
+    ONE Arrow-batched numpy matmul per batch — projections = Q @ Rᵀ.
+
+    Round-2 lesson: the same keys as nested JVM higher-order functions
+    cost ~20 s at sf0.1 because HOF lambdas are *interpreted* (no
+    whole-stage codegen); the BLAS matmul computes all 72 bits of a
+    batch in one GEMM.  A near-identical pair (cos ≥ 0.99) agrees on
+    every sign bit w.p. ~0.99, so it collides on ≥1 whole 12-bit band
+    w.p. ≈ 1 - 1e-6; raise BITS with corpus size to keep random
+    buckets O(1) — the downstream join stays an equi-join.
+    """
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (IntegerType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("band", IntegerType()),
+        StructField("bkey", LongType()),
+    ])
+    n_bands, n_bits = NEARDUP_LSH_BANDS, NEARDUP_LSH_BITS
+
+    def keys(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        R = None
+        pows = (1 << np.arange(n_bits - 1, -1, -1)).astype(np.int64)
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            if R is None:
+                R = _hyperplanes(Q.shape[1])
+            bits = (Q @ R.T) >= 0                     # (batch, 72)
+            bk = (bits.reshape(len(Q), n_bands, n_bits)
+                  .astype(np.int64) @ pows)           # (batch, bands)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(pdf["vec_id"].to_numpy(), n_bands),
+                "band": np.tile(np.arange(n_bands, dtype=np.int32),
+                                len(Q)),
+                "bkey": bk.reshape(-1),
+            })
+
+    return corpus.select("vec_id", "q").mapInPandas(keys, schema)
 
 
 def neardup_corpus(embeddings: DataFrame) -> DataFrame:
@@ -323,15 +353,13 @@ def neardup_pairs(embeddings: DataFrame,
 
     Round 1 ran an all-pairs BroadcastNestedLoopJoin (O(n²) — a
     scale-killer); this is the 100 TB shape: random-hyperplane
-    sign-bit LSH band keys (row-local, `_lsh_band_keys`) → band
+    sign-bit LSH band keys (`_lsh_band_keys_numpy`) → band
     equi-join → distinct candidate pairs → exact quantized-integer
     cosine verify on candidates only.
     Output: (vec_id_a, vec_id_b, cos_sim), a < b.
     """
     corpus = neardup_corpus(embeddings).persist()
-    keys = corpus.select(
-        "vec_id", F.posexplode(_lsh_band_keys(F.col("q")))
-        .alias("band", "bkey"))
+    keys = _lsh_band_keys_numpy(corpus)
     l = keys.select(F.col("vec_id").alias("vec_id_a"), "band", "bkey")
     r = keys.select(F.col("vec_id").alias("vec_id_b"), "band", "bkey")
     cand = (l.join(r, ["band", "bkey"])
