@@ -107,21 +107,57 @@ def shingle_arrays(corpus: DataFrame) -> DataFrame:
     return df.select("doc_id", F.array_distinct(sh).alias("sh_arr"))
 
 
-def _mh_lambda(a: int, b: int):
-    # factory, not default-arg lambda: PySpark counts default args in
-    # the higher-order-function arity check
-    return lambda s: T.minhash(s, a, b)
+def _flat_shingles(pdf):
+    """Flatten a batch's shingle arrays → (flat int64 array, doc
+    offsets for np.*.reduceat, per-doc sizes)."""
+    import numpy as np
+    arrs = pdf["sh_arr"].to_numpy()
+    sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                        count=len(arrs))
+    flat = np.concatenate([np.asarray(a, dtype=np.int64) for a in arrs]) \
+        if len(arrs) else np.empty(0, dtype=np.int64)
+    offs = np.zeros(len(arrs), dtype=np.int64)
+    np.cumsum(sizes[:-1], out=offs[1:])
+    return flat, offs, sizes
 
 
-def _minhash_cols():
-    return [F.array_min(F.transform(F.col("sh_arr"), _mh_lambda(a, b)))
-            .alias(f"mh{j}") for j, (a, b) in enumerate(C.MINHASH_PERMS)]
+def minhash_signatures_from_arrays(sh: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh7): min over shingles of 8 affine permutations.
+
+    The mins are one Arrow-batched numpy pass (affine transform on the
+    flattened shingle stream + minimum.reduceat per doc) — round-2
+    lesson: per-element higher-order-function lambdas are interpreted
+    on the JVM (no codegen), ~5× slower than the vectorized batch.
+    Same integer formula as the SQL oracle ((sh·a + b) mod 2³¹−1, all
+    products < 2⁶², exact in int64).  Still zero-shuffle: mapInPandas
+    is a narrow map over the row-local shingle arrays.
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"mh{j}", LongType())
+           for j in range(len(C.MINHASH_PERMS))])
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            flat, offs, _ = _flat_shingles(pdf)
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for j, (a, b) in enumerate(C.MINHASH_PERMS):
+                h = (flat * a + b) % C.P31
+                out[f"mh{j}"] = np.minimum.reduceat(h, offs)
+            yield pd.DataFrame(out)
+
+    return sh.mapInPandas(sig, schema)
 
 
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
-    """(doc_id, mh0..mh7): min over shingles of 8 affine permutations,
-    computed entirely row-locally from the shingle array."""
-    return shingle_arrays(corpus).select("doc_id", *_minhash_cols())
+    return minhash_signatures_from_arrays(shingle_arrays(corpus))
 
 
 def minhash_lsh_pairs(corpus: DataFrame,
@@ -136,7 +172,7 @@ def minhash_lsh_pairs(corpus: DataFrame,
     array joins.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     sh = shingle_arrays(corpus).persist()
-    sig = sh.select("doc_id", *_minhash_cols())
+    sig = minhash_signatures_from_arrays(sh)
     n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
     band_arr = F.array(*[
         F.struct(F.col(f"mh{2 * b}").alias("h1"),
@@ -165,23 +201,39 @@ def minhash_lsh_pairs(corpus: DataFrame,
 
 def simhash_signatures(corpus: DataFrame,
                        bits: int = C.SIMHASH_BITS) -> DataFrame:
-    """(doc_id, simhash): per bit, majority vote over the shingle set —
-    row-local size(filter(...)) per bit, zero shuffle.  Bit b of a
-    shingle is the parity of an affine rehash (SIMHASH_BIT_PERMS), so
-    every signature bit is a fair coin and every 15-bit block key is
-    uniformly distributed."""
-    def bit_filter(a: int, bb: int):
-        return lambda s: ((s * a + bb) % C.P31).bitwiseAND(1) == 1
+    """(doc_id, simhash): per bit, majority vote over the shingle set.
+    Bit b of a shingle is the parity of an affine rehash
+    (SIMHASH_BIT_PERMS), so every signature bit is a fair coin and
+    every 15-bit block key is uniformly distributed.
 
-    sh = shingle_arrays(corpus)
-    n_sh = F.size("sh_arr")
-    sim = None
-    for b in range(bits):
-        a, bb = C.SIMHASH_BIT_PERMS[b]
-        cb = F.size(F.filter(F.col("sh_arr"), bit_filter(a, bb)))
-        bit = F.when(cb * 2 > n_sh, F.lit(1 << b)).otherwise(F.lit(0))
-        sim = bit if sim is None else sim + bit
-    return sh.select("doc_id", sim.cast("long").alias("simhash"))
+    Computed as one Arrow-batched numpy pass over the flattened
+    shingle stream (add.reduceat per doc per bit) — the 60 per-bit
+    JVM filter() lambdas this replaces were interpreted (no codegen).
+    Identical integers to the SQL oracle; zero shuffle (narrow map).
+    """
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("simhash", LongType())])
+    perms = C.SIMHASH_BIT_PERMS[:bits]
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            flat, offs, sizes = _flat_shingles(pdf)
+            sim = np.zeros(len(pdf), dtype=np.int64)
+            for b, (a, bb) in enumerate(perms):
+                ones = ((flat * a + bb) % C.P31) & 1
+                cb = np.add.reduceat(ones, offs)
+                sim += np.where(cb * 2 > sizes, np.int64(1) << b, 0)
+            yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
+                                "simhash": sim})
+
+    return shingle_arrays(corpus).mapInPandas(sig, schema)
 
 
 def simhash_pairs(corpus: DataFrame,
