@@ -36,15 +36,23 @@ def bidirectional(edges: DataFrame) -> DataFrame:
 
 def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
                       max_dist: float = C.NET_MAX_DIST,
-                      hop: float = C.NET_HOP,
-                      checkpoint_every: int = 4) -> DataFrame:
-    """Min network distance from any source node, bounded by max_dist.
+                      hop: float = C.NET_HOP) -> DataFrame:
+    """Min network distance from any source node, bounded by max_dist
+    (general weighted Bellman-Ford relaxation; `hop` = the smallest
+    edge weight, bounding the round count at max_dist/hop).
 
     sources: DataFrame with column `node_id`.  Returns
     (node_id, net_dist) for every node within max_dist of a source.
+
+    Same iteration hygiene as multi_source_dist_bfs (measured there):
+    frontier and settled are localCheckpointed EVERY round — batching
+    re-runs the batch's join tree per materialization — and coalesced
+    so stage task counts stay flat as rounds accumulate.
     """
     settled = sources.select("node_id").distinct() \
-                     .withColumn("net_dist", F.lit(0.0))
+                     .withColumn("net_dist", F.lit(0.0)) \
+                     .localCheckpoint(eager=True)
+    n_parts = max(settled.rdd.getNumPartitions(), 1)
     frontier = settled
     max_rounds = int(max_dist // hop) + 1
     for it in range(max_rounds):
@@ -61,15 +69,14 @@ def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
         frontier = (joined
                     .where(F.col("s.net_dist").isNull()
                            | (F.col("r.net_dist") < F.col("s.net_dist")))
-                    .select("node_id", F.col("r.net_dist").alias("net_dist")))
-        if (it + 1) % checkpoint_every == 0:
-            frontier = frontier.localCheckpoint(eager=True)
-            if frontier.rdd.isEmpty():
-                break
+                    .select("node_id", F.col("r.net_dist").alias("net_dist"))
+                    .localCheckpoint(eager=True))
+        if not frontier.take(1):
+            break
         settled = (settled.unionByName(frontier)
-                   .groupBy("node_id").agg(F.min("net_dist").alias("net_dist")))
-        if (it + 1) % checkpoint_every == 0:
-            settled = settled.localCheckpoint(eager=True)
+                   .groupBy("node_id").agg(F.min("net_dist").alias("net_dist"))
+                   .coalesce(n_parts)
+                   .localCheckpoint(eager=True))
     return settled
 
 
