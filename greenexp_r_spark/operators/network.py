@@ -121,6 +121,49 @@ def multi_source_dist_bfs(edges_bidir: DataFrame, sources: DataFrame,
     return out
 
 
+def khop_edges(edges_bidir: DataFrame, k_log2: int,
+               max_dist: float) -> DataFrame:
+    """Min-dist edge set over paths of ≤ 2^k_log2 edges, by repeated
+    relational squaring: E_{2h} = min(E_h ∪ E_h ⋈ E_h), pruned to
+    max_dist.  Each squaring halves the rounds a downstream
+    Bellman-Ford needs — the asymptotic fix for deep searches where
+    the per-round driver barrier dominates (O(diameter) → O(diameter /
+    2^k) rounds at the cost of k self-join shuffles and an edge set
+    that grows with the 2^k-hop neighborhood size).
+    """
+    E = (edges_bidir.select("src", "dst", "length_m")
+         .where(F.col("src") != F.col("dst")))
+    for _ in range(k_log2):
+        a, b = E.alias("a"), E.alias("b")
+        two = (a.join(b, F.col("a.dst") == F.col("b.src"))
+               .select(F.col("a.src").alias("src"),
+                       F.col("b.dst").alias("dst"),
+                       (F.col("a.length_m") + F.col("b.length_m"))
+                       .alias("length_m"))
+               .where(F.col("src") != F.col("dst")))
+        E = (E.unionByName(two)
+             .groupBy("src", "dst")
+             .agg(F.min("length_m").alias("length_m"))
+             .where(F.col("length_m") <= max_dist)
+             .localCheckpoint(eager=True))
+    return E
+
+
+def multi_source_dist_hopset(edges_bidir: DataFrame, sources: DataFrame,
+                             max_dist: float,
+                             hop: float = C.NET_HOP,
+                             k_log2: int = 3) -> DataFrame:
+    """multi_source_dist over the 2^k_log2-hop min-dist edge set:
+    identical results (a shortest path of L edges decomposes into
+    ⌈L/2^k⌉ hop-set edges, and every hop-set edge is a real path, so
+    the relaxation neither over- nor under-estimates), with the round
+    count divided by 2^k_log2.  Equality with the BFS layering is
+    asserted by tests/test_network_parity.py."""
+    E = khop_edges(edges_bidir, k_log2, max_dist)
+    return multi_source_dist(E, sources, max_dist=max_dist,
+                             hop=hop * (1 << k_log2))
+
+
 def snap_node_expr(coord: str):
     """Snap a coordinate to the nearest lattice index (exact — lattice
     spacing 100 m, coordinates integer meters)."""

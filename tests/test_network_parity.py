@@ -82,3 +82,18 @@ def test_extended_agrees_with_bounded(spark, pts):
     assert mismatch == 0
     beyond = j.where(F.col("db").isNull() & F.col("de").isNotNull())
     assert beyond.where(F.col("de") <= C.NET_MAX_DIST).count() == 0
+
+
+def test_hopset_equals_bfs(spark):
+    """Hop-doubling relaxation (2^3-hop min-dist edge set, rounds/8)
+    must produce the exact BFS distances on the same graph/sources."""
+    eb = network.bidirectional(world.road_edges_df(spark))
+    src = world.park_entrances_df(spark).select(
+        F.col("entrance_node").alias("node_id"))
+    bfs = network.multi_source_dist_bfs(eb, src, max_dist=2000.0) \
+        .orderBy("node_id").toPandas()
+    hs = network.multi_source_dist_hopset(eb, src, max_dist=2000.0) \
+        .orderBy("node_id").toPandas()
+    assert len(bfs) == len(hs)
+    assert (bfs["node_id"].to_numpy() == hs["node_id"].to_numpy()).all()
+    assert (bfs["net_dist"].to_numpy() == hs["net_dist"].to_numpy()).all()
