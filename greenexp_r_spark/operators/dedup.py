@@ -199,6 +199,53 @@ def minhash_lsh_pairs(corpus: DataFrame,
             .where(F.col("jaccard") >= jaccard_threshold))
 
 
+def dedup_groups(corpus: DataFrame) -> DataFrame:
+    """The dedup capstone: exact-duplicate pairs ∪ MinHash near-dup
+    pairs → connected components → one row per clustered document,
+    (group_id, doc_id, group_size), group_id = min doc_id of the
+    cluster (the canonical keeper a training pipeline retains).
+    Components via the same min-label propagation + pointer jumping
+    as the road-network A10 operator (operators/network.py)."""
+    from . import network
+
+    exact = (exact_duplicates(corpus)
+             .select(F.col("dup_group_min").alias("a"),
+                     F.col("doc_id").alias("b")))
+    near = (minhash_lsh_pairs(corpus)
+            .select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")))
+    e = exact.unionByName(near).where(F.col("a") != F.col("b"))
+    eb = (e.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+          .unionByName(
+              e.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+          .distinct())
+    labels = network.component_labels(eb)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("label").alias("group_id"),
+                    F.col("node_id").alias("doc_id"), "group_size"))
+
+
+def corpus_select(docs: DataFrame) -> DataFrame:
+    """End-to-end training-corpus selection composing the pipeline:
+    keep documents that (a) pass the quality threshold, (b) have a
+    confirmed language ID, and (c) are either unclustered or the
+    canonical keeper (min doc_id) of their dedup group.
+    Output: (doc_id, quality, predicted_lang) for the kept set —
+    the one-query version of a filter+dedup data pipeline."""
+    from . import textqa
+
+    q = textqa.quality_score(docs).select("doc_id", "quality")
+    lid = textqa.lang_id(docs).select("doc_id", "predicted_lang",
+                                      "lang_match")
+    groups = dedup_groups(augmented_corpus(docs))
+    drop = (groups.where(F.col("doc_id") != F.col("group_id"))
+            .select("doc_id").distinct())
+    return (q.join(lid, "doc_id")
+            .where((F.col("quality") > 0.3) & F.col("lang_match"))
+            .join(drop, "doc_id", "left_anti")
+            .select("doc_id", "quality", "predicted_lang"))
+
+
 def simhash_signatures(corpus: DataFrame,
                        bits: int = C.SIMHASH_BITS) -> DataFrame:
     """(doc_id, simhash): per bit, majority vote over the shingle set.

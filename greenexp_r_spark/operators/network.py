@@ -307,16 +307,16 @@ def isochrone_hulls(points_sample: DataFrame, edges: DataFrame,
     return nodes.groupBy("point_id").applyInPandas(hull, schema)
 
 
-def largest_component_size(edges_bidir: DataFrame,
-                           max_iters: int = 64,
-                           checkpoint_every: int = 4) -> DataFrame:
-    """Size of the largest connected component (A10,
-    ndvi_calc.R:151-171) via min-label propagation to fixpoint.
-
-    Returns a 1-row DataFrame (component_size BIGINT).  Iterations are
-    bounded by graph diameter; label propagation halves distances to
-    the min label each round on lattice-like graphs.
-    """
+def component_labels(edges_bidir: DataFrame,
+                     max_iters: int = 64,
+                     checkpoint_every: int = 4) -> DataFrame:
+    """(node_id, label): connected-component labels via min-label
+    propagation with pointer jumping, to fixpoint.  label = the
+    minimum node_id of the component (stable canonical
+    representative).  Iterations are bounded by graph diameter;
+    pointer jumping collapses label chains exponentially.
+    Shared by A10 (largest component) and the dedup-group capstone
+    (near-dup clusters → canonical doc)."""
     nodes = (edges_bidir.select(F.col("src").alias("node_id"))
              .union(edges_bidir.select(F.col("dst").alias("node_id")))
              .distinct())
@@ -344,5 +344,15 @@ def largest_component_size(edges_bidir: DataFrame,
                 break
         else:
             labels = prop
+    return labels
+
+
+def largest_component_size(edges_bidir: DataFrame,
+                           max_iters: int = 64,
+                           checkpoint_every: int = 4) -> DataFrame:
+    """Size of the largest connected component (A10,
+    ndvi_calc.R:151-171).  Returns a 1-row DataFrame
+    (component_size BIGINT)."""
+    labels = component_labels(edges_bidir, max_iters, checkpoint_every)
     return (labels.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
             .agg(F.max("n").alias("component_size")))

@@ -141,7 +141,10 @@ def _shingles_sql(d: Dialect) -> str:
     return f"SELECT DISTINCT doc_id, {sh} AS sh FROM ({exploded}) _s"
 
 
-def _oracle_minhash_pairs(d: Dialect) -> str:
+def _minhash_ctes(d: Dialect) -> str:
+    """CTE chain (assumes a preceding `corpus` CTE) ending in
+    mh_pairs(doc_a, doc_b, jaccard) — shared by the pair query and
+    the dedup-groups / corpus-select capstones."""
     mh_cols = ",\n         ".join(
         f"MIN({T.minhash_sql('sh', a, b)}) AS mh{j}"
         for j, (a, b) in enumerate(C.MINHASH_PERMS))
@@ -149,9 +152,7 @@ def _oracle_minhash_pairs(d: Dialect) -> str:
     band_union = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, {b} AS band, mh{2 * b} AS h1, mh{2 * b + 1} AS h2 FROM sig"
         for b in range(n_bands))
-    return f"""
-WITH corpus AS ({dedup.corpus_sql()}),
-shingles AS ({_shingles_sql(d)}),
+    return f"""shingles AS ({_shingles_sql(d)}),
 sig AS (
   SELECT doc_id, {mh_cols}
   FROM shingles GROUP BY doc_id
@@ -172,16 +173,78 @@ inter AS (
   JOIN shingles sa ON sa.doc_id = c.doc_a
   JOIN shingles sb ON sb.doc_id = c.doc_b AND sa.sh = sb.sh
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT i.doc_a, i.doc_b,
-       CAST(i.n_inter AS DOUBLE)
-       / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
-FROM inter i
-JOIN sizes za ON za.doc_id = i.doc_a
-JOIN sizes zb ON zb.doc_id = i.doc_b
-WHERE CAST(i.n_inter AS DOUBLE)
-      / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
-      >= {C.JACCARD_THRESHOLD}
+),
+mh_pairs AS (
+  SELECT i.doc_a, i.doc_b,
+         CAST(i.n_inter AS DOUBLE)
+         / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE) AS jaccard
+  FROM inter i
+  JOIN sizes za ON za.doc_id = i.doc_a
+  JOIN sizes zb ON zb.doc_id = i.doc_b
+  WHERE CAST(i.n_inter AS DOUBLE)
+        / CAST(za.n_sh + zb.n_sh - i.n_inter AS DOUBLE)
+        >= {C.JACCARD_THRESHOLD}
+)"""
+
+
+def _oracle_minhash_pairs(d: Dialect) -> str:
+    return f"""
+WITH corpus AS ({dedup.corpus_sql()}),
+{_minhash_ctes(d)}
+SELECT doc_a, doc_b, jaccard FROM mh_pairs
+"""
+
+
+def _group_ctes(d: Dialect) -> str:
+    """CTE chain (assumes corpus + mh_pairs) ending in
+    lab(doc_id, group_id): transitive closure of exact ∪ near-dup
+    pair edges, group_id = min doc_id of the component."""
+    return """ex_groups AS (
+  SELECT text, MIN(doc_id) AS rep FROM corpus
+  GROUP BY text HAVING COUNT(*) > 1
+),
+ex_pairs AS (
+  SELECT g.rep AS a, c.doc_id AS b
+  FROM corpus c JOIN ex_groups g ON c.text = g.text
+  WHERE c.doc_id <> g.rep
+),
+edges AS (
+  SELECT a, b FROM ex_pairs UNION SELECT b, a FROM ex_pairs
+  UNION SELECT doc_a, doc_b FROM mh_pairs
+  UNION SELECT doc_b, doc_a FROM mh_pairs
+),
+gnodes AS (SELECT DISTINCT a AS n FROM edges),
+reach(src, dst) AS (
+  SELECT n, n FROM gnodes
+  UNION
+  SELECT r.src, e.b FROM reach r JOIN edges e ON e.a = r.dst
+),
+lab AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src)"""
+
+
+def _oracle_dedup_groups(d: Dialect) -> str:
+    return f"""
+WITH RECURSIVE corpus AS ({dedup.corpus_sql()}),
+{_minhash_ctes(d)},
+{_group_ctes(d)},
+sz AS (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id)
+SELECT l.group_id, l.doc_id, s.group_size
+FROM lab l JOIN sz s ON l.group_id = s.group_id
+"""
+
+
+def _oracle_corpus_select(d: Dialect) -> str:
+    return f"""
+WITH RECURSIVE corpus AS ({dedup.corpus_sql()}),
+{_minhash_ctes(d)},
+{_group_ctes(d)},
+qual AS ({_oracle_quality(d)}),
+lid AS ({_oracle_langid(d)}),
+dropped AS (SELECT DISTINCT doc_id FROM lab WHERE doc_id <> group_id)
+SELECT q.doc_id, q.quality, l.predicted_lang
+FROM qual q JOIN lid l ON q.doc_id = l.doc_id
+WHERE q.quality > 0.3 AND l.lang_match
+  AND q.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
 
 
@@ -446,6 +509,15 @@ def build_pipeline_registry() -> dict[str, QSpec]:
             lambda s, sf: dedup.simhash_pairs(
                 dedup.augmented_corpus(_docs(s, sf))),
             _oracle_simhash_pairs(d)),
+        # capstones: near-dup clusters → canonical keeper; and the
+        # composed filter+dedup corpus-selection pipeline
+        "q_dedup_groups": QSpec(
+            lambda s, sf: dedup.dedup_groups(
+                dedup.augmented_corpus(_docs(s, sf))),
+            _oracle_dedup_groups(d)),
+        "q_corpus_select": QSpec(
+            lambda s, sf: dedup.corpus_select(_docs(s, sf)),
+            _oracle_corpus_select(d)),
         "q_ann_brute_topk": QSpec(
             lambda s, sf: similarity.brute_force_topk(_emb(s, sf)),
             _oracle_brute_topk(d)),
