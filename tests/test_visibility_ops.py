@@ -69,6 +69,16 @@ def test_vgvi_lines_densification(spark):
     assert set(got["k"]) == {0, 1, 2, 3}
     # samples sit strictly inside the segment (regular, half-offset)
     assert ((got["x"] % 100 != 0) | (got["y"] % 100 != 0)).all()
+    # value equality: the line observers run the SAME kernel as point
+    # observers at the sampled coordinates
+    row = got.iloc[0]
+    from greenexp_r_spark.operators.visibility import _patches
+    r = int(round(C.VIS_MAX_DIST / C.VIS_RES))
+    dsm, gs, h0 = _patches(np.array([row.x]), np.array([row.y]),
+                           r, C.VIS_RES)
+    want = K.vgvi_batch(dsm, gs, h0, r, C.VIS_RES, C.VIS_MAX_DIST,
+                        1, C.VGVI_M, C.VGVI_B)[0]
+    assert row.vgvi == want
 
 
 def test_vgvi_polygons_masked_grid(spark):
