@@ -317,6 +317,19 @@ def _q_combined(spark, sf):
                     "closest_greenspace", "greenspace_in_buffer"))
 
 
+def flagship_exposure(spark, sf):
+    """The full three-family exposure join of BASELINE.json's metric:
+    availability (zonal NDVI) + accessibility (nearest park) for every
+    point, plus visibility (VGVI) for the sampled observer subset
+    (every 10th point; null elsewhere — visibility is an expensive
+    kernel the reference also runs on samples).  The avail+access
+    core is gate-checked exactly as q_exposure_combined; the VGVI
+    column is kernel-verified (tests/test_vgvi_kernels.py)."""
+    base = _q_combined(spark, sf)
+    v = visibility.vgvi_points(world.points_df(spark, sf), sample_mod=10)
+    return base.join(v, "point_id", "left")
+
+
 def _q_ndvi(spark, sf):
     return availability.ndvi_zonal(world.points_df(spark, sf))
 
