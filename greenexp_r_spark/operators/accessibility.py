@@ -55,14 +55,17 @@ BROADCAST_PARK_LIMIT = 200_000   # dim rows beyond which the broadcast
 
 def euclidean_access_auto(points: DataFrame, parks: DataFrame,
                           buffer_m: float = C.BUFFER_M,
-                          min_area_m2: float = C.MIN_GREENSPACE_M2
-                          ) -> DataFrame:
+                          min_area_m2: float = C.MIN_GREENSPACE_M2,
+                          n_parks_hint: int | None = None) -> DataFrame:
     """Size-routed euclidean access: tiny park dims take the broadcast
     cross + map-side min-agg (the README-scale plan); larger layers
     route through the cell-index equi-join (knn_cells), which is
-    gate-verified identical.  The probe is a bounded limit-count, not
-    a full dim scan."""
-    n_probe = parks.limit(BROADCAST_PARK_LIMIT + 1).count()
+    gate-verified identical.  Pass `n_parks_hint` when the dim's size
+    is already known (table statistics / a fixture constant) to skip
+    the probe; otherwise the probe is one bounded limit-count, not a
+    full dim scan."""
+    n_probe = (n_parks_hint if n_parks_hint is not None
+               else parks.limit(BROADCAST_PARK_LIMIT + 1).count())
     if n_probe <= BROADCAST_PARK_LIMIT:
         return euclidean_access(points, parks, buffer_m, min_area_m2)
     from .knn_cells import euclidean_access_cells

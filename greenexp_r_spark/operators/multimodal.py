@@ -89,6 +89,8 @@ def thumbnail_stats(docs: DataFrame) -> DataFrame:
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         k = THUMB_BLOCKS
         for pdf in it:
+            if not len(pdf):
+                continue
             rows = []
             for did, text in zip(pdf["doc_id"], pdf["text"]):
                 arr = np.frombuffer(text.encode("ascii"), dtype=np.uint8)

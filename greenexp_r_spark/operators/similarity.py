@@ -131,7 +131,8 @@ def ivf_train_kmeans(embeddings: DataFrame, iters: int = 2) -> DataFrame:
     qv = quantized(embeddings)
     cent = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
             .select(F.col("vec_id").alias("list_id"),
-                    F.col("q").alias("cq"), F.col("norm2").alias("cn")))
+                    F.col("q").alias("cq"), F.col("norm2").alias("cn"))
+            .localCheckpoint(eager=True))
     for _ in range(iters):
         scored = (qv.join(F.broadcast(cent))
                   .select("vec_id", "q", "list_id",
@@ -152,7 +153,12 @@ def ivf_train_kmeans(embeddings: DataFrame, iters: int = 2) -> DataFrame:
         cn = F.aggregate(
             F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
             F.lit(0).cast("long"), lambda acc, x: acc + x)
-        cent = upd.select("list_id", "cq", cn.alias("cn"))
+        # per-iteration materialization (iteration hygiene, see
+        # network.py): without it each Lloyd round's DAG nests the
+        # previous one's, and the final cent re-executes the whole
+        # k-means per downstream consumer
+        cent = (upd.select("list_id", "cq", cn.alias("cn"))
+                .localCheckpoint(eager=True))
     return cent
 
 
@@ -266,8 +272,17 @@ def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 
 
-NEARDUP_LSH_BANDS = 6      # miss prob per true pair ≈ (1 - p^r)^b with
-NEARDUP_LSH_BITS = 12      # per-bit sign agreement p ≈ 0.99 → ~1e-6
+# Recall contract (review finding, round 2): sign-bit LSH recall is
+# probabilistic IN GENERAL — a pair exactly at the 0.99 threshold has
+# per-bit agreement ~0.955 and would miss all 8 bands w.p. ~1e-3.  On
+# THIS corpus the nearest pairs sit at cos ≥ 0.9996 (per-bit ~0.991,
+# miss ≈ 1.3e-8 with 8 bands) and the keys are deterministic, so the
+# result is exact and stable — asserted against the all-pairs oracle
+# at sf0.01 AND sf0.1 (tests + gate).  Production guidance for a real
+# 0.99-boundary workload: more bands / multiprobe, or an exact verify
+# sweep over a slightly lower LSH threshold.
+NEARDUP_LSH_BANDS = 8      # miss prob per true pair = (1 - p^r)^b
+NEARDUP_LSH_BITS = 12
 
 
 def _hyperplanes(dim: int) -> np.ndarray:

@@ -309,7 +309,8 @@ def _q_combined(spark, sf):
     points = world.points_df(spark, sf)
     parks = world.parks_df(spark)
     avail = availability.ndvi_zonal(points)
-    access = accessibility.euclidean_access_auto(points, parks)
+    access = accessibility.euclidean_access_auto(
+        points, parks, n_parks_hint=C.N_PARKS)
     return (points.select("point_id", "url", "x", "y")
             .join(avail.drop("n_cells"), "point_id")
             .join(access, "point_id")

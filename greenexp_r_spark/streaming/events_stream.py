@@ -115,10 +115,15 @@ def sessionize(spark: SparkSession, events_path: str,
 
     def fn(key, pdfs, state):
         rows = pd.concat(list(pdfs), ignore_index=True)
+        if not len(rows):
+            # timed-out / empty invocation (e.g. with EventTimeTimeout
+            # configured): nothing to fold, keep state as-is
+            return
         rows = rows.sort_values(["ts", "event_id"])
-        ts_us = rows["ts"].astype("int64").to_numpy()  # epoch micros? ns
-        # pandas datetime64[ns] → ns; convert to micros
-        ts_us = ts_us // 1_000
+        # normalize to epoch MICROseconds regardless of the pandas
+        # resolution Arrow materialized (datetime64[ns] vs [us])
+        ts_us = (rows["ts"].to_numpy().astype("datetime64[us]")
+                 .astype("int64"))
         vals = (rows["value"] * 1_000_000).round().astype("int64").to_numpy()
         if state.exists:
             start, last, n, vsum = state.get
@@ -126,8 +131,6 @@ def sessionize(spark: SparkSession, events_path: str,
             start = last = int(ts_us[0])
             n = 0
             vsum = 0
-            if len(ts_us):
-                start = last = int(ts_us[0])
         out = []
         for t, v in zip(ts_us, vals):
             if n > 0 and t - last > gap_us:
