@@ -1,11 +1,15 @@
-"""Mimic the driver's verify: entry() smoke + queries() vs oracle_sql() at sf0.01."""
-import hashlib, json, sys, time
+"""Mimic the driver's verify: entry() smoke + queries() vs oracle_sql().
+
+Default sf0.01 (the driver's gate scale); set GATE_SF_DIR to re-run the
+whole gate at another scale (the sf0.1 robustness pass is recorded in
+BENCH/BASELINE.md)."""
+import hashlib, json, os, sys, time
 sys.path.insert(0, "/root/repo")
 import duckdb
 import __spark_entry__ as E
 from greenexp_r_spark.session import build_session
 
-SF = "/root/testdata/sf0.01"
+SF = os.environ.get("GATE_SF_DIR", "/root/testdata/sf0.01")
 spark = build_session(master="local[8]", shuffle_partitions=16)
 
 t0 = time.time()
