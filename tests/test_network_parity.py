@@ -97,3 +97,51 @@ def test_hopset_equals_bfs(spark):
     assert len(bfs) == len(hs)
     assert (bfs["node_id"].to_numpy() == hs["node_id"].to_numpy()).all()
     assert (bfs["net_dist"].to_numpy() == hs["net_dist"].to_numpy()).all()
+
+
+def _py_dijkstra(edges, sources, max_dist):
+    """Pure-Python multi-source Dijkstra oracle (heap-based)."""
+    import heapq
+    from collections import defaultdict
+    adj = defaultdict(list)
+    for s, d, w in edges:
+        adj[s].append((d, w))
+        adj[d].append((s, w))
+    dist = {s: 0.0 for s in sources}
+    heap = [(0.0, s) for s in sources]
+    heapq.heapify(heap)
+    while heap:
+        du, u = heapq.heappop(heap)
+        if du > dist.get(u, float("inf")):
+            continue
+        for v, w in adj[u]:
+            nd = du + w
+            if nd <= max_dist and nd < dist.get(v, float("inf")):
+                dist[v] = nd
+                heapq.heappush(heap, (nd, v))
+    return dist
+
+
+@pytest.mark.parametrize("seed", [7, 41, 1234])
+def test_hopset_matches_python_dijkstra_random_graph(spark, seed):
+    """Weighted hop-doubling relaxation vs a heap Dijkstra oracle on
+    seeded random graphs (integer weights → exact float sums)."""
+    import random
+    rng = random.Random(seed)
+    n = 60
+    edges = []
+    for _ in range(150):
+        a, b = rng.randrange(n), rng.randrange(n)
+        if a != b:
+            edges.append((a, b, float(rng.randrange(5, 40))))
+    sources = [rng.randrange(n) for _ in range(3)]
+    max_dist = 120.0
+    want = _py_dijkstra(edges, set(sources), max_dist)
+
+    e = spark.createDataFrame(edges, "src long, dst long, length_m double")
+    s = spark.createDataFrame([(x,) for x in set(sources)], "node_id long")
+    got = network.multi_source_dist_hopset(
+        network.bidirectional(e), s, max_dist=max_dist, hop=5.0,
+        k_log2=2).toPandas()
+    got_d = dict(zip(got.node_id, got.net_dist))
+    assert got_d == want
