@@ -71,23 +71,53 @@ def greenspace_access(address_location: DataFrame,
                       euclidean: bool = True,
                       pseudo_entrance: bool = False,
                       buffer_distance: float = C.BUFFER_M,
-                      minimum_greenspace_size: float = C.MIN_GREENSPACE_M2
-                      ) -> DataFrame:
+                      minimum_greenspace_size: float = C.MIN_GREENSPACE_M2,
+                      min_edge_m: float = C.WEDGE_BASE) -> DataFrame:
     """`greenspace_access(address, ..., euclidean, pseudo_entrance)`
-    (accessibility.R:48-369): Euclidean kNN distance to park
-    centroids, or network shortest-path distance to snapped centroids
-    / pseudo-entrance nodes.  Network variants need `edges` (and an
-    `entrances` table with column entrance_node — pass the dissolved
-    20 m-buffer node set for pseudo_entrance=TRUE semantics,
-    accessibility.R:223-247)."""
-    if euclidean and not pseudo_entrance:
+    (accessibility.R:48-369): Euclidean kNN distance to park centroids
+    (or to pseudo-entrance nodes when pseudo_entrance=TRUE, mirroring
+    the reference's target-point switch), or network shortest-path
+    distance — true weighted Dijkstra honoring `length_m` — to the
+    chosen targets, bounded by `buffer_distance` (the reference
+    searches within the buffer and reports NA beyond,
+    accessibility.R:339-349).  Network / pseudo-entrance variants need
+    `edges` / an `entrances` table with column entrance_node (the
+    dissolved 20 m-buffer node set, accessibility.R:223-247)."""
+    from pyspark.sql import functions as F
+
+    def entrance_points():
+        if entrances is None:
+            raise ValueError(
+                "pseudo_entrance=True needs the `entrances` node table")
+        # lattice node → coordinates; area above any min-size filter
+        # (entrance nodes already came from qualifying parks)
+        return entrances.select(
+            F.col("entrance_node").alias("park_id"),
+            ((F.col("entrance_node") % C.ROAD_N) * C.ROAD_SPACING)
+            .cast("double").alias("cx"),
+            (F.floor(F.col("entrance_node") / C.ROAD_N) * C.ROAD_SPACING)
+            .cast("double").alias("cy"),
+            F.lit(float(C.MIN_GREENSPACE_M2 + 1)).alias("area_m2"))
+
+    if euclidean:
+        if pseudo_entrance:
+            return accessibility.euclidean_access(
+                address_location, entrance_points(),
+                buffer_m=buffer_distance,
+                min_area_m2=minimum_greenspace_size)
         return accessibility.euclidean_access_auto(
             address_location, greenspace, buffer_m=buffer_distance,
             min_area_m2=minimum_greenspace_size)
     if edges is None or entrances is None:
         raise ValueError("network access needs `edges` and `entrances`")
-    return network.network_access(address_location, edges, entrances,
-                                  buffer_m=buffer_distance)
+    # weighted relaxation honors heterogeneous length_m (uniform
+    # lattices give the same answer as the BFS fast path); the search
+    # bound follows the requested buffer
+    return network.network_access_weighted(
+        address_location, edges, entrances,
+        buffer_m=buffer_distance,
+        max_dist=max(buffer_distance, C.NET_MAX_DIST),
+        min_edge_m=min_edge_m)
 
 
 def viewshed(observer: DataFrame,
@@ -145,18 +175,20 @@ def vgvi_from_address(address_location: DataFrame,
                       b: float = C.VGVI_B) -> DataFrame:
     """`vgvi_from_address(address, ..., sample_points=30)`
     (vgvi_from_address.R:257-371): seeded sample points in the buffer
-    disc → mean VGVI per address."""
+    disc → mean VGVI per address — for EVERY address (sample_mod=1;
+    the registry's gate query subsamples only for gate cost)."""
     return visibility.vgvi_from_address(
         address_location, buffer_distance, sample_points,
-        max_distance, resolution, fun, m, b)
+        max_distance, resolution, fun, m, b, sample_mod=1)
 
 
-def sf_to_rast(observer: DataFrame, spark=None,
+def sf_to_rast(observer: DataFrame, v: str = "radius", spark=None,
                xmin: int = 0, ymin: int = 0,
                size_m: int = C.WORLD_SIZE, res: int = 100) -> DataFrame:
-    """`sf_to_rast(observer, v, aoi, beta)` → IDW interpolation of
-    point values onto a raster window of `size_m` meters at `res` m
-    cells (sf_to_rast.R:112-183; the reference's IDW_cpp export is
-    broken as shipped — semantics follow its formula)."""
+    """`sf_to_rast(observer, v, aoi, beta)` → IDW interpolation of the
+    observer column `v` onto a raster window of `size_m` meters at
+    `res` m cells (sf_to_rast.R:112-183; the reference's IDW_cpp
+    export is broken as shipped — semantics follow its formula)."""
     s = spark or observer.sparkSession
-    return idw.idw_to_grid(s, observer, xmin, ymin, size_m, res)
+    return idw.idw_to_grid(s, observer, xmin, ymin, size_m, res,
+                           value_col=v)

@@ -203,7 +203,8 @@ def _attach_points(points: DataFrame, dist: DataFrame,
 def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
                             entrances: DataFrame,
                             buffer_m: float = C.BUFFER_M,
-                            max_dist: float = C.NET_MAX_DIST) -> DataFrame:
+                            max_dist: float = C.NET_MAX_DIST,
+                            min_edge_m: float = C.WEDGE_BASE) -> DataFrame:
     """Heterogeneous-weight variant of `network_access` — the
     reference's true Dijkstra semantics (`weight = edge_length()`,
     accessibility.R:343-356), which the uniform lattice reduces to BFS
@@ -214,7 +215,7 @@ def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
     dist = multi_source_dist_hopset(
         bidirectional(edges_weighted),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=max_dist, hop=C.WEDGE_BASE, k_log2=2)
+        max_dist=max_dist, hop=min_edge_m, k_log2=2)
     return _attach_points(points, dist, buffer_m)
 
 

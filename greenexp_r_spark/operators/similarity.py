@@ -286,9 +286,9 @@ NEARDUP_LSH_BITS = 12
 
 
 def _hyperplanes(dim: int) -> np.ndarray:
-    """Deterministic ±1 hyperplane matrix (n_bits, dim): sign = one
-    mixed bit of an integer hash of the (bit, dim) index.  Fixed for
-    all time — keys are reproducible across runs and partitions."""
+    """Deterministic ±1 hyperplane matrix (bands·bits, dim): sign =
+    one mixed bit of an integer hash of the (bit, dim) index.  Fixed
+    for all time — keys are reproducible across runs and partitions."""
     n = NEARDUP_LSH_BANDS * NEARDUP_LSH_BITS
     idx = (np.arange(n, dtype=np.uint64)[:, None] * np.uint64(1024)
            + np.arange(dim, dtype=np.uint64)[None, :])
@@ -300,15 +300,15 @@ def _hyperplanes(dim: int) -> np.ndarray:
 
 def _lsh_band_keys_numpy(corpus: DataFrame) -> DataFrame:
     """(vec_id, band, bkey): random-hyperplane sign-bit LSH keys via
-    ONE Arrow-batched numpy matmul per batch — projections = Q @ Rᵀ.
+    ONE Arrow-batched numpy matmul per batch — projections = Q @ Rᵀ
+    (BANDS·BITS sign bits folded into BANDS keys of BITS bits).
 
     Round-2 lesson: the same keys as nested JVM higher-order functions
     cost ~20 s at sf0.1 because HOF lambdas are *interpreted* (no
-    whole-stage codegen); the BLAS matmul computes all 72 bits of a
-    batch in one GEMM.  A near-identical pair (cos ≥ 0.99) agrees on
-    every sign bit w.p. ~0.99, so it collides on ≥1 whole 12-bit band
-    w.p. ≈ 1 - 1e-6; raise BITS with corpus size to keep random
-    buckets O(1) — the downstream join stays an equi-join.
+    whole-stage codegen); the BLAS matmul computes every bit of a
+    batch in one GEMM.  Recall math lives at the NEARDUP_LSH_* block
+    above; raise BITS with corpus size to keep random buckets O(1) —
+    the downstream join stays an equi-join.
     """
     from collections.abc import Iterator
 
@@ -332,7 +332,7 @@ def _lsh_band_keys_numpy(corpus: DataFrame) -> DataFrame:
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             if R is None:
                 R = _hyperplanes(Q.shape[1])
-            bits = (Q @ R.T) >= 0                     # (batch, 72)
+            bits = (Q @ R.T) >= 0             # (batch, bands·bits)
             bk = (bits.reshape(len(Q), n_bands, n_bits)
                   .astype(np.int64) @ pows)           # (batch, bands)
             yield pd.DataFrame({

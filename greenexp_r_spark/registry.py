@@ -305,9 +305,7 @@ JOIN acc c ON p.point_id = c.point_id
 """
 
 
-def _q_combined(spark, sf):
-    points = world.points_df(spark, sf)
-    parks = world.parks_df(spark)
+def _combined_from_points(points, parks):
     avail = availability.ndvi_zonal(points)
     access = accessibility.euclidean_access_auto(
         points, parks, n_parks_hint=C.N_PARKS)
@@ -318,6 +316,11 @@ def _q_combined(spark, sf):
                     "closest_greenspace", "greenspace_in_buffer"))
 
 
+def _q_combined(spark, sf):
+    return _combined_from_points(world.points_df(spark, sf),
+                                 world.parks_df(spark))
+
+
 def flagship_exposure(spark, sf):
     """The full three-family exposure join of BASELINE.json's metric:
     availability (zonal NDVI) + accessibility (nearest park) for every
@@ -326,8 +329,10 @@ def flagship_exposure(spark, sf):
     kernel the reference also runs on samples).  The avail+access
     core is gate-checked exactly as q_exposure_combined; the VGVI
     column is kernel-verified (tests/test_vgvi_kernels.py)."""
-    base = _q_combined(spark, sf)
-    v = visibility.vgvi_points(world.points_df(spark, sf), sample_mod=10)
+    # points read once, shared by all three families
+    points = world.points_df(spark, sf)
+    base = _combined_from_points(points, world.parks_df(spark))
+    v = visibility.vgvi_points(points, sample_mod=10)
     return base.join(v, "point_id", "left")
 
 

@@ -71,7 +71,7 @@ def test_viewshed_and_proportion_and_address(spark, pts):
 
 
 def test_sf_to_rast(spark):
-    grid = api.sf_to_rast(world.parks_df(spark), spark,
+    grid = api.sf_to_rast(world.parks_df(spark), v="radius", spark=spark,
                           xmin=0, ymin=0, size_m=2000, res=100).toPandas()
     assert len(grid) == 400
     assert grid.idw_value.notna().all()
