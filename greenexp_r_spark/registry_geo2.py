@@ -188,6 +188,87 @@ FROM nd GROUP BY point_id
 """
 
 
+def _oracle_isochrone_hull(d: Dialect) -> str:
+    """Exact SQL convex-hull area (upgrades q_isochrone_hull from
+    rows-only): a node is a hull/boundary point iff it is not strictly
+    inside any triangle of peers (O(n⁴) per isochrone — n ≤ ~25);
+    boundary points are ordered by angle around their centroid (the
+    vertex centroid of a positive-area hull is strictly interior, so
+    angular ties cannot occur; degenerate collinear hulls shoelace to
+    exactly 0) and the shoelace sum is exact because all coordinates
+    are integer lattice meters (cross terms are exact-integer-valued
+    doubles)."""
+    last = C.ROAD_N - 1
+    si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
+    sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
+    cross = lambda ax, ay, bx, by, px, py: (
+        f"(({bx} - {ax}) * ({py} - {ay}) - ({by} - {ay}) * ({px} - {ax}))")
+    d1 = cross("a.px", "a.py", "b.px", "b.py", "p.px", "p.py")
+    d2 = cross("b.px", "b.py", "c.px", "c.py", "p.px", "p.py")
+    d3 = cross("c.px", "c.py", "a.px", "a.py", "p.px", "p.py")
+    return f"""
+WITH RECURSIVE
+points AS ({world.points_sql(d)}),
+road_edges AS ({world.road_edges_sql(d)}),
+edges2 AS (
+  SELECT src, dst, length_m FROM road_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, length_m FROM road_edges
+),
+seeds AS (
+  SELECT point_id, ({sj}) * {C.ROAD_N} + ({si}) AS node_id
+  FROM points WHERE point_id % {ISO_SAMPLE_MOD} = 0
+),
+reach(point_id, node_id, net_dist) AS (
+  SELECT point_id, node_id, CAST(0.0 AS DOUBLE) FROM seeds
+  UNION
+  SELECT r.point_id, e.dst, r.net_dist + e.length_m
+  FROM reach r JOIN edges2 e ON e.src = r.node_id
+  WHERE r.net_dist + e.length_m <= {float(C.BUFFER_M)}
+),
+nd AS (
+  SELECT point_id, node_id FROM reach GROUP BY point_id, node_id
+),
+pts AS (
+  SELECT point_id,
+         CAST(node_id % {C.ROAD_N} AS DOUBLE) * {C.ROAD_SPACING} AS px,
+         CAST({d.floori(f'node_id / {C.ROAD_N}')} AS DOUBLE)
+             * {C.ROAD_SPACING} AS py
+  FROM nd
+),
+hull AS (
+  SELECT p.point_id, p.px, p.py FROM pts p
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pts a, pts b, pts c
+    WHERE a.point_id = p.point_id AND b.point_id = p.point_id
+      AND c.point_id = p.point_id
+      AND (({d1} > 0 AND {d2} > 0 AND {d3} > 0)
+        OR ({d1} < 0 AND {d2} < 0 AND {d3} < 0))
+  )
+),
+ctr AS (SELECT point_id, AVG(px) AS cx, AVG(py) AS cy
+        FROM hull GROUP BY point_id),
+ordered AS (
+  SELECT h.point_id, h.px, h.py,
+         ROW_NUMBER() OVER (PARTITION BY h.point_id
+             ORDER BY atan2(h.py - c.cy, h.px - c.cx), h.px, h.py) AS rn,
+         COUNT(*) OVER (PARTITION BY h.point_id) AS m
+  FROM hull h JOIN ctr c ON h.point_id = c.point_id
+),
+sh AS (
+  SELECT o.point_id, o.px * n.py - n.px * o.py AS cr
+  FROM ordered o JOIN ordered n
+    ON n.point_id = o.point_id AND n.rn = (o.rn % o.m) + 1
+),
+area AS (SELECT point_id, ABS(SUM(cr)) / 2.0 AS hull_area_m2
+         FROM sh GROUP BY point_id),
+cnt AS (SELECT point_id, COUNT(*) AS n_nodes FROM nd GROUP BY point_id)
+SELECT c.point_id, c.n_nodes,
+       COALESCE(a.hull_area_m2, 0.0) AS hull_area_m2
+FROM cnt c LEFT JOIN area a ON c.point_id = a.point_id
+"""
+
+
 def _q_isochrone_nodes(s, sf):
     pts = world.points_df(s, sf).where(
         F.col("point_id") % ISO_SAMPLE_MOD == 0)
@@ -302,7 +383,8 @@ def build_geo2_registry() -> dict[str, QSpec]:
             lambda s, sf: network.isochrone_hulls(
                 world.points_df(s, sf).where(
                     F.col("point_id") % ISO_SAMPLE_MOD == 0),
-                world.road_edges_df(s)), None),
+                world.road_edges_df(s)),
+            _oracle_isochrone_hull(d)),
         # exact polygon-clip overlay — verified against the grid
         # discretization in tests/test_overlay.py
         "q_greenspace_poly_pct": QSpec(
