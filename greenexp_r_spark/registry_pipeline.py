@@ -357,6 +357,86 @@ WHERE rank <= {C.ANN_K}
 """
 
 
+def _oracle_ivf_kmeans(d: Dialect) -> str:
+    """Exact oracle for the k-means-trained IVF (upgrades
+    q_ann_ivf_kmeans from rows-only): the Lloyd steps are plain
+    aggregates — argmax-cos assignment (same exact integer dot
+    products as every similarity oracle), per-(list, dim) AVG (exact:
+    integer sums in double), centroid re-quantization with round()
+    (ties-away-from-zero in BOTH engines) — so two training iterations
+    reproduce Spark's centroids bit-for-bit."""
+    cos_c = _cos_sql("CAST(list_dot_product(v.q, ct.cq) AS BIGINT)",
+                     "v.norm2", "ct.cn")
+
+    def lloyd(cent_prev: str, tag: str) -> str:
+        inner = (f"SELECT v.vec_id, v.q, ct.list_id, "
+                 f"ROW_NUMBER() OVER (PARTITION BY v.vec_id "
+                 f"ORDER BY {cos_c} DESC, ct.list_id ASC) AS rn "
+                 f"FROM qv v CROSS JOIN {cent_prev} ct")
+        exploded = d.explode_range(
+            f"SELECT vec_id, q, list_id FROM ({inner}) _a{tag} WHERE rn = 1",
+            "pos", "1", d.asize("q"))
+        return f"""
+assign{tag} AS ({exploded}),
+means{tag} AS (
+  SELECT list_id, pos, AVG(CAST({d.elem('q', 'pos')} AS DOUBLE)) AS mv
+  FROM assign{tag} GROUP BY list_id, pos
+),
+cent{tag} AS (
+  SELECT list_id,
+         list(CAST(round(mv) AS BIGINT) ORDER BY pos) AS cq
+  FROM means{tag} GROUP BY list_id
+),
+centn{tag} AS (
+  SELECT list_id, cq,
+         CAST(list_dot_product(cq, cq) AS BIGINT) AS cn
+  FROM cent{tag}
+)"""
+
+    cos_q = _cos_sql("CAST(list_dot_product(qs.q, ct.cq) AS BIGINT)",
+                     "qs.norm2", "ct.cn")
+    cos = _cos_sql("CAST(list_dot_product(qs.q, a.q) AS BIGINT)",
+                   "qs.norm2", "a.norm2")
+    return f"""
+WITH quant AS ({_QUANT}),
+qv AS ({_NORM}),
+cent0 AS (SELECT vec_id AS list_id, q AS cq, norm2 AS cn FROM qv
+          WHERE vec_id % {C.IVF_CENTROID_MOD} = 0),
+{lloyd('cent0', '1')},
+{lloyd('centn1', '2')},
+final_assign AS (
+  SELECT vec_id, q, norm2, list_id FROM (
+    SELECT v.vec_id, v.q, v.norm2, ct.list_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id
+               ORDER BY {cos_c} DESC, ct.list_id ASC) AS rn
+    FROM qv v CROSS JOIN centn2 ct
+  ) _f WHERE rn = 1
+),
+probes AS (
+  SELECT query_id, q, norm2, list_id FROM (
+    SELECT qs.vec_id AS query_id, qs.q, qs.norm2, ct.list_id,
+           ROW_NUMBER() OVER (PARTITION BY qs.vec_id
+               ORDER BY {cos_q} DESC, ct.list_id ASC) AS rn
+    FROM (SELECT * FROM qv WHERE vec_id < {C.ANN_QUERIES}) qs
+    CROSS JOIN centn2 ct
+  ) _p WHERE rn <= {C.IVF_NPROBE}
+),
+cand AS (
+  SELECT qs.query_id, a.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM probes qs JOIN final_assign a ON a.list_id = qs.list_id
+  WHERE a.vec_id <> qs.query_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {C.ANN_K}
+"""
+
+
 def _oracle_neardup(d: Dialect) -> str:
     cos = _cos_sql("CAST(list_dot_product(a.q, b.q) AS BIGINT)",
                    "a.norm2", "b.norm2")
@@ -528,10 +608,11 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_ann_ivf_topk": QSpec(
             lambda s, sf: similarity.ivf_topk(_emb(s, sf)),
             _oracle_ivf_topk(d)),
-        # k-means-trained IVF lists — Lloyd iterations aren't
-        # SQL-expressible → rows-only gate; invariants in pytest
+        # k-means-trained IVF lists — Lloyd steps are plain aggregates
+        # over exact integers, so the oracle replays the training
         "q_ann_ivf_kmeans": QSpec(
-            lambda s, sf: similarity.ivf_topk_trained(_emb(s, sf)), None),
+            lambda s, sf: similarity.ivf_topk_trained(_emb(s, sf)),
+            _oracle_ivf_kmeans(d)),
         "q_embedding_neardup": QSpec(
             lambda s, sf: similarity.neardup_pairs(_emb(s, sf)),
             _oracle_neardup(d)),
