@@ -75,3 +75,24 @@ def test_sf_to_rast(spark):
                           xmin=0, ymin=0, size_m=2000, res=100).toPandas()
     assert len(grid) == 400
     assert grid.idw_value.notna().all()
+
+
+def test_api_network_weighted_equals_bfs_on_uniform_lattice(spark, pts):
+    """The facade's weighted-Dijkstra network mode must equal the BFS
+    fast path when edge weights are uniform (same lattice, same
+    entrances, same bound)."""
+    from greenexp_r_spark.operators import network
+    got = api.greenspace_access(
+        pts, world.parks_df(spark), euclidean=False,
+        edges=world.road_edges_df(spark),
+        entrances=world.park_entrances_df(spark),
+        min_edge_m=C.NET_HOP).toPandas().sort_values("point_id")
+    want = network.network_access(
+        pts, world.road_edges_df(spark),
+        world.park_entrances_df(spark)).toPandas().sort_values("point_id")
+    assert (got.point_id.to_numpy() == want.point_id.to_numpy()).all()
+    import numpy as np
+    np.testing.assert_array_equal(
+        got.network_dist.to_numpy(), want.network_dist.to_numpy())
+    assert (got.reachable_in_buffer.to_numpy()
+            == want.reachable_in_buffer.to_numpy()).all()
