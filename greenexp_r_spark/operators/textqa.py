@@ -87,6 +87,32 @@ def lang_id(docs: DataFrame) -> DataFrame:
         (pred == F.col("lang")).alias("lang_match"))
 
 
+def domain_stats(pages: DataFrame) -> DataFrame:
+    """(domain, n_pages, total_chars, mean_quality): per-domain corpus
+    statistics — the grouping every Common-Crawl-style pipeline runs
+    for domain-level filtering (spam domains, boilerplate farms).
+    Domain = host part of the url (regexp, JVM-side); quality reuses
+    the quality_score heuristic.  One hash aggregate; shuffle carries
+    per-domain partials only."""
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    q = quality_score(pages.select(F.col("point_id").alias("doc_id"),
+                                   "text"))
+    # exactness doctrine: the mean is an integer micro-unit sum divided
+    # once — never a float AVG (addition order diverges across engines)
+    qm = F.round(F.col("quality") * 1_000_000).cast("long")
+    j = (pages.select(F.col("point_id").alias("doc_id"), "url",
+                      F.length("text").cast("long").alias("n_chars"))
+         .join(q.select("doc_id", qm.alias("q_micro")), "doc_id"))
+    g = (j.groupBy(host.alias("domain"))
+         .agg(F.count(F.lit(1)).alias("n_pages"),
+              F.sum("n_chars").alias("total_chars"),
+              F.sum("q_micro").alias("q_sum")))
+    mean_q = (F.col("q_sum").cast("double")
+              / (F.lit(1_000_000.0) * F.col("n_pages")))
+    return g.select("domain", "n_pages", "total_chars",
+                    mean_q.alias("mean_quality"))
+
+
 def fingerprint(docs: DataFrame) -> DataFrame:
     """(doc_id, fingerprint) — position-weighted polynomial hash over
     word hashes (rolling-hash document signature, window 8).

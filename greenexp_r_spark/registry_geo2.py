@@ -342,6 +342,30 @@ FROM v GROUP BY point_id
 """
 
 
+def _q_domain_stats(s, sf):
+    from .operators import textqa
+    return textqa.domain_stats(world.points_df(s, sf))
+
+
+def _oracle_domain_stats(d: Dialect) -> str:
+    from .registry_pipeline import _oracle_quality
+    return f"""
+WITH points AS ({world.points_sql(d)}),
+qual AS ({_oracle_quality(d)}),
+j AS (
+  SELECT p.url, CAST(length(p.text) AS BIGINT) AS n_chars,
+         CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
+  FROM points p JOIN qual q ON p.point_id = q.doc_id
+)
+SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+       COUNT(*) AS n_pages,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(q_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
+           AS mean_quality
+FROM j GROUP BY regexp_extract(url, '^https?://([^/]+)/', 1)
+"""
+
+
 def _q_events_props(s, sf):
     """Semi-structured extraction: JSON props field aggregated per
     event type (get_json_object — JVM-side JSON path)."""
@@ -366,6 +390,9 @@ def build_geo2_registry() -> dict[str, QSpec]:
     return {
         "q_scene_selection": QSpec(_q_scene_selection, _oracle_scene(d)),
         "q_ndvi_bands": QSpec(_q_ndvi_bands, _oracle_ndvi_bands(d)),
+        # per-domain corpus stats over the pages' url column (the
+        # domain-level filtering grouping of CC-style pipelines)
+        "q_domain_stats": QSpec(_q_domain_stats, _oracle_domain_stats(d)),
         "q_events_props": QSpec(_q_events_props, _ORACLE_EVENTS_PROPS),
         "q_idw": QSpec(
             lambda s, sf: idw.idw_at_points(
