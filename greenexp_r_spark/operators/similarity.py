@@ -204,6 +204,29 @@ def ivf_topk_trained(embeddings: DataFrame, k: int = C.ANN_K,
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 
 
+def neardup_groups(embeddings: DataFrame,
+                   threshold: float = 0.99) -> DataFrame:
+    """Embedding near-dup CLUSTERS: LSH pairs → connected components →
+    (group_id, vec_id, group_size), group_id = min vec_id (the
+    canonical keeper).  Same component operator as the text dedup
+    capstone and the road network A10."""
+    from . import network
+
+    pairs = neardup_pairs(embeddings, threshold) \
+        .select("vec_id_a", "vec_id_b")
+    eb = (pairs.select(F.col("vec_id_a").alias("src"),
+                       F.col("vec_id_b").alias("dst"))
+          .unionByName(pairs.select(F.col("vec_id_b").alias("src"),
+                                    F.col("vec_id_a").alias("dst")))
+          .distinct()
+          .localCheckpoint(eager=True))
+    labels = network.component_labels(eb)
+    sizes = labels.groupBy("label").agg(F.count(F.lit(1)).alias("group_size"))
+    return (labels.join(sizes, "label")
+            .select(F.col("label").alias("group_id"),
+                    F.col("node_id").alias("vec_id"), "group_size"))
+
+
 def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
                            n_queries: int = C.ANN_QUERIES) -> DataFrame:
     """Arrow-batched variant of brute_force_topk: the (small) query

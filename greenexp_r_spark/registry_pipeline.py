@@ -464,6 +464,41 @@ WHERE {cos} >= 0.99
 # ---------------------------------------------------------------------
 
 
+def _oracle_neardup_groups(d: Dialect) -> str:
+    cos = _cos_sql("CAST(list_dot_product(a.q, b.q) AS BIGINT)",
+                   "a.norm2", "b.norm2")
+    return f"""
+WITH RECURSIVE quant AS ({_QUANT}),
+base AS ({_NORM}),
+shifted AS (
+  SELECT vec_id + 100000 AS vec_id,
+         list_transform(q, x -> x + {similarity.NEARDUP_SHIFT}) AS q
+  FROM quant WHERE vec_id % {similarity.NEARDUP_MOD} = 0
+),
+shifted_n AS (
+  SELECT vec_id, q, CAST(list_dot_product(q, q) AS BIGINT) AS norm2
+  FROM shifted
+),
+corpus AS (SELECT * FROM base UNION ALL SELECT * FROM shifted_n),
+pairs AS (
+  SELECT a.vec_id AS va, b.vec_id AS vb
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+  WHERE {cos} >= 0.99
+),
+edges AS (SELECT va, vb FROM pairs UNION SELECT vb, va FROM pairs),
+gnodes AS (SELECT DISTINCT va AS n FROM edges),
+reach(src, dst) AS (
+  SELECT n, n FROM gnodes
+  UNION
+  SELECT r.src, e.vb FROM reach r JOIN edges e ON e.va = r.dst
+),
+lab AS (SELECT src AS vec_id, MIN(dst) AS group_id FROM reach GROUP BY src),
+sz AS (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id)
+SELECT l.group_id, l.vec_id, s.group_size
+FROM lab l JOIN sz s ON l.group_id = s.group_id
+"""
+
+
 def _oracle_events_hourly(d: Dialect) -> str:
     return """
 SELECT date_trunc('hour', ts) AS hour, event_type,
@@ -616,6 +651,9 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_embedding_neardup": QSpec(
             lambda s, sf: similarity.neardup_pairs(_emb(s, sf)),
             _oracle_neardup(d)),
+        "q_embedding_neardup_groups": QSpec(
+            lambda s, sf: similarity.neardup_groups(_emb(s, sf)),
+            _oracle_neardup_groups(d)),
         "q_events_hourly": QSpec(_q_events_hourly, _oracle_events_hourly(d)),
         "q_multimodal_meta": QSpec(
             lambda s, sf: multimodal.decode_meta(_docs(s, sf)),
