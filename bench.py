@@ -31,19 +31,40 @@ HEADLINE = [
     "q_accessibility_euclidean",
     "q_knn_parks",
     "q_accessibility_network",
+    "q_accessibility_weighted",
+    "q_accessibility_extended",
     "q_vgvi",
     "q_viewshed",
+    "q_ndvi_bands",
     # training-data pipeline
     "q_token_stats",
     "q_fingerprint",
     "q_dedup_minhash_lsh",
     "q_dedup_simhash",
+    "q_dedup_groups",
+    "q_corpus_select",
     "q_ann_ivf_topk",
+    "q_ann_ivf_kmeans",
     "q_embedding_neardup",
     "q_token_bpe",
     "q_multimodal_thumbnail",
     "q_events_hourly",
 ]
+
+
+def _extra_queries():
+    """Headline entries that are no longer standalone registry names
+    (consolidated into q_visibility_rows for the driver's 50-entry
+    window) — benched via direct operator calls so per-query times
+    stay comparable with BENCH_r01/r02."""
+    from greenexp_r_spark import world
+    from greenexp_r_spark.operators import visibility
+    return {
+        "q_vgvi": lambda s, sf: visibility.vgvi_points(
+            world.points_df(s, sf)),
+        "q_viewshed": lambda s, sf: visibility.viewshed_metrics(
+            world.points_df(s, sf)),
+    }
 
 # queries whose cost scales with the points table (used for points/sec)
 EXPOSURE = {
@@ -65,6 +86,7 @@ def main() -> None:
                           shuffle_partitions=max(int(cpus) * 2, 16))
     spark.sparkContext.setLogLevel("ERROR")
     reg = build_registry()
+    extra = _extra_queries()
 
     n_points = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
@@ -72,9 +94,9 @@ def main() -> None:
     rows: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
-        spec = reg[name]
+        fn = extra[name] if name in extra else reg[name].spark
         t0 = time.time()
-        df = spec.spark(spark, sf_dir)
+        df = fn(spark, sf_dir)
         n = df.count()          # forces full execution, no driver collect
         dt = time.time() - t0
         times[name] = round(dt, 3)

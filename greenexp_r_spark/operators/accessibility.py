@@ -45,7 +45,8 @@ def euclidean_access(points: DataFrame, parks: DataFrame,
     return out.select(
         "point_id",
         F.sqrt(F.col("min_d2").cast("double")).alias("closest_greenspace"),
-        (F.col("min_d2") <= int(buffer_m) ** 2).alias("greenspace_in_buffer"),
+        # strict < : accessibility.R:313 flags dist < buffer_distance
+        (F.col("min_d2") < int(buffer_m) ** 2).alias("greenspace_in_buffer"),
     )
 
 

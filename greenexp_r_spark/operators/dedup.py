@@ -171,7 +171,8 @@ def minhash_lsh_pairs(corpus: DataFrame,
     The only shuffles are the band join and the candidate-bounded
     array joins.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    sh = shingle_arrays(corpus).persist()
+    from ..plans.caching import tracked_persist
+    sh = tracked_persist(shingle_arrays(corpus))
     sig = minhash_signatures_from_arrays(sh)
     n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
     band_arr = F.array(*[

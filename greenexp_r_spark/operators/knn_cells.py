@@ -88,4 +88,5 @@ def euclidean_access_cells(points: DataFrame, parks: DataFrame,
     return out.select(
         "point_id",
         F.sqrt(F.col("min_d2").cast("double")).alias("closest_greenspace"),
-        (F.col("min_d2") <= int(buffer_m) ** 2).alias("greenspace_in_buffer"))
+        # strict < : accessibility.R:313
+        (F.col("min_d2") < int(buffer_m) ** 2).alias("greenspace_in_buffer"))

@@ -196,8 +196,10 @@ def _attach_points(points: DataFrame, dist: DataFrame,
     return out.select(
         "point_id",
         F.col("net_dist").alias("network_dist"),
+        # strict < with NA->FALSE: accessibility.R:357 full-OD flag is
+        # rowSums(dist < buffer) > 0; unreachable (Inf/NA) -> FALSE
         (F.col("net_dist").isNotNull()
-         & (F.col("net_dist") <= buffer_m)).alias("reachable_in_buffer"))
+         & (F.col("net_dist") < buffer_m)).alias("reachable_in_buffer"))
 
 
 def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,

