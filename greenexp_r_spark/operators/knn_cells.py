@@ -90,3 +90,54 @@ def euclidean_access_cells(points: DataFrame, parks: DataFrame,
         F.sqrt(F.col("min_d2").cast("double")).alias("closest_greenspace"),
         # strict < : accessibility.R:313
         (F.col("min_d2") < int(buffer_m) ** 2).alias("greenspace_in_buffer"))
+
+
+def knn_parks_cells(points: DataFrame, parks: DataFrame, k: int = 5,
+                    buffer_m: float = C.BUFFER_M,
+                    search_radius: float = 4000.0,
+                    cell: int = C.CELL_SIZE,
+                    min_area_m2: float = C.MIN_GREENSPACE_M2) -> DataFrame:
+    """k-nearest parks through the cell index (SURVEY J2 scale path,
+    accessibility.R:310-311 FNN k=5) — the k>1 twin of
+    euclidean_access_cells (VERDICT r02 'What's missing #3').
+
+    Exactness routing: the index holds every park within search_radius
+    of a point's cell, so a point's candidate top-k is the true top-k
+    iff it found k candidates AND its k-th distance ≤ search_radius
+    (every park nearer than the k-th is then guaranteed indexed).
+    Points failing that (far from k parks) fall back to the exact
+    broadcast ranking — a one-shot equi-join plan, no ring iteration
+    at query time (rings were precomputed on the index side).
+    Output: (point_id, rank, park_id, dist_m) — same as knn_parks.
+    """
+    from pyspark.sql import Window
+    idx = cell_park_index(parks, search_radius, cell, min_area_m2)
+    pts = points.select(
+        "point_id", "x", "y",
+        (F.floor(F.col("x") / cell) * C.CELL_SHIFT
+         + F.floor(F.col("y") / cell)).alias("cell_id"))
+    cand = (pts.join(F.broadcast(idx), "cell_id")
+            .select("point_id", "park_id",
+                    dist2_long(F.col("x"), F.col("y"),
+                               F.col("cx"), F.col("cy")).alias("d2")))
+    w = Window.partitionBy("point_id").orderBy(F.col("d2").asc(),
+                                               F.col("park_id").asc())
+    top = cand.withColumn("rank", F.row_number().over(w)) \
+              .where(F.col("rank") <= k)
+    r2 = int(search_radius) ** 2
+    ok = (top.groupBy("point_id")
+          .agg(F.max("rank").alias("nk"), F.max("d2").alias("dk"))
+          .where((F.col("nk") == k) & (F.col("dk") <= r2))
+          .select("point_id"))
+    good = top.join(ok, "point_id", "left_semi")
+    missed = pts.join(ok, "point_id", "left_anti") \
+                .select("point_id", "x", "y")
+    from .accessibility import knn_parks
+    far = knn_parks(missed, parks, k=k, min_area_m2=min_area_m2) \
+        .select("point_id", "rank", "park_id", "dist_m")
+    out = good.select(
+        "point_id", F.col("rank").cast("int").alias("rank"), "park_id",
+        F.sqrt(F.col("d2").cast("double")).alias("dist_m"))
+    return out.unionByName(far.select(
+        "point_id", F.col("rank").cast("int").alias("rank"), "park_id",
+        "dist_m"))

@@ -366,3 +366,90 @@ def vgvi_from_address(points: DataFrame,
 
     return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
               .mapInPandas(run, schema)
+
+
+# ------------------------------------------------- flat-world variant
+
+# per-CELL building field of the flat world: no terrain, integer
+# heights — every tangent comparison is then an identical float
+# expression in numpy, Spark SQL and DuckDB, making the viewshed
+# hash-exact on the gate (q_viewshed_flat); the sin-terrain variant
+# above stays rows-only by design.
+FLAT_A, FLAT_B = 92_821, 68_917
+FLAT_HAS_MOD, FLAT_H_MOD = 7, 9
+FLAT_RES = 5.0
+FLAT_MAX_DIST = 100.0
+FLAT_OBSERVER = 1.7
+
+
+def flat_height(ci: np.ndarray, cj: np.ndarray) -> np.ndarray:
+    """Integer building height at cell (ci, cj); 0 on open ground."""
+    h = (ci * FLAT_A + cj * FLAT_B) % C.P31
+    h = (h + C.P31) % C.P31
+    return np.where(h % FLAT_HAS_MOD == 0,
+                    (3 + h % FLAT_H_MOD).astype(float), 0.0)
+
+
+def flat_height_sql(ci: str, cj: str) -> str:
+    """The same field as a SQL expression (both dialects)."""
+    h = f"(((({ci}) * {FLAT_A} + ({cj}) * {FLAT_B}) % {C.P31} + {C.P31}) % {C.P31})"
+    return (f"CASE WHEN {h} % {FLAT_HAS_MOD} = 0 "
+            f"THEN CAST(3 + {h} % {FLAT_H_MOD} AS DOUBLE) ELSE 0.0 END")
+
+
+def viewshed_flat_raster(points: DataFrame,
+                         max_distance: float = FLAT_MAX_DIST,
+                         res: float = FLAT_RES,
+                         sample_mod: int = 25) -> DataFrame:
+    """Masked 0/1 viewshed raster on the flat-DTM integer-building
+    world — bit-identical to a DuckDB replay of the LoS trie
+    (kernels/lostrie.py), shrinking the rows-only set to the pure
+    sin-terrain/VGVI queries.  Output: (point_id, ci, cj, visible)."""
+    from pyspark.sql.types import IntegerType
+    r = int(round(max_distance / res))
+    obs = points.where(F.col("point_id") % sample_mod == 0) \
+                .select("point_id", "x", "y")
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("ci", LongType()),
+        StructField("cj", LongType()),
+        StructField("visible", IntegerType()),
+    ])
+
+    def run(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        nc = 2 * r + 1
+        mask = _disk_mask(r)
+        midx = np.nonzero(mask)[0]
+        mrow, mcol = np.divmod(midx, nc)
+        offs = np.arange(nc) - r
+        for full in it:
+            for pdf in _chunks(full):
+                if not len(pdf):
+                    continue
+                xs = pdf["x"].to_numpy()
+                ys = pdf["y"].to_numpy()
+                ci0 = np.floor(xs / res).astype(np.int64)
+                cj0 = np.floor(ys / res).astype(np.int64)
+                # patch row 0 = north (cj increasing southward here)
+                pci = ci0[:, None, None] + offs[None, None, :]
+                pcj = cj0[:, None, None] - offs[None, :, None]
+                pci = np.broadcast_to(pci, (len(xs), nc, nc)) \
+                    .reshape(len(xs), -1)
+                pcj = np.broadcast_to(pcj, (len(xs), nc, nc)) \
+                    .reshape(len(xs), -1)
+                dsm = flat_height(pci, pcj)
+                h0 = np.full(len(xs), FLAT_OBSERVER)
+                vis = K.viewshed_batch(dsm, h0, r)
+                n_m = len(midx)
+                ci = (ci0[:, None] + (mcol - r)[None, :]).reshape(-1)
+                cj = (cj0[:, None] - (mrow - r)[None, :]).reshape(-1)
+                yield pd.DataFrame({
+                    "point_id": np.repeat(
+                        pdf["point_id"].to_numpy(), n_m),
+                    "ci": ci, "cj": cj,
+                    "visible": vis[:, midx].reshape(-1).astype("int32"),
+                })
+
+    par = max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)
+    return obs.repartition(par).mapInPandas(run, schema)

@@ -1,0 +1,304 @@
+"""Registry section 4 (round 3): concave-polygon cover, network
+subdivision/smoothing, cell-index kNN, and the hash-exact flat-world
+viewshed.  Every entry here is oracle-backed (exact)."""
+
+from __future__ import annotations
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from . import constants as C
+from . import world
+from .dialect import DUCK, Dialect
+from .kernels import concave as CK
+from .operators import netprep
+from .registry import QSpec, _buffer_cells_sql
+
+# ------------------------------------------------------ concave parks
+#
+# Fixture: 12 concave greenspace polygons (L / plus / 4-point star
+# templates, integer vertices) — the geometry class the reference gets
+# from real OSM via GEOS (st_make_valid accessibility.R:210,
+# st_intersection canopy_coverage.R:334-345) and that the convex-only
+# round-2 kernels rejected.
+
+_L = [(0, 0), (4, 0), (4, 1), (1, 1), (1, 4), (0, 4)]
+_PLUS = [(1, 0), (2, 0), (2, 1), (3, 1), (3, 2), (2, 2),
+         (2, 3), (1, 3), (1, 2), (0, 2), (0, 1), (1, 1)]
+_STAR = [(0, 4), (1, 1), (4, 0), (1, -1), (0, -4), (-1, -1),
+         (-4, 0), (-1, 1)]
+_TEMPLATES = [_L, _PLUS, _STAR]
+N_CONCAVE = 12
+CONCAVE_RES = 10
+
+
+def concave_park_ring(g: int) -> np.ndarray:
+    """Integer-vertex ring of concave park g (deterministic)."""
+    t = _TEMPLATES[g % 3]
+    s = 60 + 20 * ((g * 7) % 5)
+    bx = 1500 + (g * 5791) % 17000
+    by = 1500 + (g * 9973) % 17000
+    return np.array([(bx + tx * s, by + ty * s) for tx, ty in t],
+                    dtype=float)
+
+
+def _concave_edge_rows() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for g in range(N_CONCAVE):
+        ring = CK.make_valid_general(concave_park_ring(g))
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append((g, int(x1), int(y1), int(x2), int(y2)))
+    return rows
+
+
+def _concave_bbox_rows() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for g in range(N_CONCAVE):
+        ring = concave_park_ring(g)
+        rows.append((g, int(ring[:, 0].min()), int(ring[:, 1].min()),
+                     int(ring[:, 0].max()), int(ring[:, 1].max())))
+    return rows
+
+
+def _values_rel(d: Dialect, rows, alias: str, cols: list[str]) -> str:
+    body = ", ".join("(" + ", ".join(str(v) for v in r) + ")"
+                     for r in rows)
+    if d.name == "spark":
+        return f"(SELECT * FROM VALUES {body} AS {alias}({', '.join(cols)}))"
+    return f"(SELECT * FROM (VALUES {body}) AS {alias}({', '.join(cols)}))"
+
+
+def greenspace_concave_sql(d: Dialect) -> str:
+    """Shared text (both engines): % of buffer raster cells whose
+    center lies inside ANY concave park, by even-odd ray cast — same
+    crossing predicate as kernels/concave.points_in_polygon.  Cell
+    centers sit at integer+5 ordinates while vertices are integers, so
+    no ray ever passes through a vertex and the parity test is
+    unambiguous; the crossing-x expression is written identically on
+    both sides (exact-or-identical float rounding)."""
+    edges = _values_rel(d, _concave_edge_rows(), "pe",
+                        ["park_id", "x1", "y1", "x2", "y2"])
+    boxes = _values_rel(d, _concave_bbox_rows(), "pb",
+                        ["park_id", "bxmin", "bymin", "bxmax", "bymax"])
+    res = CONCAVE_RES
+    return f"""
+WITH points AS ({world.points_sql(d)}),
+cells AS ({_buffer_cells_sql(d, res, C.BUFFER_M)}),
+cand AS (
+  SELECT c.point_id, c.ci, c.cj, b.park_id,
+         (c.ci + 0.5) * {res} AS cx, (c.cj + 0.5) * {res} AS cy
+  FROM cells c JOIN {boxes} b
+    ON (c.ci + 0.5) * {res} >= b.bxmin AND (c.ci + 0.5) * {res} <= b.bxmax
+   AND (c.cj + 0.5) * {res} >= b.bymin AND (c.cj + 0.5) * {res} <= b.bymax
+),
+crossings AS (
+  SELECT c.point_id, c.ci, c.cj, c.park_id, COUNT(*) AS nx
+  FROM cand c JOIN {edges} e ON e.park_id = c.park_id
+  WHERE (e.y1 > c.cy) <> (e.y2 > c.cy)
+    AND c.cx < e.x1 + (c.cy - e.y1) * (e.x2 - e.x1) / (e.y2 - e.y1)
+  GROUP BY c.point_id, c.ci, c.cj, c.park_id
+),
+covered AS (
+  SELECT DISTINCT point_id, ci, cj FROM crossings WHERE nx % 2 = 1
+),
+g AS (SELECT point_id, COUNT(*) AS g FROM covered GROUP BY point_id),
+n AS (SELECT point_id, COUNT(*) AS n_cells FROM cells GROUP BY point_id)
+SELECT n.point_id,
+       LEAST(CAST(COALESCE(g.g, 0) AS DOUBLE) / CAST(n.n_cells AS DOUBLE)
+             * 100.0, 100.0) AS greenspace_concave_pct,
+       n.n_cells AS n_cells
+FROM n LEFT JOIN g ON n.point_id = g.point_id
+"""
+
+
+def _q_greenspace_concave(s, sf):
+    from .dialect import SPARK
+    # the shared text reads FROM documents (like the DuckDB oracle);
+    # expose the driver parquet under that name for the Spark render
+    s.read.parquet(f"{sf}/documents.parquet") \
+        .createOrReplaceTempView("documents")
+    return s.sql(greenspace_concave_sql(SPARK))
+
+
+# ------------------------------------------ network subdivision/smooth
+
+def _oracle_subdivision(d: Dialect) -> str:
+    """Structural fingerprint (node_id, degree, sum_len) of the
+    subdivided + smoothed fixture graph.  Smoothing is replayed with a
+    recursive chain walk: from every anchor-incident subdivided edge,
+    follow the unique continuation through degree-2 pseudo nodes until
+    hitting a non-deg-2 node; each walk's accumulated length is one
+    incident smoothed edge.  All step lengths are exact (multiples of
+    100), so sums match the engine's any-order aggregation."""
+    return f"""
+WITH RECURSIVE
+verts AS ({netprep.segments_sql(d)}),
+occ AS (SELECT node_id, COUNT(*) AS occ FROM verts GROUP BY node_id),
+mx AS (SELECT seg_id, MAX(pos) AS maxpos FROM verts GROUP BY seg_id),
+steps AS (
+  SELECT seg_id, pos, node_id, vx, vy,
+         SQRT(POWER(vx - LAG(vx) OVER (PARTITION BY seg_id ORDER BY pos), 2)
+            + POWER(vy - LAG(vy) OVER (PARTITION BY seg_id ORDER BY pos), 2))
+             AS step
+  FROM verts
+),
+lens AS (
+  SELECT s.seg_id, s.pos, s.node_id,
+         COALESCE(SUM(s.step) OVER (PARTITION BY s.seg_id ORDER BY s.pos
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             CAST(0.0 AS DOUBLE)) AS cumlen,
+         (s.pos = 0 OR s.pos = m.maxpos OR o.occ >= 2) AS is_cut
+  FROM steps s
+  JOIN occ o ON o.node_id = s.node_id
+  JOIN mx m ON m.seg_id = s.seg_id
+),
+cuts AS (SELECT seg_id, pos, node_id, cumlen FROM lens WHERE is_cut),
+sub0 AS (
+  SELECT seg_id, node_id AS src,
+         LEAD(node_id) OVER (PARTITION BY seg_id ORDER BY pos) AS dst,
+         LEAD(cumlen) OVER (PARTITION BY seg_id ORDER BY pos) - cumlen
+             AS length_m
+  FROM cuts
+),
+sube AS (SELECT src, dst, length_m FROM sub0 WHERE dst IS NOT NULL),
+bidir AS (
+  SELECT src, dst, length_m FROM sube
+  UNION ALL
+  SELECT dst AS src, src AS dst, length_m FROM sube
+),
+deg AS (SELECT src AS node_id, COUNT(*) AS deg FROM bidir GROUP BY src),
+walk(anchor, cur, prev, acc) AS (
+  SELECT b.src, b.dst, b.src, b.length_m
+  FROM bidir b JOIN deg d ON d.node_id = b.src
+  WHERE d.deg <> 2
+  UNION ALL
+  SELECT w.anchor, b.dst, b.src, w.acc + b.length_m
+  FROM walk w
+  JOIN deg dc ON dc.node_id = w.cur AND dc.deg = 2
+  JOIN bidir b ON b.src = w.cur AND b.dst <> w.prev
+),
+finals AS (
+  SELECT w.anchor, w.acc
+  FROM walk w JOIN deg d ON d.node_id = w.cur
+  WHERE d.deg <> 2
+)
+SELECT anchor AS node_id, CAST(COUNT(*) AS BIGINT) AS degree,
+       SUM(acc) AS sum_len
+FROM finals GROUP BY anchor
+"""
+
+
+def _q_subdivision(s, sf):
+    return netprep.degree_summary(netprep.prepare(netprep.segments_df(s)))
+
+
+# ------------------------------------------------- flat-world viewshed
+
+VSF_RES = 5.0
+VSF_MAX_DIST = 100.0
+VSF_SAMPLE_MOD = 25
+
+
+def _oracle_viewshed_flat(d: Dialect) -> str:
+    """DuckDB replay of the viewshed kernel on the flat-DTM integer-
+    building world: the LoS prefix-trie (kernels/lostrie.py — proven
+    ≡ viewshed_batch by tests/test_lostrie.py) is exported as a
+    literal; a recursive walk carries the running max tangent down
+    parent links; a cell is visible iff some trie node carrying it has
+    tan > run.  All tangents are identical float expressions on both
+    engines (integer heights, literal 1.7, sqrt of integer d²)."""
+    from .operators.visibility import flat_height_sql
+    from .kernels.lostrie import trie_rows
+    r = int(round(VSF_MAX_DIST / VSF_RES))
+    rows = trie_rows(r)
+    body = ", ".join(
+        f"({n}, {'NULL' if p is None else p}, {dx}, {dy})"
+        for n, p, dx, dy in rows)
+    h_cell = flat_height_sql("o.ci0 + t.dx", "o.cj0 + t.dy")
+    h_center = flat_height_sql("ci0", "cj0")
+    return f"""
+WITH RECURSIVE
+points AS ({world.points_sql(d)}),
+obs AS (
+  SELECT point_id,
+         CAST(FLOOR(x / {VSF_RES}) AS BIGINT) AS ci0,
+         CAST(FLOOR(y / {VSF_RES}) AS BIGINT) AS cj0
+  FROM points WHERE point_id % {VSF_SAMPLE_MOD} = 0
+),
+trie AS (
+  SELECT * FROM (VALUES {body}) AS t(nid, parent, dx, dy)
+),
+tang AS (
+  SELECT o.point_id, t.nid, t.parent, t.dx, t.dy,
+         ({h_cell} - 1.7)
+         / SQRT(CAST(t.dx * t.dx + t.dy * t.dy AS DOUBLE)) AS tan
+  FROM obs o CROSS JOIN trie t
+),
+walk(point_id, nid, run) AS (
+  SELECT point_id, nid, CAST(-9999.0 AS DOUBLE)
+  FROM tang WHERE parent IS NULL
+  UNION ALL
+  SELECT c.point_id, c.nid, GREATEST(w.run, p.tan)
+  FROM walk w
+  JOIN tang p ON p.point_id = w.point_id AND p.nid = w.nid
+  JOIN tang c ON c.point_id = w.point_id AND c.parent = w.nid
+),
+vn AS (
+  SELECT DISTINCT t.point_id, t.dx, t.dy
+  FROM walk w
+  JOIN tang t ON t.point_id = w.point_id AND t.nid = w.nid
+  WHERE t.tan > w.run
+),
+mask AS (SELECT DISTINCT dx, dy FROM trie UNION SELECT 0 AS dx, 0 AS dy),
+act AS (
+  SELECT point_id, ci0, cj0, (1.7 > {h_center}) AS active FROM obs
+)
+SELECT a.point_id,
+       a.ci0 + m.dx AS ci,
+       a.cj0 + m.dy AS cj,
+       CAST(CASE WHEN m.dx = 0 AND m.dy = 0 THEN 1
+                 WHEN NOT a.active THEN 0
+                 WHEN v.point_id IS NOT NULL THEN 1
+                 ELSE 0 END AS INT) AS visible
+FROM act a
+CROSS JOIN mask m
+LEFT JOIN vn v ON v.point_id = a.point_id AND v.dx = m.dx AND v.dy = m.dy
+"""
+
+
+def _q_viewshed_flat(s, sf):
+    from .operators.visibility import viewshed_flat_raster
+    return viewshed_flat_raster(world.points_df(s, sf),
+                                max_distance=VSF_MAX_DIST, res=VSF_RES,
+                                sample_mod=VSF_SAMPLE_MOD)
+
+
+# ------------------------------------------------------------- wiring
+
+def _q_knn_cells(s, sf):
+    from .operators.knn_cells import knn_parks_cells
+    return knn_parks_cells(world.points_df(s, sf), world.parks_df(s))
+
+
+def build_geo3_registry() -> dict[str, QSpec]:
+    from .registry import _oracle_knn
+    d = DUCK
+    return {
+        # J2 k=5 through the cell index (scale path), same oracle as
+        # the broadcast ranking because results are equal
+        "q_knn_parks_cells": QSpec(_q_knn_cells, _oracle_knn(d)),
+        # J6-prep: to_spatial_subdivision + to_spatial_smooth
+        # (ndvi_calc.R:146-147)
+        "q_network_subdivision": QSpec(_q_subdivision,
+                                       _oracle_subdivision(d)),
+        # J4/A5 over genuinely concave polygons (cell-membership form)
+        "q_greenspace_concave": QSpec(_q_greenspace_concave,
+                                      greenspace_concave_sql(d)),
+        # V4/V8 hash-exact on the flat-DTM world (sin-terrain variant
+        # stays rows-only by design)
+        "q_viewshed_flat": QSpec(_q_viewshed_flat,
+                                 _oracle_viewshed_flat(d)),
+    }
