@@ -22,6 +22,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 HEADLINE = [
+    # the north-star pipeline over the input_hint pages table
+    # (url, warc_ts, html, text, lang): snapshot dedup + byte-exact
+    # extraction + url geocoding + exposure join
+    "q_pages_snapshot",
+    "q_exposure_pages",
+    "q_pages_cells",
     # the three exposure families (north_star)
     "q_exposure_combined",
     "q_availability_ndvi",
@@ -46,7 +52,7 @@ HEADLINE = [
     "q_ann_ivf_topk",
     "q_ann_ivf_kmeans",
     "q_embedding_neardup",
-    "q_token_bpe",
+    "q_text_qa",
     "q_multimodal_thumbnail",
     "q_events_hourly",
 ]
@@ -68,6 +74,7 @@ def _extra_queries():
 
 # queries whose cost scales with the points table (used for points/sec)
 EXPOSURE = {
+    "q_exposure_pages",
     "q_exposure_combined",
     "q_availability_ndvi", "q_landcover_fractions", "q_greenspace_pct",
     "q_canopy_pct", "q_accessibility_euclidean", "q_knn_parks",

@@ -54,6 +54,18 @@ class Dialect:
     def shr(self, x: str, n: str) -> str:
         raise NotImplementedError
 
+    def ts_micros(self, e: str) -> str:
+        """TIMESTAMP from epoch microseconds (integer expression)."""
+        raise NotImplementedError
+
+    def s2b(self, s: str) -> str:
+        """UTF-8 encode a string expression to binary/blob."""
+        raise NotImplementedError
+
+    def b2s(self, b: str) -> str:
+        """UTF-8 decode a binary/blob expression to string."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -80,6 +92,15 @@ class SparkDialect(Dialect):
     def shr(self, x, n):
         return f"shiftright({x}, CAST({n} AS INT))"
 
+    def ts_micros(self, e):
+        return f"timestamp_micros(CAST({e} AS BIGINT))"
+
+    def s2b(self, s):
+        return f"encode({s}, 'UTF-8')"
+
+    def b2s(self, b):
+        return f"decode({b}, 'UTF-8')"
+
 
 class DuckDialect(Dialect):
     name = "duckdb"
@@ -105,6 +126,15 @@ class DuckDialect(Dialect):
 
     def shr(self, x, n):
         return f"(CAST({x} AS BIGINT) >> CAST({n} AS INT))"
+
+    def ts_micros(self, e):
+        return f"make_timestamp(CAST({e} AS BIGINT))"
+
+    def s2b(self, s):
+        return f"encode({s})"
+
+    def b2s(self, b):
+        return f"decode({b})"
 
 
 SPARK = SparkDialect()

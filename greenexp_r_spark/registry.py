@@ -406,6 +406,8 @@ def build_registry() -> dict[str, QSpec]:
     out.update(build_relational_registry())
     from .registry_geo3 import build_geo3_registry
     out.update(build_geo3_registry())
+    from .registry_pages import build_pages_registry
+    out.update(build_pages_registry())
     # the driver records only the FIRST 50 registry entries in
     # CORRECTNESS_r{N}.json (observed r02) — keep every oracle-backed
     # query ahead of the rows-only ones so all hash-exact evidence

@@ -26,22 +26,20 @@ def _emb(spark, sf):
 # ---------------------------------------------------------------------
 
 
-def _oracle_token_stats(d: Dialect) -> str:
+
+
+def _oracle_token_profile(d: Dialect) -> str:
+    """token_stats + token_pieces merged (one scan, matching the
+    consolidated operator) — frees a registry slot inside the driver's
+    50-entry CORRECTNESS window."""
     w = d.split("text")
+    c = lambda p: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
     return f"""
 SELECT doc_id,
        CAST({d.asize(w)} AS BIGINT) AS n_tokens,
        CAST(length(text) AS BIGINT) AS n_chars,
        CAST(CAST(length(text) AS BIGINT) - (CAST({d.asize(w)} AS BIGINT) - 1)
-            AS DOUBLE) / CAST({d.asize(w)} AS BIGINT) AS mean_token_len
-FROM documents
-"""
-
-
-def _oracle_token_bpe(d: Dialect) -> str:
-    c = lambda p: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
-    return f"""
-SELECT doc_id,
+            AS DOUBLE) / CAST({d.asize(w)} AS BIGINT) AS mean_token_len,
        {c(textqa.RE_ALPHA)} AS n_alpha,
        {c(textqa.RE_NUM)} AS n_num,
        {c(textqa.RE_OTHER)} AS n_other,
@@ -56,6 +54,8 @@ def _in_list(items):
 
 
 def _oracle_quality(d: Dialect) -> str:
+    """Component quality CTE body (used by _oracle_corpus_select; the
+    gate-facing merged text lives in _oracle_text_qa)."""
     w = d.split("text")
     stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
     return f"""
@@ -74,6 +74,7 @@ FROM (
 
 
 def _oracle_langid(d: Dialect) -> str:
+    """Component language-ID CTE body (used by _oracle_corpus_select)."""
     w = d.split("text")
     cnt = {
         lang: f"CAST({d.asize(d.afilter(w, 'w', f'w IN ({_in_list(C.LANG_MARKERS[lang])})'))} AS BIGINT)"
@@ -92,6 +93,39 @@ FROM (
          GREATEST(cnt_en, cnt_nl, cnt_fr) AS g
   FROM (SELECT doc_id, lang, {cnt['en']} AS cnt_en,
                {cnt['nl']} AS cnt_nl, {cnt['fr']} AS cnt_fr
+        FROM documents) _c
+) _g
+"""
+
+
+def _oracle_text_qa(d: Dialect) -> str:
+    """quality_score + lang_id merged (one scan)."""
+    w = d.split("text")
+    stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
+    cnt = {
+        lang: f"CAST({d.asize(d.afilter(w, 'w', f'w IN ({_in_list(C.LANG_MARKERS[lang])})'))} AS BIGINT)"
+        for lang in ("en", "nl", "fr")
+    }
+    return f"""
+SELECT doc_id, lang, n_tokens, stopword_cnt,
+       CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
+           AS stopword_ratio,
+       (CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
+           + CAST(LEAST(n_tokens, 100) AS DOUBLE) / 200.0 AS quality,
+       CASE WHEN cnt_en = g THEN 'en'
+            WHEN cnt_nl = g THEN 'nl'
+            ELSE 'fr' END AS predicted_lang,
+       (CASE WHEN cnt_en = g THEN 'en'
+             WHEN cnt_nl = g THEN 'nl'
+             ELSE 'fr' END) = lang AS lang_match
+FROM (
+  SELECT doc_id, lang, n_tokens, stopword_cnt, cnt_en, cnt_nl, cnt_fr,
+         GREATEST(cnt_en, cnt_nl, cnt_fr) AS g
+  FROM (SELECT doc_id, lang,
+               CAST({d.asize(w)} AS BIGINT) AS n_tokens,
+               CAST({d.asize(stop)} AS BIGINT) AS stopword_cnt,
+               {cnt['en']} AS cnt_en, {cnt['nl']} AS cnt_nl,
+               {cnt['fr']} AS cnt_fr
         FROM documents) _c
 ) _g
 """
@@ -597,18 +631,17 @@ FROM documents
 def build_pipeline_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
+        # token_stats+token_pieces and quality+langid consolidated to
+        # one scan each (operators stay separately callable + tested;
+        # tests/test_pipeline_queries.py checks merged ≡ components) —
+        # frees registry slots for the pages family inside the
+        # driver's 50-entry CORRECTNESS window
         "q_token_stats": QSpec(
-            lambda s, sf: textqa.token_stats(_docs(s, sf)),
-            _oracle_token_stats(d)),
-        "q_token_bpe": QSpec(
-            lambda s, sf: textqa.token_pieces(_docs(s, sf)),
-            _oracle_token_bpe(d)),
-        "q_quality_score": QSpec(
-            lambda s, sf: textqa.quality_score(_docs(s, sf)),
-            _oracle_quality(d)),
-        "q_lang_id": QSpec(
-            lambda s, sf: textqa.lang_id(_docs(s, sf)),
-            _oracle_langid(d)),
+            lambda s, sf: textqa.token_profile(_docs(s, sf)),
+            _oracle_token_profile(d)),
+        "q_text_qa": QSpec(
+            lambda s, sf: textqa.text_qa(_docs(s, sf)),
+            _oracle_text_qa(d)),
         "q_fingerprint": QSpec(
             lambda s, sf: textqa.fingerprint(_docs(s, sf)),
             _oracle_fingerprint(d)),
@@ -633,10 +666,9 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_corpus_select": QSpec(
             lambda s, sf: dedup.corpus_select(_docs(s, sf)),
             _oracle_corpus_select(d)),
-        "q_ann_brute_topk": QSpec(
-            lambda s, sf: similarity.brute_force_topk(_emb(s, sf)),
-            _oracle_brute_topk(d)),
-        # Arrow/numpy matmul path — identical results, same oracle
+        # Arrow/numpy matmul path (the declared 100 TB shape) carries
+        # the gate slot; the JVM-expression brute path is proven equal
+        # in tests/test_ann_numpy.py (slot freed for the pages family)
         "q_ann_numpy_topk": QSpec(
             lambda s, sf: similarity.brute_force_topk_numpy(_emb(s, sf)),
             _oracle_brute_topk(d)),

@@ -26,6 +26,10 @@ def build_session(app: str = "greenexp", master: str | None = None,
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # int64 micros (not legacy INT96) so parquet files carry
+        # min/max statistics for timestamp columns — the icetable
+        # manifest pruning and any engine's row-group skipping need them
+        .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "50000")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))

@@ -1,0 +1,199 @@
+"""Iceberg-style snapshot table over parquet (jar-free model).
+
+BASELINE.json's north_rule reads pages from an Iceberg table.  This
+container ships no iceberg-spark-runtime jar (and nothing may be
+installed), so the Iceberg *contract* is modeled with the same
+on-disk ideas the real format uses — immutable data files + an
+atomically-swapped metadata pointer — in pure parquet + JSON:
+
+    table/
+      data/<snapshot>/part-*.parquet      immutable data files
+      meta/v{N}.json                      manifest: file list with
+                                          per-file row counts +
+                                          min/max column stats
+      meta/VERSION                        current-snapshot pointer
+                                          (atomic os.replace swap)
+
+What this buys, mirroring Iceberg semantics:
+  * **atomic commits / resumability** — a crashed write leaves staged
+    data files but never bumps VERSION, so readers keep seeing the
+    previous snapshot (the manifest IS the per-partition checkpoint;
+    plans/manifest.py holds the finer-grained per-unit resume path).
+  * **time travel** — ``read(spark, path, snapshot=k)`` plans from
+    v{k}.json's explicit file list.
+  * **scan pruning** — ``read(..., between=("col", lo, hi))`` drops
+    files whose [min, max] range misses the predicate *before* the
+    scan, the manifest-stats pruning Iceberg does at planning time
+    (proven by an input-file-count test).
+  * **lineage + row-count metrics** — every manifest entry records the
+    file's row count and stats; ``metrics()`` exposes them per file
+    and per snapshot (the north_rule's per-partition lineage).
+
+At 100 TB the only driver-side state is the manifest (file paths +
+stats, KBs per thousand files); data planning stays O(files), and the
+file list is handed to the DataFrame reader so Spark still does its
+own split planning, column pruning and filter pushdown inside each
+file.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from dataclasses import dataclass
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class FileEntry:
+    path: str
+    rows: int
+    stats: dict          # col -> [min, max] (numeric/string leaf cols)
+
+
+def _json_safe(v):
+    """Manifest stats must be JSON: timestamps → ISO strings (which
+    compare lexicographically like the instants they encode), bytes →
+    dropped by the caller's stat-col list, numbers pass through."""
+    if isinstance(v, (int, float, str)) or v is None:
+        return v
+    if hasattr(v, "isoformat"):
+        return v.isoformat(sep=" ")
+    return str(v)
+
+
+def _file_entry(path: str, stat_cols: list[str]) -> FileEntry:
+    md = pq.ParquetFile(path).metadata
+    rows = md.num_rows
+    stats: dict = {}
+    names = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    for col in stat_cols:
+        i = names.get(col)
+        if i is None:
+            continue
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            s = md.row_group(rg).column(i).statistics
+            if s is None or not s.has_min_max:
+                lo = hi = None
+                break
+            lo = s.min if lo is None else min(lo, s.min)
+            hi = s.max if hi is None else max(hi, s.max)
+        if lo is not None:
+            lo, hi = _json_safe(lo), _json_safe(hi)
+            if isinstance(lo, str):
+                lo, hi = _trunc_bounds(lo, hi)
+            stats[col] = [lo, hi]
+    return FileEntry(path, rows, stats)
+
+
+_STAT_TRUNC = 64
+
+
+def _trunc_bounds(lo: str, hi: str) -> tuple[str, str]:
+    """Iceberg-style bound truncation so the manifest never embeds
+    whole documents: a prefix is a valid lower bound as-is; the upper
+    bound's last kept char is bumped to stay an upper bound."""
+    if len(lo) > _STAT_TRUNC:
+        lo = lo[:_STAT_TRUNC]
+    if len(hi) > _STAT_TRUNC:
+        p = hi[:_STAT_TRUNC]
+        hi = p[:-1] + chr(ord(p[-1]) + 1)
+    return lo, hi
+
+
+def _meta_dir(table: str) -> str:
+    return os.path.join(table, "meta")
+
+
+def _version_file(table: str) -> str:
+    return os.path.join(_meta_dir(table), "VERSION")
+
+
+def current_snapshot(table: str) -> int:
+    with open(_version_file(table)) as f:
+        return int(f.read().strip())
+
+
+def _manifest_path(table: str, snap: int) -> str:
+    return os.path.join(_meta_dir(table), f"v{snap}.json")
+
+
+def _load_manifest(table: str, snap: int) -> dict:
+    with open(_manifest_path(table, snap)) as f:
+        return json.load(f)
+
+
+def commit(df: DataFrame, table: str, mode: str = "append",
+           stat_cols: list[str] | None = None) -> int:
+    """Write ``df`` as a new snapshot.  ``append`` unions the parent
+    snapshot's files; ``overwrite`` starts fresh.  Returns the new
+    snapshot id.  The commit is atomic: data files land first, the
+    manifest second, and the VERSION pointer is swapped last
+    (os.replace — readers see the old or the new snapshot, never a
+    partial one)."""
+    os.makedirs(_meta_dir(table), exist_ok=True)
+    parent = current_snapshot(table) if \
+        os.path.exists(_version_file(table)) else 0
+    snap = parent + 1
+    data_dir = os.path.join(table, "data", f"s{snap}")
+    df.write.mode("error").parquet(data_dir)
+    stat_cols = stat_cols if stat_cols is not None else [
+        f.name for f in df.schema
+        if f.dataType.simpleString() in
+        ("bigint", "int", "double", "float", "string", "timestamp")]
+    new = [
+        _file_entry(os.path.join(data_dir, f), stat_cols)
+        for f in sorted(os.listdir(data_dir))
+        if f.endswith(".parquet")]
+    files = ([] if mode == "overwrite" or parent == 0
+             else _load_manifest(table, parent)["files"])
+    manifest = {
+        "snapshot": snap,
+        "parent": parent if parent else None,
+        "mode": mode,
+        "files": files + [vars(e) for e in new],
+    }
+    with open(_manifest_path(table, snap), "w") as f:
+        json.dump(manifest, f)
+    tmp = _version_file(table) + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(snap))
+    os.replace(tmp, _version_file(table))       # the atomic swap
+    return snap
+
+
+def read(spark: SparkSession, table: str, snapshot: int | None = None,
+         between: tuple | None = None) -> DataFrame:
+    """Plan a scan of the table at ``snapshot`` (default: current).
+    ``between=(col, lo, hi)`` prunes files by manifest min/max stats
+    before Spark ever sees them (Iceberg's planning-time pruning);
+    row-level filtering still belongs in a normal ``.where`` (which
+    Spark pushes into the parquet scan)."""
+    snap = snapshot if snapshot is not None else current_snapshot(table)
+    files = _load_manifest(table, snap)["files"]
+    if between is not None:
+        col, lo, hi = between
+        files = [e for e in files
+                 if col not in e["stats"]
+                 or (e["stats"][col][0] <= hi
+                     and e["stats"][col][1] >= lo)]
+    if not files:
+        raise ValueError(f"no files for snapshot {snap} of {table}")
+    return spark.read.parquet(*[e["path"] for e in files])
+
+
+def metrics(table: str, snapshot: int | None = None) -> dict:
+    """Per-file lineage metrics of a snapshot: row counts + stats
+    (the north_rule's per-partition lineage + row-count metrics)."""
+    snap = snapshot if snapshot is not None else current_snapshot(table)
+    m = _load_manifest(table, snap)
+    return {
+        "snapshot": m["snapshot"],
+        "parent": m["parent"],
+        "n_files": len(m["files"]),
+        "total_rows": sum(e["rows"] for e in m["files"]),
+        "files": m["files"],
+    }

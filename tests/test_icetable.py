@@ -1,0 +1,93 @@
+"""Iceberg-style snapshot table: atomic commits, time travel,
+manifest-stats pruning, crash-resume visibility, lineage metrics."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from .conftest import SF_TEST
+
+from greenexp_r_spark.sources import icetable, pages as P
+
+
+def _pages(spark):
+    return P.pages_df(spark, SF_TEST)
+
+
+def test_commit_read_roundtrip_and_time_travel(spark, tmp_path):
+    t = str(tmp_path / "pages_table")
+    pg = _pages(spark)
+    lo = pg.where(F.col("url").rlike("page/[0-9]*[02468]$"))
+    hi = pg.where(F.col("url").rlike("page/[0-9]*[13579]$"))
+    s1 = icetable.commit(lo, t)
+    s2 = icetable.commit(hi, t, mode="append")
+    assert (s1, s2) == (1, 2)
+    n_all = pg.count()
+    assert icetable.read(spark, t).count() == n_all
+    assert icetable.read(spark, t, snapshot=1).count() == lo.count()
+    # schema survives the roundtrip exactly (input_hint shape)
+    assert icetable.read(spark, t).schema == pg.schema
+
+
+def test_overwrite_snapshot(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    icetable.commit(_pages(spark), t)
+    small = _pages(spark).limit(10)
+    icetable.commit(small, t, mode="overwrite")
+    assert icetable.read(spark, t).count() == 10
+    assert icetable.read(spark, t, snapshot=1).count() == \
+        _pages(spark).count()
+
+
+def test_stats_pruning_reduces_input_files(spark, tmp_path):
+    """Planning-time manifest pruning: a tight url range must plan
+    strictly fewer files than the full scan (and still return exactly
+    the matching rows when the residual filter is applied)."""
+    t = str(tmp_path / "tbl")
+    # one file per capture month → disjoint warc_ts stats ranges
+    pg = _pages(spark)
+    for m in range(1, 13):
+        sl = pg.where(F.month("warc_ts") == m)
+        if sl.limit(1).count():
+            icetable.commit(sl.repartition(1), t, mode="append")
+    total_files = icetable.metrics(t)["n_files"]
+    assert total_files >= 6
+    pruned = icetable.read(
+        spark, t, between=("warc_ts", "2024-03-01", "2024-03-31"))
+    assert len(pruned.inputFiles()) < total_files
+    got = pruned.where(F.month("warc_ts") == 3).count()
+    want = pg.where(F.month("warc_ts") == 3).count()
+    assert got == want > 0
+
+
+def test_crash_leaves_previous_snapshot_visible(spark, tmp_path):
+    """Data files staged but VERSION never bumped (simulated crash
+    between manifest write and pointer swap) → readers still see the
+    old snapshot; a later commit continues cleanly."""
+    t = str(tmp_path / "tbl")
+    icetable.commit(_pages(spark).limit(100), t)
+    # simulate: stage a manifest for v2 without swapping VERSION
+    m = icetable._load_manifest(t, 1)
+    m["snapshot"] = 2
+    with open(icetable._manifest_path(t, 2), "w") as f:
+        json.dump(m, f)
+    assert icetable.current_snapshot(t) == 1
+    assert icetable.read(spark, t).count() == 100
+    # recovery: next commit overwrites the orphaned manifest
+    icetable.commit(_pages(spark).limit(5), t, mode="overwrite")
+    assert icetable.current_snapshot(t) == 2
+    assert icetable.read(spark, t).count() == 5
+
+
+def test_metrics_lineage(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    icetable.commit(_pages(spark), t)
+    m = icetable.metrics(t)
+    assert m["total_rows"] == _pages(spark).count()
+    assert m["n_files"] >= 1
+    for e in m["files"]:
+        assert e["rows"] > 0 and os.path.exists(e["path"])
+        assert "url" in e["stats"]

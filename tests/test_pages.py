@@ -1,0 +1,148 @@
+"""Input_hint pages table: schema shape, byte-identical extraction,
+snapshot dedup, geocode parity, cell stats vs a pandas oracle, and the
+merged-gate-entry ≡ component-operator equalities."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+
+from .conftest import SF_TEST
+
+from greenexp_r_spark.sources import pages as P
+from greenexp_r_spark.operators import pages_ops, textqa
+from greenexp_r_spark import constants as C
+
+
+def test_pages_queries_match_oracle(spark):
+    from greenexp_r_spark.registry_pages import build_pages_registry
+    from . import oracle_harness
+    for name, spec in build_pages_registry().items():
+        oracle_harness.compare(spec.spark(spark, SF_TEST),
+                               spec.oracle, SF_TEST)
+
+
+def test_pages_schema_is_exact_input_hint(spark):
+    df = P.pages_df(spark, SF_TEST)
+    assert [(f.name, f.dataType.simpleString()) for f in df.schema] == [
+        ("url", "string"), ("warc_ts", "timestamp"),
+        ("html", "binary"), ("text", "string"), ("lang", "string")]
+
+
+def test_extraction_byte_identical_per_url(spark):
+    """The input_hint per-row invariant: extract_text(html) == text,
+    byte for byte, for EVERY capture row."""
+    pages = P.pages_df(spark, SF_TEST)
+    ext = pages_ops.extract_text(pages).select("url", "text")
+    j = ext.join(pages.select("url", pages["text"].alias("orig")),
+                 "url")
+    n_bad = j.where(j["text"] != j["orig"]).count()
+    assert n_bad == 0
+    # and the binary payload really is wrapper + text
+    row = pages.limit(1).collect()[0]
+    assert bytes(row.html) == (P.HTML_PRE + row.text
+                               + P.HTML_POST).encode("utf-8")
+
+
+def test_latest_snapshot_counts_and_max_ts(spark):
+    pages = P.pages_df(spark, SF_TEST)
+    snap = pages_ops.latest_snapshot(pages)
+    n_docs = spark.read.parquet(f"{SF_TEST}/documents.parquet").count()
+    assert snap.count() == n_docs          # one row per url
+    # recrawled urls: snapshot ts must equal the per-url max
+    pdf = pages.groupBy("url").agg(
+        {"warc_ts": "max", "*": "count"}).toPandas()
+    got = snap.select("url", "warc_ts").toPandas()
+    m = pdf.merge(got, on="url")
+    assert (m["max(warc_ts)"] == m["warc_ts"]).all()
+    # capture multiplicity matches the schedule (1 + 1/4 + 1/16)
+    assert pages.count() == n_docs + n_docs // 4 + (n_docs + 15) // 16
+
+
+def test_geocode_matches_world_points(spark):
+    """Url-parsed geocoding must land on the same (x, y) the world's
+    points table assigns the same ids."""
+    from greenexp_r_spark import world
+    geo = pages_ops.geocode(
+        pages_ops.latest_snapshot(P.pages_df(spark, SF_TEST)))
+    pts = world.points_df(spark, SF_TEST)
+    j = geo.select("point_id", "x", "y").join(
+        pts.select("point_id", pts["x"].alias("wx"),
+                   pts["y"].alias("wy")), "point_id")
+    assert j.count() == pts.count()
+    assert j.where((j["x"] != j["wx"]) | (j["y"] != j["wy"])).count() == 0
+
+
+def test_cell_page_stats_vs_pandas_oracle(spark):
+    from greenexp_r_spark import world
+    got = pages_ops.cell_page_stats(spark, SF_TEST).toPandas()
+    geo = pages_ops.geocode(
+        pages_ops.latest_snapshot(P.pages_df(spark, SF_TEST))
+    ).select("url", "x", "y").toPandas()
+    parks = world.parks_df(spark).select("cx", "cy", "radius").toPandas()
+    x = geo["x"].values[:, None]
+    y = geo["y"].values[:, None]
+    d2 = ((x - parks["cx"].values[None, :]).astype(np.int64) ** 2
+          + (y - parks["cy"].values[None, :]).astype(np.int64) ** 2)
+    inp = (d2 <= (parks["radius"].values[None, :] ** 2)
+           .astype(np.int64)).any(axis=1)
+    ref = pd.DataFrame({
+        "cell_i": np.floor(geo["x"] / C.CELL_SIZE).astype(np.int64),
+        "cell_j": np.floor(geo["y"] / C.CELL_SIZE).astype(np.int64),
+        "in_park": inp.astype(np.int64)})
+    ref = (ref.groupby(["cell_i", "cell_j"], as_index=False)
+           .agg(n_pages=("in_park", "size"), n_in_park=("in_park", "sum")))
+    m = (got.sort_values(["cell_i", "cell_j"]).reset_index(drop=True)
+         .astype(np.int64))
+    r = (ref.sort_values(["cell_i", "cell_j"]).reset_index(drop=True)
+         .astype(np.int64))
+    pd.testing.assert_frame_equal(m, r)
+
+
+def test_merged_gate_entries_equal_components(spark):
+    """q_token_stats (token_profile) and q_text_qa consolidations must
+    equal the component operators column-for-column."""
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
+    prof = textqa.token_profile(docs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    a = textqa.token_stats(docs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    b = textqa.token_pieces(docs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        prof[list(a.columns)], a)
+    pd.testing.assert_frame_equal(
+        prof[list(b.columns)].drop(columns="doc_id"),
+        b.drop(columns="doc_id"))
+    qa = textqa.text_qa(docs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    q = textqa.quality_score(docs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    l = textqa.lang_id(docs).toPandas().sort_values(
+        "doc_id").reset_index(drop=True)
+    pd.testing.assert_frame_equal(qa[list(q.columns)], q)
+    pd.testing.assert_frame_equal(
+        qa[list(l.columns)].drop(columns="doc_id"),
+        l.drop(columns="doc_id"))
+
+
+def test_exposure_over_pages_matches_families(spark):
+    """The url-keyed exposure join must agree with the family
+    operators run on the equivalent points table."""
+    from greenexp_r_spark import world
+    from greenexp_r_spark.operators import availability, accessibility
+    exp = pages_ops.exposure_over_pages(spark, SF_TEST).toPandas()
+    pts = world.points_df(spark, SF_TEST)
+    av = availability.ndvi_zonal(pts).toPandas()
+    ac = accessibility.euclidean_access(pts, world.parks_df(spark)
+                                        ).toPandas()
+    pid = exp["url"].str.extract(r"page/(\d+)$")[0].astype(np.int64)
+    exp = exp.assign(point_id=pid)
+    m = exp.merge(av, on="point_id", suffixes=("", "_av")).merge(
+        ac, on="point_id", suffixes=("", "_ac"))
+    assert len(m) == len(exp)
+    assert np.array_equal(m["mean_ndvi"].values, m["mean_ndvi_av"].values)
+    assert np.array_equal(m["closest_greenspace"].values,
+                          m["closest_greenspace_ac"].values)
+    assert (m["greenspace_in_buffer"]
+            == m["greenspace_in_buffer_ac"]).all()
