@@ -82,27 +82,33 @@ def pages_sql(d: Dialect) -> str:
 
 
 def _pages_from_docs(doc: DataFrame) -> DataFrame:
+    """Single-scan capture expansion: the three capture generations
+    are an exploded (offset, keep) array, not a UNION ALL of three
+    re-reads — at 100 TB the documents table is scanned ONCE (the
+    shared-SQL rendering keeps UNION ALL for oracle clarity; results
+    are row-identical, tests/test_pages.py multiplicity check)."""
     did = F.col("doc_id")
     url = F.concat(F.lit("https://site"), (did % 1000).cast("string"),
                    F.lit(".example/page/"), did.cast("string"))
     html = F.encode(F.concat(F.lit(HTML_PRE), F.col("text"),
                              F.lit(HTML_POST)), "UTF-8")
     s0 = (did * TS0_MUL + TS0_ADD) % YEAR_S
-
-    def cap(off, pred=None):
-        src = doc.where(pred) if pred is not None else doc
-        us = (F.lit(EPOCH_2024_S) + s0 + off) * 1_000_000
-        return src.select(url.alias("url"),
-                          F.timestamp_micros(us.cast("long"))
-                          .alias("warc_ts"),
-                          html.alias("html"), "text", "lang")
-
-    c0 = cap(F.lit(0))
-    c1 = cap(F.lit(1) + (did * RE1_MUL + RE1_ADD) % RE1_SPAN,
-             did % RE1_MOD == 0)
-    c2 = cap(F.lit(RE2_BASE) + (did * RE2_MUL + RE2_ADD) % RE2_SPAN,
-             did % RE2_MOD == 0)
-    return c0.unionByName(c1).unionByName(c2)
+    caps = F.array(
+        F.struct(F.lit(0).cast("long").alias("off"),
+                 F.lit(True).alias("keep")),
+        F.struct((F.lit(1) + (did * RE1_MUL + RE1_ADD) % RE1_SPAN)
+                 .cast("long").alias("off"),
+                 (did % RE1_MOD == 0).alias("keep")),
+        F.struct((F.lit(RE2_BASE) + (did * RE2_MUL + RE2_ADD) % RE2_SPAN)
+                 .cast("long").alias("off"),
+                 (did % RE2_MOD == 0).alias("keep")))
+    e = (doc.select(did.alias("doc_id"), "text", "lang",
+                    F.explode(caps).alias("c"))
+         .where(F.col("c.keep")))
+    us = (F.lit(EPOCH_2024_S) + s0 + F.col("c.off")) * 1_000_000
+    return e.select(url.alias("url"),
+                    F.timestamp_micros(us.cast("long")).alias("warc_ts"),
+                    html.alias("html"), "text", "lang")
 
 
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:

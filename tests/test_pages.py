@@ -126,6 +126,54 @@ def test_merged_gate_entries_equal_components(spark):
         l.drop(columns="doc_id"))
 
 
+def test_pages_exposure_resumable_from_checkpoint(spark, tmp_path):
+    """North_rule: the pages exposure pipeline must be resumable from
+    per-partition checkpoints with lineage.  Interrupt after 2 of 4
+    url-hash units, resume, and the union must equal a direct run —
+    with the per-unit text checksums (byte-identity lineage) recorded
+    in the manifest."""
+    from greenexp_r_spark.plans import manifest as M
+    from greenexp_r_spark.operators import availability
+    from pyspark.sql import functions as F
+
+    geo = pages_ops.geocode(
+        pages_ops.pages_snapshot(spark, SF_TEST)
+    ).select("url", "point_id", "x", "y", "text")
+    run = M.CheckpointedRun(base_dir=str(tmp_path), run_id="pages1",
+                            n_parts=4)
+
+    def transform(unit):
+        return availability.ndvi_zonal(unit, add_sd=False)
+
+    calls = {"n": 0}
+
+    def failing(unit):
+        calls["n"] += 1
+        if calls["n"] > 2:
+            raise RuntimeError("interrupt")
+        return transform(unit)
+
+    try:
+        M.run_checkpointed(spark, geo, failing, run, key_col="url")
+    except RuntimeError:
+        pass
+    assert len(M.completed_parts(spark, run)) == 2
+    res = M.run_checkpointed(spark, geo, transform, run, key_col="url")
+    assert len(res["computed"]) == 2 and len(res["skipped"]) == 2
+    out = spark.read.parquet(f"{tmp_path}/part=*")
+    direct = transform(geo)
+    assert out.count() == direct.count()
+    assert (out.join(direct, "point_id", "left_anti").count() == 0)
+    # lineage rows: one per unit, with text checksums + row counts
+    man = spark.read.schema(M.MANIFEST_SCHEMA).json(
+        run.manifest_dir).toPandas()
+    assert len(man) == 4
+    assert (man["rows_out"] > 0).all()
+    # the byte-identity lineage check: no text drift
+    assert M.verify_text_invariant(spark, geo, run,
+                                   key_col="url").count() == 0
+
+
 def test_exposure_over_pages_matches_families(spark):
     """The url-keyed exposure join must agree with the family
     operators run on the equivalent points table."""

@@ -4,11 +4,13 @@ Runs the SAME compute-bound exposure job on the SAME input at
 local[N_LOW] and local[N_HIGH] in separate JVMs, reports throughput at
 both and scaling efficiency = (qps_high / qps_low) / (N_HIGH / N_LOW).
 
-The job is the core exposure join over a synthetic points table large
-enough to be compute-bound (the sf0.1 suite is too small to measure
-parallel efficiency — Spark fixed overhead dominates):
-    points → buffer-zonal NDVI (explode ~2.8k cells/point, integer
-    hash aggregate) → nearest-park join → combined result count.
+The job is the full north-star pages pipeline over a synthetic pages
+table large enough to be compute-bound (the sf0.1 suite is too small
+to measure parallel efficiency — Spark fixed overhead dominates):
+    pages (url, warc_ts, html, text, lang; ~1.31 captures/url) →
+    latest-snapshot dedup → byte-exact extract from html → url
+    geocode → buffer-zonal NDVI (explode ~2.8k cells/point, integer
+    hash aggregate) + nearest-park join + VGVI sample → count.
 
 Usage: python tools/scaling_bench.py [n_points] → JSON on stdout and
 appends the evidence table to BENCH/BASELINE.md.
@@ -50,15 +52,21 @@ sample_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 spark = build_session(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
-pts = world.synthetic_points(spark, n, partitions=cpus * 4)
+from greenexp_r_spark.sources import pages as P
+from greenexp_r_spark.operators import pages_ops
+pages = P.synthetic_pages(spark, n, partitions=cpus * 4)
 parks = world.parks_df(spark)
 # warm the JVM/codegen and the python workers, then measure
-availability.ndvi_zonal(pts.limit(500)).count()
-visibility.vgvi_points(pts.limit(200), sample_mod=1).count()
+availability.ndvi_zonal(world.synthetic_points(spark, 500)).count()
+visibility.vgvi_points(world.synthetic_points(spark, 200),
+                       sample_mod=1).count()
 c0 = control_burn()
 t0 = time.time()
-# all three exposure families: availability (buffer-zonal NDVI),
-# accessibility (nearest park), visibility (VGVI on a sample)
+# the full north-star pages pipeline: snapshot dedup -> byte-exact
+# extract -> url geocode -> all three exposure families
+geo = pages_ops.geocode(pages_ops.extract_text(
+    pages_ops.latest_snapshot(pages)))
+pts = geo.select("point_id", "url", "x", "y")
 avail = availability.ndvi_zonal(pts, add_sd=True)
 acc = accessibility.euclidean_access(pts, parks)
 rows = avail.join(acc, "point_id").count()
@@ -128,9 +136,10 @@ def main() -> None:
         f.write(f"""
 ## Scaling run {stamp}
 
-Same job (buffer-zonal NDVI + nearest-park exposure join over
-{n:,} synthetic points, identical input both runs), two parallelism
-levels, separate JVMs:
+Same job (full pages pipeline: snapshot dedup → byte-exact extract →
+url geocode → zonal-NDVI + nearest-park + VGVI-sample exposure join
+over {n:,} synthetic pages/urls ≈ {int(n * 1.3125):,} captures,
+identical input both runs), two parallelism levels, separate JVMs:
 
 | parallelism | wall sec (best of {trials}) | all trials | points/sec |
 |---|---|---|---|
