@@ -24,14 +24,19 @@ from greenexp_r_spark.operators import accessibility, availability
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship three-family exposure query on sf0.001: per address
-    point, availability (buffer-zonal mean/sd NDVI) + accessibility
-    (distance to nearest ≥400 m² park, in-300m flag), plus visibility
-    (VGVI) for the sampled observer subset — the full
-    availability+accessibility+visibility join of BASELINE.json's
-    metric.  The avail+access core is gate-checked against its DuckDB
-    oracle as q_exposure_combined; VGVI is kernel-verified."""
-    return registry.flagship_exposure(spark, "/root/testdata/sf0.001")
+    """Flagship three-family exposure over the input_hint pages table
+    at sf0.001: Common-Crawl-style captures (url, warc_ts, html, text,
+    lang) → latest-snapshot dedup → byte-identical text extraction
+    from html → url geocoding → availability (buffer-zonal mean/sd
+    NDVI) + accessibility (distance to nearest ≥400 m² park, in-300m
+    flag) keyed by url, plus visibility (VGVI) for the sampled
+    observer subset — the full availability+accessibility+visibility
+    join of BASELINE.json's metric.  The avail+access core is
+    gate-checked against its DuckDB oracle as q_exposure_pages (and
+    the point-keyed variant as q_exposure_combined); VGVI is
+    kernel-verified."""
+    return registry.flagship_exposure_pages(spark,
+                                            "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -125,14 +125,24 @@ def cell_membership_index(parks: DataFrame,
 
 def cell_page_stats(spark: SparkSession, sf_dir: str,
                     parks: DataFrame | None = None,
-                    cell: int = C.CELL_SIZE) -> DataFrame:
+                    cell: int = C.CELL_SIZE,
+                    salted: bool = False,
+                    hot_threshold: int = 10_000,
+                    n_salt: int = 8) -> DataFrame:
     """Per-bucket-cell page counts + point-in-greenspace counts over
     the deduplicated pages table: the cell-bucketed spatial-join shape
     of the north_rule (points bucketed by cell, broadcast cell→polygon
     index, PIP test vectorized JVM-side).  Membership is inclusive
     (d ≤ r, all parks — PIP has no minimum-size filter).
 
-    Output: (cell_i, cell_j, n_pages, n_in_park)."""
+    Output: (cell_i, cell_j, n_pages, n_in_park).
+
+    ``salted=True`` takes the non-broadcast regime (an index too large
+    to broadcast — continental park layers at 10^12 points): the join
+    becomes a shuffle equi-join on cell_id with explicit hot-cell
+    salting (plans/salting.py — probe rows of hot cells spread over
+    n_salt reducers, build rows replicated), results identical
+    (tests/test_pages.py::test_cell_stats_salted_equals_broadcast)."""
     from .. import world
     parks = parks if parks is not None else world.parks_df(spark)
     geo = geocode(pages_snapshot(spark, sf_dir))
@@ -143,7 +153,14 @@ def cell_page_stats(spark: SparkSession, sf_dir: str,
     pts = pts.withColumn(
         "cell_id", F.col("cell_i") * C.CELL_SHIFT + F.col("cell_j"))
     idx = cell_membership_index(parks, cell)
-    hit = (pts.join(F.broadcast(idx), "cell_id", "left")
+    if salted:
+        from ..plans.salting import salted_join
+        hit = salted_join(pts, idx, "cell_id", row_key="url",
+                          threshold=hot_threshold, n_salt=n_salt,
+                          how="left")
+    else:
+        hit = pts.join(F.broadcast(idx), "cell_id", "left")
+    hit = (hit
            .withColumn(
                "in_park",
                F.when(F.col("park_id").isNotNull()

@@ -336,6 +336,23 @@ def flagship_exposure(spark, sf):
     return base.join(v, "point_id", "left")
 
 
+def flagship_exposure_pages(spark, sf):
+    """The north-star flagship over the input_hint pages table:
+    snapshot dedup → byte-exact extraction → url geocoding →
+    availability + accessibility exposure keyed by url (gate-checked
+    exactly as q_exposure_pages), plus visibility (VGVI) for the
+    sampled observer subset — the full availability + accessibility +
+    visibility join of BASELINE.json's metric on Common-Crawl-shaped
+    input."""
+    from .operators import pages_ops
+    base = pages_ops.exposure_over_pages(spark, sf)
+    pid = F.regexp_extract(F.col("url"), "page/([0-9]+)$", 1) \
+           .cast("long").alias("point_id")
+    v = visibility.vgvi_points(world.points_df(spark, sf), sample_mod=10)
+    return (base.withColumn("point_id", pid)
+            .join(v, "point_id", "left").drop("point_id"))
+
+
 def _q_ndvi(spark, sf):
     return availability.ndvi_zonal(world.points_df(spark, sf))
 

@@ -99,6 +99,20 @@ def test_cell_page_stats_vs_pandas_oracle(spark):
     pd.testing.assert_frame_equal(m, r)
 
 
+def test_cell_stats_salted_equals_broadcast(spark):
+    """Hot-cell salted shuffle join (the non-broadcast 10^12-scale
+    regime) must equal the broadcast plan; threshold 1 forces every
+    occupied cell through the salting path."""
+    a = (pages_ops.cell_page_stats(spark, SF_TEST)
+         .toPandas().sort_values(["cell_i", "cell_j"])
+         .reset_index(drop=True))
+    b = (pages_ops.cell_page_stats(spark, SF_TEST, salted=True,
+                                   hot_threshold=1, n_salt=4)
+         .toPandas().sort_values(["cell_i", "cell_j"])
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(a, b)
+
+
 def test_merged_gate_entries_equal_components(spark):
     """q_token_stats (token_profile) and q_text_qa consolidations must
     equal the component operators column-for-column."""
