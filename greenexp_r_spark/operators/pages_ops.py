@@ -77,11 +77,24 @@ def geocode(pages: DataFrame) -> DataFrame:
                 .withColumn("y", y.cast("double"))
 
 
+def latest_extracted_snapshot(pages: DataFrame) -> DataFrame:
+    """Extraction-first snapshot: extract text per capture (narrow,
+    drops the html payload BEFORE the shuffle — the url aggregate then
+    carries text once instead of html+text, ~halving shuffle bytes at
+    corpus scale), then the same max-struct argmax per url.  Row-
+    identical to extract_text(latest_snapshot(...)): extraction is a
+    deterministic per-row map and capture times are tie-free."""
+    ext = extract_text(pages)
+    s = F.max(F.struct("warc_ts", "text", "lang", "n_chars")).alias("s")
+    return (ext.groupBy("url").agg(s)
+            .select("url", "s.warc_ts", "s.text", "s.lang", "s.n_chars"))
+
+
 def pages_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gate shape: latest capture per url with text re-extracted from
     html — hash-exact equality against the oracle proves the per-row
     byte-identical-text invariant end-to-end."""
-    return extract_text(latest_snapshot(P.pages_df(spark, sf_dir)))
+    return latest_extracted_snapshot(P.pages_df(spark, sf_dir))
 
 
 def exposure_over_pages(spark: SparkSession, sf_dir: str,
@@ -93,7 +106,13 @@ def exposure_over_pages(spark: SparkSession, sf_dir: str,
     from .. import world
     parks = parks if parks is not None else world.parks_df(spark)
     geo = geocode(pages_snapshot(spark, sf_dir))
-    pts = geo.select("point_id", "url", "warc_ts", "x", "y", "n_chars")
+    # materialize the (small, text-free) geocoded snapshot once:
+    # without this the snapshot shuffle + parquet scan replays in each
+    # family branch (measured: 5 scans / 3 snapshot exchanges, zero
+    # ReusedExchange) — at corpus scale that triples the ingest cost.
+    # localCheckpoint output is O(urls) rows of ~90 bytes.
+    pts = geo.select("point_id", "url", "warc_ts", "x", "y",
+                     "n_chars").localCheckpoint(eager=False)
     av = availability.ndvi_zonal(pts)
     ac = euclidean_access_cells(pts, parks)
     return (pts.join(av, "point_id").join(ac, "point_id")

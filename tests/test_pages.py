@@ -44,6 +44,48 @@ def test_extraction_byte_identical_per_url(spark):
                                + P.HTML_POST).encode("utf-8")
 
 
+def test_extraction_roundtrip_arbitrary_unicode(spark):
+    """wrap→encode→decode→strip must be the identity for ANY text,
+    including multibyte unicode and markup-looking content (the strip
+    is positional, not a search)."""
+    texts = ["", "héllo wörld", "日本語のテキスト", "<body></body>",
+             "a" * 10_000, "tab\tnl\n mixed   seps",
+             "<html><body>nested</body></html>", "emoji 🌳🛰️",
+             "null\x00byte" .replace("\x00", ""),  # NUL excluded: not
+             # valid in the driver corpus and parquet-hostile
+             ]
+    from pyspark.sql import functions as F
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)],
+                               "doc_id long, text string") \
+        .withColumn("lang", F.lit("en"))
+    pages = P._pages_from_docs(df)
+    ext = pages_ops.extract_text(pages)
+    j = ext.join(pages.select("url", pages["text"].alias("orig")), "url")
+    assert j.where(j["text"] != j["orig"]).count() == 0
+    assert ext.count() == pages.count()
+
+
+def test_snapshot_idempotent_and_tie_free(spark):
+    pages = P.pages_df(spark, SF_TEST)
+    # capture times are unique per url by construction
+    dup_ts = (pages.groupBy("url", "warc_ts").count()
+              .where("count > 1").count())
+    assert dup_ts == 0
+    snap1 = pages_ops.latest_snapshot(pages)
+    snap2 = pages_ops.latest_snapshot(snap1)
+    a = snap1.toPandas().sort_values("url").reset_index(drop=True)
+    b = snap2.toPandas().sort_values("url").reset_index(drop=True)
+    pd.testing.assert_frame_equal(a, b)
+    # extraction order is immaterial: extract-first (the optimized
+    # gate path) equals extract-after-dedup
+    fast = (pages_ops.latest_extracted_snapshot(pages)
+            .toPandas().sort_values("url").reset_index(drop=True))
+    slow = (pages_ops.extract_text(snap1)
+            .toPandas().sort_values("url").reset_index(drop=True))
+    pd.testing.assert_frame_equal(fast[sorted(fast.columns)],
+                                  slow[sorted(slow.columns)])
+
+
 def test_latest_snapshot_counts_and_max_ts(spark):
     pages = P.pages_df(spark, SF_TEST)
     snap = pages_ops.latest_snapshot(pages)
