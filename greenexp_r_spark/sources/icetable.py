@@ -126,17 +126,30 @@ def _load_manifest(table: str, snap: int) -> dict:
         return json.load(f)
 
 
+class CommitConflict(Exception):
+    """Another writer advanced the table between this commit's start
+    and its pointer swap (Iceberg's optimistic-concurrency failure;
+    callers re-read and retry)."""
+
+
 def commit(df: DataFrame, table: str, mode: str = "append",
-           stat_cols: list[str] | None = None) -> int:
+           stat_cols: list[str] | None = None,
+           expected_parent: int | None = None) -> int:
     """Write ``df`` as a new snapshot.  ``append`` unions the parent
     snapshot's files; ``overwrite`` starts fresh.  Returns the new
     snapshot id.  The commit is atomic: data files land first, the
     manifest second, and the VERSION pointer is swapped last
     (os.replace — readers see the old or the new snapshot, never a
-    partial one)."""
+    partial one).  Optimistic concurrency: the parent snapshot is
+    re-read immediately before the swap and the commit raises
+    CommitConflict if another writer advanced it (pass
+    ``expected_parent`` to pin the base explicitly)."""
     os.makedirs(_meta_dir(table), exist_ok=True)
     parent = current_snapshot(table) if \
         os.path.exists(_version_file(table)) else 0
+    if expected_parent is not None and parent != expected_parent:
+        raise CommitConflict(
+            f"table at snapshot {parent}, expected {expected_parent}")
     snap = parent + 1
     data_dir = os.path.join(table, "data", f"s{snap}")
     df.write.mode("error").parquet(data_dir)
@@ -158,6 +171,13 @@ def commit(df: DataFrame, table: str, mode: str = "append",
     }
     with open(_manifest_path(table, snap), "w") as f:
         json.dump(manifest, f)
+    now = current_snapshot(table) if \
+        os.path.exists(_version_file(table)) else 0
+    if now != parent:
+        raise CommitConflict(
+            f"concurrent writer advanced {table} to snapshot {now} "
+            f"(this commit based on {parent}); staged files are "
+            f"invisible — re-read and retry")
     tmp = _version_file(table) + ".tmp"
     with open(tmp, "w") as f:
         f.write(str(snap))

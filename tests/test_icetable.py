@@ -82,6 +82,23 @@ def test_crash_leaves_previous_snapshot_visible(spark, tmp_path):
     assert icetable.read(spark, t).count() == 5
 
 
+def test_commit_conflict_detection(spark, tmp_path):
+    """Optimistic concurrency: a commit based on a stale parent must
+    raise and leave the other writer's snapshot intact."""
+    import pytest
+    t = str(tmp_path / "tbl")
+    icetable.commit(_pages(spark).limit(20), t)          # snapshot 1
+    with pytest.raises(icetable.CommitConflict):
+        icetable.commit(_pages(spark).limit(5), t,
+                        expected_parent=0)               # stale base
+    assert icetable.current_snapshot(t) == 1
+    assert icetable.read(spark, t).count() == 20
+    # a correctly-based commit still lands
+    s = icetable.commit(_pages(spark).limit(5), t, mode="overwrite",
+                        expected_parent=1)
+    assert s == 2 and icetable.read(spark, t).count() == 5
+
+
 def test_metrics_lineage(spark, tmp_path):
     t = str(tmp_path / "tbl")
     icetable.commit(_pages(spark), t)
