@@ -26,8 +26,6 @@ def _emb(spark, sf):
 # ---------------------------------------------------------------------
 
 
-
-
 def _oracle_token_profile(d: Dialect) -> str:
     """token_stats + token_pieces merged (one scan, matching the
     consolidated operator) — frees a registry slot inside the driver's
