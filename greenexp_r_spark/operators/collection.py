@@ -1,0 +1,99 @@
+"""S4 — scene-collection reduce (the GEE ``ImageCollection.mean()``
+math, acquisition-free).
+
+The reference's Planetary-Computer/GEE path fetches a multi-temporal
+image collection and reduces it server-side to one composite raster
+(ndvi_calc.R:277-318 acquires; the reduce itself is a per-cell mean
+over cloud-masked scenes).  SURVEY §2.1 scoped the *acquisition* out;
+this operator implements the *reduce* over the engine's scene-tile
+collection (sources/tiles.scene_tiles_df), closing the S4 math:
+
+    scene tiles (scene_id, tile_id, values[65536]) →
+    groupBy(tile_id) → per-cell masked mean over scenes →
+    composite tile table (same schema as ndvi_tiles_df rows).
+
+Scale notes (100 TB posture):
+  * one hash aggregate keyed by tile_id; each group holds n_scenes
+    rows whose arrays reduce element-wise in ONE numpy pass inside
+    applyInPandas (Arrow batches; no per-cell Python).  Shuffle volume
+    = the collection itself, once — the minimum possible for a
+    temporal reduce (cells of one tile must meet).
+  * at petabyte scale the group width is bounded (n_scenes per tile),
+    so no group outgrows an executor regardless of corpus size;
+    partitioning by tile_id is uniform by construction.
+  * count/sum are integers → the composite is bit-deterministic under
+    any partitioning or retry order; the float mean happens once per
+    cell at the end.
+
+Correctness: tests/test_collection.py replays every tile with a
+sequential numpy oracle (exact), checks the all-cloudy→null masking
+property, and runs the composite through the tile-zonal join
+comparing against a brute-force per-point oracle.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import (ArrayType, DoubleType, IntegerType,
+                               LongType, StructField, StructType)
+
+from ..sources.tiles import NA_SENTINEL
+
+COMPOSITE_SCHEMA = StructType([
+    StructField("tile_id", LongType()),
+    StructField("tx", IntegerType()),
+    StructField("ty", IntegerType()),
+    StructField("xmin", DoubleType()),
+    StructField("ymin", DoubleType()),
+    StructField("res", DoubleType()),
+    StructField("nrow", IntegerType()),
+    StructField("ncol", IntegerType()),
+    StructField("mean_x800", ArrayType(DoubleType())),
+    StructField("n_scenes", ArrayType(IntegerType())),
+])
+
+
+def collection_mean(scene_tiles: DataFrame) -> DataFrame:
+    """Per-cell mean over unmasked scenes; cells cloudy/NA in every
+    scene stay null (GEE mask-propagation semantics).  Output mean is
+    in the NDVI*800 integer unit divided once (double)."""
+
+    def reduce_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        first = pdf.iloc[0]
+        vals = np.stack([np.asarray(v, dtype=np.int64)
+                         for v in pdf["values"]])
+        mask = vals != NA_SENTINEL
+        cnt = mask.sum(axis=0)
+        s = np.where(mask, vals, 0).sum(axis=0)
+        with np.errstate(invalid="ignore"):
+            mean = np.where(cnt > 0, s / np.maximum(cnt, 1), np.nan)
+        mean = [float(x) if c > 0 else None
+                for x, c in zip(mean, cnt)]
+        return pd.DataFrame([{
+            "tile_id": int(first["tile_id"]),
+            "tx": int(first["tx"]), "ty": int(first["ty"]),
+            "xmin": float(first["xmin"]), "ymin": float(first["ymin"]),
+            "res": float(first["res"]),
+            "nrow": int(first["nrow"]), "ncol": int(first["ncol"]),
+            "mean_x800": mean,
+            "n_scenes": cnt.astype(np.int32),
+        }])
+
+    return (scene_tiles.groupBy("tile_id")
+            .applyInPandas(reduce_group, COMPOSITE_SCHEMA))
+
+
+def collection_count_valid(scene_tiles: DataFrame) -> DataFrame:
+    """(tile_id, n_cells_all_cloudy, n_obs_total): collection-level
+    QA stats — one narrow aggregate, array HOFs avoided in favor of
+    the same Arrow reduce."""
+    comp = collection_mean(scene_tiles)
+    n_zero = F.expr("size(filter(n_scenes, c -> c = 0))")
+    n_obs = F.expr("aggregate(n_scenes, 0L, (a, c) -> a + c)")
+    return comp.select("tile_id", n_zero.alias("n_cells_all_cloudy"),
+                       n_obs.alias("n_obs_total"))
