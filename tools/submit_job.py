@@ -10,7 +10,12 @@ as parquet, and prints one JSON line of lineage metrics.
 
 Usage:
     spark-submit --master <...> --py-files greenexp_r_spark.zip \
-        tools/submit_job.py <sf_dir> <out_dir>
+        tools/submit_job.py <sf_dir | synthetic:N> <out_dir>
+
+`synthetic:N` swaps the parquet input for N deterministic synthetic
+urls (sources/pages.synthetic_pages) — the two-cluster-size scaling
+protocol run LITERALLY through spark-submit (BASELINE.json north
+rule); wall seconds and throughput are included in the JSON line.
 
 Verified end-to-end by tests/test_submit.py (local[4], result equals
 the in-process q_exposure_pages plan bit-for-bit).
@@ -20,6 +25,7 @@ from __future__ import annotations
 
 import json
 import sys
+import time
 
 from pyspark.sql import SparkSession
 
@@ -31,13 +37,35 @@ def main() -> None:
 
     from greenexp_r_spark.operators import pages_ops
 
-    result = pages_ops.exposure_over_pages(spark, sf_dir)
+    t0 = time.time()
+    if sf_dir.startswith("synthetic:"):
+        n = int(sf_dir.split(":", 1)[1])
+        from greenexp_r_spark.sources import pages as P
+        from greenexp_r_spark.operators import availability
+        from greenexp_r_spark import world
+        geo = pages_ops.geocode(pages_ops.latest_extracted_snapshot(
+            P.synthetic_pages(spark, n)))
+        pts = geo.select("point_id", "url", "x", "y") \
+                 .localCheckpoint(eager=False)
+        from greenexp_r_spark.operators.knn_cells import \
+            euclidean_access_cells
+        result = (availability.ndvi_zonal(pts)
+                  .join(euclidean_access_cells(
+                      pts, world.parks_df(spark)), "point_id"))
+        n_in = n
+    else:
+        result = pages_ops.exposure_over_pages(spark, sf_dir)
+        n_in = None
     result.write.mode("overwrite").parquet(out_dir)
+    dt = time.time() - t0
     back = spark.read.parquet(out_dir)
+    rows = back.count()
     print(json.dumps({
-        "rows": back.count(),
+        "rows": rows,
         "n_files": len(back.inputFiles()),
         "columns": sorted(back.columns),
+        "seconds": round(dt, 2),
+        "urls_per_sec": round((n_in or rows) / dt, 1),
     }))
     spark.stop()
 
