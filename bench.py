@@ -97,6 +97,17 @@ def main() -> None:
 
     n_points = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
 
+    # warm the JVM (codegen, AQE, shuffle service) and the Arrow
+    # python workers once, so per-query times measure the query, not
+    # whichever entry happens to run first (scaling_bench.py does the
+    # same; r01/r02 charged this ~2-5 s cold cost to their first
+    # headline query — disclosed in BENCH/BASELINE.md)
+    from greenexp_r_spark import world
+    from greenexp_r_spark.operators import availability, visibility
+    availability.ndvi_zonal(world.synthetic_points(spark, 200)).count()
+    visibility.vgvi_points(world.synthetic_points(spark, 100),
+                           sample_mod=1).count()
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     total = 0.0
