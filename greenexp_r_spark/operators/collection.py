@@ -27,8 +27,7 @@ Scale notes (100 TB posture):
 
 Correctness: tests/test_collection.py replays every tile with a
 sequential numpy oracle (exact), checks the all-cloudy→null masking
-property, and runs the composite through the tile-zonal join
-comparing against a brute-force per-point oracle.
+property, determinism under repartitioning, and the QA stats.
 """
 
 from __future__ import annotations

@@ -80,6 +80,74 @@ def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
     return settled
 
 
+DRIVER_GRAPH_EDGE_LIMIT = 2_000_000   # directed edges that fit a
+                                      # driver-side solve (~50 MB)
+
+
+def multi_source_dist_driver(edges_bidir: DataFrame, sources: DataFrame,
+                             max_dist: float = C.NET_MAX_DIST
+                             ) -> DataFrame:
+    """Driver-side multi-source Dijkstra for graphs that fit in driver
+    memory — the road network is a *dimension* (a country's OSM
+    extract is 10^7-10^8 edges, KBs-GBs), while the 10^12-row points
+    table is the fact side; solving the dim once on the driver and
+    broadcasting the distance table back is the same plan shape as
+    broadcasting a park dim, and removes every iterative shuffle
+    round.  The distributed relaxations above remain the path for
+    continental graphs past DRIVER_GRAPH_EDGE_LIMIT (see
+    multi_source_dist_auto).
+
+    Values are bit-identical to the distributed relaxation: both
+    compute min over path prefix-sums of the same doubles (parity
+    asserted in tests/test_network_parity.py).
+    """
+    import heapq
+    spark = edges_bidir.sparkSession
+    pdf = edges_bidir.select("src", "dst", "length_m").toPandas()
+    adj: dict[int, list[tuple[int, float]]] = {}
+    for s, d, l in zip(pdf["src"].astype(int), pdf["dst"].astype(int),
+                       pdf["length_m"].astype(float)):
+        adj.setdefault(s, []).append((d, l))
+    heap = [(0.0, int(r[0])) for r in
+            sources.select("node_id").distinct().collect()]
+    heapq.heapify(heap)
+    dist: dict[int, float] = {}
+    while heap:
+        d, n = heapq.heappop(heap)
+        if n in dist:
+            continue
+        dist[n] = d
+        for m, l in adj.get(n, ()):
+            nd = d + l
+            if nd <= max_dist and m not in dist:
+                heapq.heappush(heap, (nd, m))
+    return spark.createDataFrame(
+        [(n, d) for n, d in dist.items()],
+        "node_id long, net_dist double")
+
+
+def multi_source_dist_auto(edges_bidir: DataFrame, sources: DataFrame,
+                           max_dist: float = C.NET_MAX_DIST,
+                           hop: float = C.NET_HOP,
+                           uniform: bool = False,
+                           n_edges_hint: int | None = None) -> DataFrame:
+    """Size-routed shortest paths: dimension-sized graphs solve on the
+    driver in one pass (no iterative shuffles); larger graphs take the
+    distributed relaxation (BFS layering for uniform weights,
+    hop-doubling Bellman-Ford otherwise).  Pass `n_edges_hint` when
+    the graph's size is known (fixture constant / table statistics);
+    otherwise the probe is one bounded limit-count."""
+    n = (n_edges_hint if n_edges_hint is not None
+         else edges_bidir.limit(DRIVER_GRAPH_EDGE_LIMIT + 1).count())
+    if n <= DRIVER_GRAPH_EDGE_LIMIT:
+        return multi_source_dist_driver(edges_bidir, sources, max_dist)
+    if uniform:
+        return multi_source_dist_bfs(edges_bidir, sources,
+                                     max_dist=max_dist, hop=hop)
+    return multi_source_dist_hopset(edges_bidir, sources,
+                                    max_dist=max_dist, hop=hop, k_log2=2)
+
+
 def multi_source_dist_bfs(edges_bidir: DataFrame, sources: DataFrame,
                           max_dist: float = C.NET_MAX_DIST,
                           hop: float = C.NET_HOP) -> DataFrame:
@@ -178,11 +246,18 @@ def network_access(points: DataFrame, edges: DataFrame,
                    max_dist: float = C.NET_MAX_DIST) -> DataFrame:
     """(point_id, network_dist, reachable_in_buffer): bounded network
     distance from each point's snapped node to the nearest park
-    entrance; NA→FALSE semantics of accessibility.R:345-349."""
-    dist = multi_source_dist_bfs(
+    entrance; NA→FALSE semantics of accessibility.R:345-349.
+
+    Size-routed (multi_source_dist_auto): the fixture lattice (and any
+    real city/country OSM extract) is dimension-sized → one driver
+    Dijkstra, zero iterative shuffles; continental graphs past
+    DRIVER_GRAPH_EDGE_LIMIT take the BFS layering.  Values identical
+    either way (tests/test_network_parity.py)."""
+    dist = multi_source_dist_auto(
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=max_dist)
+        max_dist=max_dist, uniform=True,
+        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
     return _attach_points(points, dist, buffer_m)
 
 
@@ -213,11 +288,14 @@ def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
     and therefore cannot distinguish.  Runs the general Bellman-Ford
     relaxation over the 4-hop min-dist edge set (rounds ÷ 4; measured
     7.6 s vs 10.7 s plain at sf0.01, identical results — hop-doubling
-    composes with weights since khop_edges carries min path sums)."""
-    dist = multi_source_dist_hopset(
+    composes with weights since khop_edges carries min path sums).
+    Size-routed like network_access: dimension-sized graphs solve on
+    the driver; the hop-doubling relaxation is the big-graph path."""
+    dist = multi_source_dist_auto(
         bidirectional(edges_weighted),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=max_dist, hop=min_edge_m, k_log2=2)
+        max_dist=max_dist, hop=min_edge_m,
+        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
     return _attach_points(points, dist, buffer_m)
 
 
@@ -238,11 +316,15 @@ def network_access_extended(points: DataFrame, edges: DataFrame,
     identical results (40,356 settled nodes).  k_log2=3 LOSES (53.5 s)
     — the E₄⋈E₄ squaring's 64M-row intermediate costs more than the
     rounds it saves; pick k so the 2^k-hop neighborhood stays small
-    relative to round overhead."""
-    dist = multi_source_dist_hopset(
+    relative to round overhead.  Size-routed: the fixture lattice is
+    dimension-sized, so the default run is ONE driver Dijkstra (the
+    measured numbers above are the big-graph distributed path, still
+    taken past DRIVER_GRAPH_EDGE_LIMIT)."""
+    dist = multi_source_dist_auto(
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=ext_max_dist, k_log2=2)
+        max_dist=ext_max_dist,
+        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
     return _attach_points(points, dist, buffer_m)
 
 

@@ -145,3 +145,51 @@ def test_hopset_matches_python_dijkstra_random_graph(spark, seed):
         k_log2=2).toPandas()
     got_d = dict(zip(got.node_id, got.net_dist))
     assert got_d == want
+
+
+def test_driver_dijkstra_equals_distributed(spark):
+    """Size-routing correctness: the driver-side heap Dijkstra must be
+    value-identical to BOTH distributed relaxations (BFS layering for
+    uniform weights; hop-doubling Bellman-Ford for heterogeneous) on
+    the world graph at the extended bound."""
+    srcs = world.park_entrances_df(spark).select(
+        F.col("entrance_node").alias("node_id"))
+    # uniform lattice, extended bound (deepest search)
+    eb = network.bidirectional(world.road_edges_df(spark))
+    drv = network.multi_source_dist_driver(
+        eb, srcs, max_dist=C.EXT_MAX_DIST).toPandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    bfs = network.multi_source_dist_bfs(
+        eb, srcs, max_dist=C.EXT_MAX_DIST).toPandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    assert len(drv) == len(bfs)
+    assert (drv["node_id"].values == bfs["node_id"].values).all()
+    assert (drv["net_dist"].values == bfs["net_dist"].values).all()
+    # heterogeneous weights at the bounded radius
+    ew = network.bidirectional(world.road_edges_weighted_df(spark))
+    drv_w = network.multi_source_dist_driver(
+        ew, srcs, max_dist=C.NET_MAX_DIST).toPandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    hop = network.multi_source_dist_hopset(
+        ew, srcs, max_dist=C.NET_MAX_DIST,
+        hop=C.WEDGE_BASE, k_log2=2).toPandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    assert len(drv_w) == len(hop)
+    assert (drv_w["node_id"].values == hop["node_id"].values).all()
+    assert (drv_w["net_dist"].values == hop["net_dist"].values).all()
+
+
+def test_auto_routes_small_graph_without_iterating(spark):
+    """On a dimension-sized graph multi_source_dist_auto must return
+    the driver solve (flat two-stage plan, no iterative checkpoints)."""
+    srcs = world.park_entrances_df(spark).select(
+        F.col("entrance_node").alias("node_id"))
+    eb = network.bidirectional(world.road_edges_df(spark))
+    out = network.multi_source_dist_auto(
+        eb, srcs, max_dist=C.NET_MAX_DIST, uniform=True,
+        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
+    # a driver-solve result is a parallelized local collection: its
+    # plan contains no joins at all
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert out.count() > 0
