@@ -394,16 +394,63 @@ def isochrone_hulls(points_sample: DataFrame, edges: DataFrame,
     return nodes.groupBy("point_id").applyInPandas(hull, schema)
 
 
+COMPONENT_DRIVER_EDGE_LIMIT = 5_000_000
+
+
+def _component_labels_driver(edges_bidir: DataFrame) -> DataFrame:
+    """Driver-side union-find for edge sets that fit in driver memory.
+    The component edge set is candidate-pair-sized (dedup clusters) or
+    dimension-sized (a road graph) — orders of magnitude below the
+    corpus — so one union-find pass replaces O(log diameter) shuffle
+    rounds.  Labels are identical to the distributed propagation: the
+    minimum member id of each component."""
+    spark = edges_bidir.sparkSession
+    pdf = edges_bidir.select("src", "dst").toPandas()
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.setdefault(r, r) != r:
+            r = parent[r]
+        while parent[x] != r:           # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for s, d in zip(pdf["src"].astype(int), pdf["dst"].astype(int)):
+        rs, rd = find(s), find(d)
+        if rs != rd:
+            parent[rs] = rd
+    root_min: dict[int, int] = {}
+    for n in parent:
+        r = find(n)
+        if r not in root_min or n < root_min[r]:
+            root_min[r] = n
+    return spark.createDataFrame(
+        [(n, root_min[find(n)]) for n in parent],
+        "node_id long, label long")
+
+
 def component_labels(edges_bidir: DataFrame,
                      max_iters: int = 64,
-                     checkpoint_every: int = 4) -> DataFrame:
+                     checkpoint_every: int = 4,
+                     n_edges_hint: int | None = None) -> DataFrame:
     """(node_id, label): connected-component labels via min-label
     propagation with pointer jumping, to fixpoint.  label = the
     minimum node_id of the component (stable canonical
     representative).  Iterations are bounded by graph diameter;
     pointer jumping collapses label chains exponentially.
     Shared by A10 (largest component) and the dedup-group capstone
-    (near-dup clusters → canonical doc)."""
+    (near-dup clusters → canonical doc).
+
+    Size-routed like multi_source_dist_auto: edge sets under
+    COMPONENT_DRIVER_EDGE_LIMIT (candidate pairs / dimension graphs)
+    solve with one driver union-find, labels identical
+    (tests/test_network_parity.py); the iterative propagation is the
+    corpus-sized-edge-set path."""
+    n = (n_edges_hint if n_edges_hint is not None
+         else edges_bidir.limit(COMPONENT_DRIVER_EDGE_LIMIT + 1).count())
+    if n <= COMPONENT_DRIVER_EDGE_LIMIT:
+        return _component_labels_driver(edges_bidir)
     nodes = (edges_bidir.select(F.col("src").alias("node_id"))
              .union(edges_bidir.select(F.col("dst").alias("node_id")))
              .distinct())

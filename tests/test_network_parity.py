@@ -193,3 +193,34 @@ def test_auto_routes_small_graph_without_iterating(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert out.count() > 0
+
+
+def test_component_driver_equals_distributed(spark):
+    """Union-find routing parity: labels identical to the iterative
+    min-label/pointer-jumping propagation on the road lattice and on
+    a random multi-component graph."""
+    eb = network.bidirectional(world.road_edges_df(spark))
+    drv = network._component_labels_driver(eb).toPandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    # force the distributed path despite the small graph
+    dist = network.component_labels(
+        eb, n_edges_hint=network.COMPONENT_DRIVER_EDGE_LIMIT + 1
+    ).toPandas().sort_values("node_id").reset_index(drop=True)
+    assert len(drv) == len(dist)
+    assert (drv["node_id"].values == dist["node_id"].values).all()
+    assert (drv["label"].values == dist["label"].values).all()
+
+    import random
+    rng = random.Random(7)
+    edges = [(rng.randrange(500), rng.randrange(500))
+             for _ in range(300)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    both = df.union(df.select(F.col("dst").alias("src"),
+                              F.col("src").alias("dst")))
+    a = network._component_labels_driver(both).toPandas() \
+        .sort_values("node_id").reset_index(drop=True)
+    b = network.component_labels(
+        both, n_edges_hint=network.COMPONENT_DRIVER_EDGE_LIMIT + 1
+    ).toPandas().sort_values("node_id").reset_index(drop=True)
+    assert (a["node_id"].values == b["node_id"].values).all()
+    assert (a["label"].values == b["label"].values).all()
