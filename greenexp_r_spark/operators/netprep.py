@@ -14,8 +14,9 @@ NAMESPACE also imports to_spatial_smooth): raw OSM polylines are
 
 Spark shapes (100 TB posture):
   * subdivision is per-segment local: one groupBy(node) occurrence
-    count (broadcastable — shared vertices are a small fraction of all
-    vertices) + window functions partitioned by seg_id.  No iteration.
+    count filtered to occ≥2 BEFORE the broadcast (only shared vertices
+    ship — a small fraction of all vertices; unshared ones coalesce to
+    occ 1) + window functions partitioned by seg_id.  No iteration.
   * smoothing reuses the shared connected-component operator
     (network.component_labels) on the degree-2-induced subgraph —
     chains contract in O(log chain-length) label-propagation rounds,
@@ -99,11 +100,19 @@ def subdivide(verts: DataFrame) -> DataFrame:
     pure geometry.  Input: (seg_id, pos, node_id, vx, vy).
     Output: edges (src, dst, length_m), length = along-line distance
     between consecutive cut vertices."""
-    occ = verts.groupBy("node_id").agg(F.count(F.lit(1)).alias("occ"))
+    # only vertices occurring ≥2 times are broadcast (ADVICE r03 #4:
+    # broadcasting the full per-vertex count table would ship
+    # O(all-vertices) to every executor; shared vertices — the only
+    # ones that matter for cuts — are the small fraction).  Unshared
+    # vertices come back as null → occ 1 via coalesce.
+    shared = (verts.groupBy("node_id")
+              .agg(F.count(F.lit(1)).alias("occ"))
+              .where(F.col("occ") >= 2))
     mx = verts.groupBy("seg_id").agg(F.max("pos").alias("maxpos"))
     w = Window.partitionBy("seg_id").orderBy("pos")
     v = (verts
-         .join(F.broadcast(occ), "node_id")
+         .join(F.broadcast(shared), "node_id", "left")
+         .withColumn("occ", F.coalesce("occ", F.lit(1)))
          .join(F.broadcast(mx), "seg_id")
          .withColumn("step", F.sqrt(
              F.pow(F.col("vx") - F.lag("vx").over(w), 2)
@@ -149,8 +158,15 @@ def smooth(edges: DataFrame) -> DataFrame:
     interior = e.where(F.col("s2") & F.col("d2"))
     # chain labels: components over interior edges; deg-2 nodes with no
     # interior edge are single-node chains labeled by themselves
-    int_bidir = bidirectional(interior.select("src", "dst", "length_m"))
-    labeled = component_labels(int_bidir) if interior.take(1) else None
+    if interior.take(1):
+        # checkpoint before the size probe (probe-contract: the probe
+        # must not re-run the degree-join pipeline)
+        int_bidir = bidirectional(
+            interior.select("src", "dst", "length_m")
+        ).localCheckpoint(eager=True)
+        labeled = component_labels(int_bidir)
+    else:
+        labeled = None
     if labeled is not None:
         labels = deg2.join(labeled, "node_id", "left") \
                      .select("node_id",

@@ -21,9 +21,40 @@ final points⋈dist join is a broadcast.
 
 from __future__ import annotations
 
+import warnings
+
+import numpy as np
+
 from pyspark.sql import DataFrame, functions as F
 
 from .. import constants as C
+
+
+def _warn_if_expensive_probe(df: DataFrame, what: str) -> None:
+    """Size-probe contract guard (VERDICT r03 'What's wrong #3'): when
+    no n_edges_hint is given, the bounded limit-count probe executes
+    the input's plan once extra.  That is fine for a scan or a
+    checkpointed/cached input, but silently doubles the work when the
+    input is a raw join/aggregate pipeline (e.g. un-checkpointed dedup
+    candidate pairs).  Heuristic: warn when the input is neither
+    persisted nor a leaf-ish plan (no Join/Aggregate in the analyzed
+    plan — localCheckpoint collapses to a LogicalRDD leaf)."""
+    try:
+        if df.storageLevel.useMemory or df.storageLevel.useDisk:
+            return
+        plan = df._jdf.queryExecution().analyzed().toString()
+    except Exception:          # pragma: no cover - py4j introspection only
+        return
+    # in-memory range/VALUES fixtures are cheap to recompute even
+    # through a join — only file-backed pipelines make the double
+    # execution expensive
+    reads_files = any(t in plan for t in ("parquet", "orc", "csv", "json"))
+    if ("Join" in plan or "Aggregate" in plan) and reads_files:
+        warnings.warn(
+            f"{what}: size probe will re-execute an un-persisted "
+            "join/aggregate pipeline — localCheckpoint/cache the edge "
+            "set first, or pass n_edges_hint", RuntimeWarning,
+            stacklevel=3)
 
 
 def bidirectional(edges: DataFrame) -> DataFrame:
@@ -80,8 +111,70 @@ def multi_source_dist(edges_bidir: DataFrame, sources: DataFrame,
     return settled
 
 
-DRIVER_GRAPH_EDGE_LIMIT = 2_000_000   # directed edges that fit a
-                                      # driver-side solve (~50 MB)
+DRIVER_GRAPH_EDGE_LIMIT = 8_000_000   # directed edges that fit a
+# driver-side solve: ~200 MB Arrow transfer, 1.6 s vectorized solve
+# measured at the limit (tools/microbench_solvers.py; the r03 Python
+# heap was the reason the limit sat at 2M — the bucket solver scales
+# linearly: 2M→0.30 s, 8M→1.60 s, 16M→3.66 s best-of-3)
+
+
+def dijkstra_buckets(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
+                     seed_ids: np.ndarray, max_dist: float
+                     ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized multi-source Dijkstra (Dial/delta-stepping with
+    delta = the minimum edge weight): pure numpy, no per-edge Python.
+
+    With delta ≤ every edge weight, all unsettled nodes whose tentative
+    distance falls in bucket [b·delta, (b+1)·delta) are final when the
+    bucket is reached — an in-bucket improvement would need an edge
+    shorter than delta — so each bucket settles in one vectorized
+    gather + minimum.at relaxation.  Values are bit-identical to a
+    heap Dijkstra and to the distributed relaxation: every node's
+    distance is the same source→node prefix sum of doubles, and min
+    over equal candidates is order-independent.
+
+    Returns (node_ids, dists) for nodes with dist ≤ max_dist.
+    """
+    # hash-based id compaction: pd.factorize measured ~10× faster than
+    # sort-based np.unique(return_inverse) at this scale (no global
+    # sort, one hash pass); compact order is first-appearance, which
+    # is irrelevant here — distances map back through `nodes`
+    import pandas as pd
+    inv, nodes = pd.factorize(np.concatenate([src, dst, seed_ids]))
+    s_c = inv[:len(src)]
+    d_c = inv[len(src):len(src) + len(dst)]
+    seed_c = np.unique(inv[len(src) + len(dst):])
+    nodes = np.asarray(nodes, dtype=np.int64)
+    order = np.argsort(s_c, kind="stable")
+    s_s, d_s, w_s = s_c[order], d_c[order], w[order]
+    indptr = np.searchsorted(s_s, np.arange(len(nodes) + 1))
+    n = len(nodes)
+    dist = np.full(n, np.inf)
+    dist[seed_c] = 0.0
+    settled = np.zeros(n, dtype=bool)
+    delta = float(w_s.min()) if len(w_s) else 1.0
+    if delta <= 0:
+        raise ValueError("non-positive edge weight")
+    for b in range(int(max_dist / delta) + 2):
+        lo, hi = b * delta, (b + 1) * delta
+        cur = np.flatnonzero(~settled & (dist >= lo) & (dist < hi)
+                             & (dist <= max_dist))
+        if not len(cur):
+            if lo > max_dist:
+                break
+            continue
+        settled[cur] = True
+        starts, cnt = indptr[cur], indptr[cur + 1] - indptr[cur]
+        total = int(cnt.sum())
+        if total == 0:
+            continue
+        eidx = (np.repeat(starts, cnt)
+                + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+        cand = np.repeat(dist[cur], cnt) + w_s[eidx]
+        ok = cand <= max_dist
+        np.minimum.at(dist, d_s[eidx[ok]], cand[ok])
+    keep = settled & (dist <= max_dist)
+    return nodes[keep], dist[keep]
 
 
 def multi_source_dist_driver(edges_bidir: DataFrame, sources: DataFrame,
@@ -97,32 +190,25 @@ def multi_source_dist_driver(edges_bidir: DataFrame, sources: DataFrame,
     continental graphs past DRIVER_GRAPH_EDGE_LIMIT (see
     multi_source_dist_auto).
 
-    Values are bit-identical to the distributed relaxation: both
-    compute min over path prefix-sums of the same doubles (parity
-    asserted in tests/test_network_parity.py).
+    The solve itself is the vectorized `dijkstra_buckets` (no Python
+    per-edge loop — VERDICT r03 'What's wrong #2'; ~2M-edge lattice
+    solves in ~0.2 s, tools/microbench_solvers.py).  Values are
+    bit-identical to the distributed relaxation (parity asserted in
+    tests/test_network_parity.py).
     """
-    import heapq
+    import pandas as pd
     spark = edges_bidir.sparkSession
     pdf = edges_bidir.select("src", "dst", "length_m").toPandas()
-    adj: dict[int, list[tuple[int, float]]] = {}
-    for s, d, l in zip(pdf["src"].astype(int), pdf["dst"].astype(int),
-                       pdf["length_m"].astype(float)):
-        adj.setdefault(s, []).append((d, l))
-    heap = [(0.0, int(r[0])) for r in
-            sources.select("node_id").distinct().collect()]
-    heapq.heapify(heap)
-    dist: dict[int, float] = {}
-    while heap:
-        d, n = heapq.heappop(heap)
-        if n in dist:
-            continue
-        dist[n] = d
-        for m, l in adj.get(n, ()):
-            nd = d + l
-            if nd <= max_dist and m not in dist:
-                heapq.heappush(heap, (nd, m))
+    seeds = np.array(
+        [r[0] for r in sources.select("node_id").distinct().collect()],
+        dtype=np.int64)
+    node_ids, dists = dijkstra_buckets(
+        pdf["src"].to_numpy(dtype=np.int64),
+        pdf["dst"].to_numpy(dtype=np.int64),
+        pdf["length_m"].to_numpy(dtype=np.float64),
+        seeds, max_dist)
     return spark.createDataFrame(
-        [(n, d) for n, d in dist.items()],
+        pd.DataFrame({"node_id": node_ids, "net_dist": dists}),
         "node_id long, net_dist double")
 
 
@@ -137,6 +223,8 @@ def multi_source_dist_auto(edges_bidir: DataFrame, sources: DataFrame,
     hop-doubling Bellman-Ford otherwise).  Pass `n_edges_hint` when
     the graph's size is known (fixture constant / table statistics);
     otherwise the probe is one bounded limit-count."""
+    if n_edges_hint is None:
+        _warn_if_expensive_probe(edges_bidir, "multi_source_dist_auto")
     n = (n_edges_hint if n_edges_hint is not None
          else edges_bidir.limit(DRIVER_GRAPH_EDGE_LIMIT + 1).count())
     if n <= DRIVER_GRAPH_EDGE_LIMIT:
@@ -243,7 +331,8 @@ def snap_node_expr(coord: str):
 def network_access(points: DataFrame, edges: DataFrame,
                    entrances: DataFrame,
                    buffer_m: float = C.BUFFER_M,
-                   max_dist: float = C.NET_MAX_DIST) -> DataFrame:
+                   max_dist: float = C.NET_MAX_DIST,
+                   n_edges_hint: int | None = None) -> DataFrame:
     """(point_id, network_dist, reachable_in_buffer): bounded network
     distance from each point's snapped node to the nearest park
     entrance; NA→FALSE semantics of accessibility.R:345-349.
@@ -252,12 +341,18 @@ def network_access(points: DataFrame, edges: DataFrame,
     real city/country OSM extract) is dimension-sized → one driver
     Dijkstra, zero iterative shuffles; continental graphs past
     DRIVER_GRAPH_EDGE_LIMIT take the BFS layering.  Values identical
-    either way (tests/test_network_parity.py)."""
+    either way (tests/test_network_parity.py).
+
+    `n_edges_hint` is a pass-through for callers that KNOW their edge
+    table's size (the fixture registry passes its lattice constant);
+    with no hint the bounded limit-count probe decides — never assume
+    a size for a parameterized edge table (ADVICE r03 #1: a hardcoded
+    fixture constant here would silently route an arbitrarily large
+    caller graph to the driver solve)."""
     dist = multi_source_dist_auto(
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=max_dist, uniform=True,
-        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
+        max_dist=max_dist, uniform=True, n_edges_hint=n_edges_hint)
     return _attach_points(points, dist, buffer_m)
 
 
@@ -281,7 +376,8 @@ def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
                             entrances: DataFrame,
                             buffer_m: float = C.BUFFER_M,
                             max_dist: float = C.NET_MAX_DIST,
-                            min_edge_m: float = C.WEDGE_BASE) -> DataFrame:
+                            min_edge_m: float = C.WEDGE_BASE,
+                            n_edges_hint: int | None = None) -> DataFrame:
     """Heterogeneous-weight variant of `network_access` — the
     reference's true Dijkstra semantics (`weight = edge_length()`,
     accessibility.R:343-356), which the uniform lattice reduces to BFS
@@ -294,16 +390,15 @@ def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
     dist = multi_source_dist_auto(
         bidirectional(edges_weighted),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=max_dist, hop=min_edge_m,
-        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
+        max_dist=max_dist, hop=min_edge_m, n_edges_hint=n_edges_hint)
     return _attach_points(points, dist, buffer_m)
 
 
 def network_access_extended(points: DataFrame, edges: DataFrame,
                             entrances: DataFrame,
                             buffer_m: float = C.BUFFER_M,
-                            ext_max_dist: float = C.EXT_MAX_DIST
-                            ) -> DataFrame:
+                            ext_max_dist: float = C.EXT_MAX_DIST,
+                            n_edges_hint: int | None = None) -> DataFrame:
     """The full-OD fallback (accessibility.R:352-358): when no
     entrance lies within the buffer, the reference computes the dense
     OD matrix and reports the true min distance (its golden stats show
@@ -323,8 +418,7 @@ def network_access_extended(points: DataFrame, edges: DataFrame,
     dist = multi_source_dist_auto(
         bidirectional(edges),
         entrances.select(F.col("entrance_node").alias("node_id")),
-        max_dist=ext_max_dist,
-        n_edges_hint=4 * C.ROAD_N * (C.ROAD_N - 1))
+        max_dist=ext_max_dist, n_edges_hint=n_edges_hint)
     return _attach_points(points, dist, buffer_m)
 
 
@@ -397,36 +491,79 @@ def isochrone_hulls(points_sample: DataFrame, edges: DataFrame,
 COMPONENT_DRIVER_EDGE_LIMIT = 5_000_000
 
 
+def min_label_components(src: np.ndarray, dst: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized connected components (Shiloach–Vishkin-style
+    min-label propagation with pointer jumping): pure numpy, no
+    per-edge Python (VERDICT r03 'What's wrong #2').
+
+    Requires a bidirectional edge set (both callers pass one).  Each
+    outer round takes the per-node min of incident labels via ONE
+    sorted reduceat (buffered ufunc — ~10× faster than minimum.at),
+    then pointer-jumps label←label[label] to a fixpoint, collapsing
+    chains exponentially; converges in O(log diameter) rounds.  The
+    fixpoint is an arbitrary-but-consistent per-component
+    representative (compact codes are hash-order); a final segment-min
+    remap turns it into the minimum member id — the same canonical
+    label as the distributed propagation.
+
+    Returns (node_ids, labels) over every node in the edge set.
+    """
+    # hash-based compaction (see dijkstra_buckets): compact codes are
+    # in FIRST-APPEARANCE order, not id order, so the propagation's
+    # min-compact-code fixpoint is an arbitrary-but-consistent
+    # component representative; the true min MEMBER ID is restored by
+    # one segment-min remap at the end
+    import pandas as pd
+    inv, uniques = pd.factorize(np.concatenate([src, dst]))
+    nodes = np.asarray(uniques, dtype=np.int64)
+    if not len(nodes):
+        return nodes, nodes
+    s_c, d_c = inv[:len(src)], inv[len(src):]
+    order = np.argsort(d_c, kind="stable")
+    d_sorted, s_sorted = d_c[order], s_c[order]
+    # group starts via neighbor-difference flags (O(n), avoids a
+    # second sort-based unique)
+    firsts = np.empty(len(d_sorted), dtype=bool)
+    firsts[0] = True
+    np.not_equal(d_sorted[1:], d_sorted[:-1], out=firsts[1:])
+    starts = np.flatnonzero(firsts)
+    uniq_d = d_sorted[starts]
+    label = np.arange(len(nodes), dtype=np.int64)
+    while True:
+        prev = label
+        nbr_min = np.minimum.reduceat(label[s_sorted], starts)
+        label = label.copy()
+        label[uniq_d] = np.minimum(label[uniq_d], nbr_min)
+        while True:                      # pointer jumping
+            jumped = label[label]
+            if np.array_equal(jumped, label):
+                break
+            label = jumped
+        if np.array_equal(label, prev):
+            break
+    # remap each component's representative to its minimum MEMBER id
+    # (compact order is first-appearance, so min compact ≠ min id)
+    rep_min = np.full(len(nodes), np.iinfo(np.int64).max)
+    np.minimum.at(rep_min, label, nodes)
+    return nodes, rep_min[label]
+
+
 def _component_labels_driver(edges_bidir: DataFrame) -> DataFrame:
-    """Driver-side union-find for edge sets that fit in driver memory.
+    """Driver-side components for edge sets that fit in driver memory.
     The component edge set is candidate-pair-sized (dedup clusters) or
     dimension-sized (a road graph) — orders of magnitude below the
-    corpus — so one union-find pass replaces O(log diameter) shuffle
+    corpus — so one vectorized solve replaces O(log diameter) shuffle
     rounds.  Labels are identical to the distributed propagation: the
     minimum member id of each component."""
+    import pandas as pd
     spark = edges_bidir.sparkSession
     pdf = edges_bidir.select("src", "dst").toPandas()
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.setdefault(r, r) != r:
-            r = parent[r]
-        while parent[x] != r:           # path compression
-            parent[x], x = r, parent[x]
-        return r
-
-    for s, d in zip(pdf["src"].astype(int), pdf["dst"].astype(int)):
-        rs, rd = find(s), find(d)
-        if rs != rd:
-            parent[rs] = rd
-    root_min: dict[int, int] = {}
-    for n in parent:
-        r = find(n)
-        if r not in root_min or n < root_min[r]:
-            root_min[r] = n
+    node_ids, labels = min_label_components(
+        pdf["src"].to_numpy(dtype=np.int64),
+        pdf["dst"].to_numpy(dtype=np.int64))
     return spark.createDataFrame(
-        [(n, root_min[find(n)]) for n in parent],
+        pd.DataFrame({"node_id": node_ids, "label": labels}),
         "node_id long, label long")
 
 
@@ -447,6 +584,8 @@ def component_labels(edges_bidir: DataFrame,
     solve with one driver union-find, labels identical
     (tests/test_network_parity.py); the iterative propagation is the
     corpus-sized-edge-set path."""
+    if n_edges_hint is None:
+        _warn_if_expensive_probe(edges_bidir, "component_labels")
     n = (n_edges_hint if n_edges_hint is not None
          else edges_bidir.limit(COMPONENT_DRIVER_EDGE_LIMIT + 1).count())
     if n <= COMPONENT_DRIVER_EDGE_LIMIT:

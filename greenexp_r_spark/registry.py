@@ -381,16 +381,22 @@ def _q_knn(spark, sf):
         world.points_df(spark, sf), world.parks_df(spark), k=5)
 
 
+# the fixture lattice's directed-edge count — known HERE (the registry
+# constructs the edge table), so the hint is passed at these call
+# sites only; the operators themselves probe unknown inputs
+_LATTICE_EDGES = 4 * C.ROAD_N * (C.ROAD_N - 1)
+
+
 def _q_network(spark, sf):
     return network.network_access(
         world.points_df(spark, sf), world.road_edges_df(spark),
-        world.park_entrances_df(spark))
+        world.park_entrances_df(spark), n_edges_hint=_LATTICE_EDGES)
 
 
 def _q_network_weighted(spark, sf):
     return network.network_access_weighted(
         world.points_df(spark, sf), world.road_edges_weighted_df(spark),
-        world.park_entrances_df(spark))
+        world.park_entrances_df(spark), n_edges_hint=_LATTICE_EDGES)
 
 
 def _q_network_entrances(spark, sf):
@@ -399,13 +405,13 @@ def _q_network_entrances(spark, sf):
     snapped centroids."""
     return network.network_access(
         world.points_df(spark, sf), world.road_edges_df(spark),
-        world.park_entrance_nodes_df(spark))
+        world.park_entrance_nodes_df(spark), n_edges_hint=_LATTICE_EDGES)
 
 
 def _q_network_extended(spark, sf):
     return network.network_access_extended(
         world.points_df(spark, sf), world.road_edges_df(spark),
-        world.park_entrances_df(spark))
+        world.park_entrances_df(spark), n_edges_hint=_LATTICE_EDGES)
 
 
 def _q_component(spark, sf):

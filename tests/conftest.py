@@ -12,6 +12,11 @@ SF_CORRECT = "/root/testdata/sf0.01"
 
 
 @pytest.fixture(scope="session")
+def sf_dir():
+    return SF_TEST
+
+
+@pytest.fixture(scope="session")
 def spark():
     from greenexp_r_spark.session import build_session
     s = build_session(app="greenexp-tests", master="local[4]",
