@@ -39,8 +39,20 @@ def entry(spark: SparkSession) -> DataFrame:
                                             "/root/testdata/sf0.001")
 
 
+def _at_query_boundary(fn):
+    """Query-scoped cache lifecycle (ADVICE r03 #5): building query
+    N+1 releases query N's tracked caches; persists WITHIN one
+    composed query all stay live together."""
+    def run(spark, sf):
+        from greenexp_r_spark.plans.caching import release_caches
+        release_caches()
+        return fn(spark, sf)
+    return run
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return {name: spec.spark for name, spec in registry.build_registry().items()}
+    return {name: _at_query_boundary(spec.spark)
+            for name, spec in registry.build_registry().items()}
 
 
 def oracle_sql() -> dict[str, str]:

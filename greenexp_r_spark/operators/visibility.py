@@ -304,29 +304,42 @@ def vgvi_from_address(points: DataFrame,
         StructField("n_samples", LongType()),
     ])
 
+    def _mix64(z: np.ndarray) -> np.ndarray:
+        """splitmix64 finalizer, vectorized over uint64 (wrapping)."""
+        with np.errstate(over="ignore"):
+            z = z + np.uint64(0x9E3779B97F4A7C15)
+            z = (z ^ (z >> np.uint64(30))) * np.uint64(0xBF58476D1CE4E5B9)
+            z = (z ^ (z >> np.uint64(27))) * np.uint64(0x94D049BB133111EB)
+            return z ^ (z >> np.uint64(31))
+
     def sample_batch(pid: np.ndarray, x: np.ndarray, y: np.ndarray):
         """Deterministic per-point rejection sampling, vectorized over
         the whole batch (VERDICT r02 'What's wrong #4': no per-row
-        Python).  The uniform stream is a per-(point, draw) integer
-        hash — same seeded-reproducibility contract as the former
-        RandomState(point_id) sampler (SURVEY P10), no per-point RNG
-        objects.  Draws arrive in blocks; with acceptance p = π/4 a
-        single 4× block leaves P(<30 accepts) < 1e-30 per point, and
-        the block loop (batch-level, not row-level) still guarantees
-        termination."""
-        P31 = 2147483647
+        Python).  The uniform stream is a splitmix64 hash of
+        (point_id, draw index, stream) — a full-avalanche integer mix,
+        NOT a linear congruence in the draw index (ADVICE r03 #3: a
+        per-(pid,draw) linear form makes the draws an additive lattice
+        within and across points); same seeded-reproducibility
+        contract as the former RandomState(point_id) sampler (SURVEY
+        P10), no per-point RNG objects.  Draws arrive in blocks; with
+        acceptance p = π/4 a single 4× block leaves P(<30 accepts)
+        < 1e-30 per point, and the block loop (batch-level, not
+        row-level) still guarantees termination."""
         n_p = len(pid)
         need = sample_points
         acc_dx = np.zeros((n_p, need))
         acc_dy = np.zeros((n_p, need))
         acc_n = np.zeros(n_p, dtype=np.int64)
         block, j0 = 4 * need, 0
+        inv53 = 1.0 / (1 << 53)
         while acc_n.min() < need:
-            j = np.arange(j0, j0 + block, dtype=np.int64)[None, :]
-            u1 = ((pid[:, None] * 1103515245 + j * 2654435761 + 12345)
-                  % P31) / P31
-            u2 = ((pid[:, None] * 69069 + j * 2246822519 + 54321)
-                  % P31) / P31
+            j = np.arange(j0, j0 + block, dtype=np.uint64)[None, :]
+            base = _mix64(pid.astype(np.uint64)[:, None]) ^ (
+                j * np.uint64(2))
+            u1 = (_mix64(base) >> np.uint64(11)).astype(np.float64) \
+                * inv53
+            u2 = (_mix64(base ^ np.uint64(1)) >> np.uint64(11)) \
+                .astype(np.float64) * inv53
             dx = (2.0 * u1 - 1.0) * buffer_m
             dy = (2.0 * u2 - 1.0) * buffer_m
             inside = dx * dx + dy * dy <= buffer_m * buffer_m

@@ -419,6 +419,12 @@ def _q_component(spark, sf):
         network.bidirectional(world.road_edges_df(spark)))
 
 
+def _q_euclid_cells(spark, sf):
+    from .operators.knn_cells import euclidean_access_cells
+    return euclidean_access_cells(world.points_df(spark, sf),
+                                  world.parks_df(spark))
+
+
 def build_registry() -> dict[str, QSpec]:
     out = dict(_geo_registry())
     from .registry_pipeline import build_pipeline_registry
@@ -463,12 +469,7 @@ def _geo_registry() -> dict[str, QSpec]:
         # same semantics through the cell-index plan (J2 scale path);
         # shares the broadcast-path oracle because results are equal
         "q_accessibility_cells": QSpec(
-            lambda s, sf: __import__(
-                "greenexp_r_spark.operators.knn_cells",
-                fromlist=["euclidean_access_cells"]
-            ).euclidean_access_cells(world.points_df(s, sf),
-                                     world.parks_df(s)),
-            _oracle_euclid(d)),
+            _q_euclid_cells, _oracle_euclid(d)),
         "q_knn_parks": QSpec(_q_knn, _oracle_knn(d)),
         "q_accessibility_network": QSpec(_q_network, _oracle_network(d)),
         "q_accessibility_weighted": QSpec(

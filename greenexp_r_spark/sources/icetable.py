@@ -7,7 +7,9 @@ on-disk ideas the real format uses — immutable data files + an
 atomically-swapped metadata pointer — in pure parquet + JSON:
 
     table/
-      data/<snapshot>/part-*.parquet      immutable data files
+      data/s<snapshot>-<uuid>/part-*.parquet  immutable data files
+                                          (unique staging dir per
+                                          attempt → crash-retryable)
       meta/v{N}.json                      manifest: file list with
                                           per-file row counts +
                                           min/max column stats
@@ -40,6 +42,8 @@ from __future__ import annotations
 
 import json
 import os
+import shutil
+import uuid
 from dataclasses import dataclass
 
 import pyarrow.parquet as pq
@@ -132,18 +136,31 @@ class CommitConflict(Exception):
     callers re-read and retry)."""
 
 
+def _lock_path(table: str) -> str:
+    return os.path.join(_meta_dir(table), "COMMIT.lock")
+
+
 def commit(df: DataFrame, table: str, mode: str = "append",
            stat_cols: list[str] | None = None,
            expected_parent: int | None = None) -> int:
     """Write ``df`` as a new snapshot.  ``append`` unions the parent
     snapshot's files; ``overwrite`` starts fresh.  Returns the new
-    snapshot id.  The commit is atomic: data files land first, the
-    manifest second, and the VERSION pointer is swapped last
-    (os.replace — readers see the old or the new snapshot, never a
-    partial one).  Optimistic concurrency: the parent snapshot is
-    re-read immediately before the swap and the commit raises
-    CommitConflict if another writer advanced it (pass
-    ``expected_parent`` to pin the base explicitly)."""
+    snapshot id.
+
+    Atomicity + retryability (ADVICE r03 #2):
+      * data files stage under a UNIQUE uuid-suffixed directory
+        recorded in the manifest — a crashed or conflicted commit's
+        retry never collides with its own leftovers (``vacuum()``
+        garbage-collects unreferenced staging dirs);
+      * the manifest is written to a unique tmp name and renamed into
+        place only inside the critical section;
+      * the pointer swap is a compare-and-set: an O_EXCL lock file
+        serializes writers, the parent check happens UNDER the lock
+        (no check-then-replace TOCTOU), then manifest + VERSION are
+        os.replace'd.  Readers see the old or the new snapshot, never
+        a partial one; a losing writer raises CommitConflict with all
+        of its tmp state cleaned up, so re-read-and-retry succeeds.
+    """
     os.makedirs(_meta_dir(table), exist_ok=True)
     parent = current_snapshot(table) if \
         os.path.exists(_version_file(table)) else 0
@@ -151,7 +168,8 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         raise CommitConflict(
             f"table at snapshot {parent}, expected {expected_parent}")
     snap = parent + 1
-    data_dir = os.path.join(table, "data", f"s{snap}")
+    data_dir = os.path.join(table, "data",
+                            f"s{snap}-{uuid.uuid4().hex[:12]}")
     df.write.mode("error").parquet(data_dir)
     stat_cols = stat_cols if stat_cols is not None else [
         f.name for f in df.schema
@@ -169,20 +187,72 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         "mode": mode,
         "files": files + [vars(e) for e in new],
     }
-    with open(_manifest_path(table, snap), "w") as f:
+    tag = uuid.uuid4().hex[:8]
+    tmp_manifest = _manifest_path(table, snap) + f".{tag}.tmp"
+    with open(tmp_manifest, "w") as f:
         json.dump(manifest, f)
-    now = current_snapshot(table) if \
-        os.path.exists(_version_file(table)) else 0
-    if now != parent:
-        raise CommitConflict(
-            f"concurrent writer advanced {table} to snapshot {now} "
-            f"(this commit based on {parent}); staged files are "
-            f"invisible — re-read and retry")
-    tmp = _version_file(table) + ".tmp"
-    with open(tmp, "w") as f:
+    tmp_version = _version_file(table) + f".{tag}.tmp"
+    with open(tmp_version, "w") as f:
         f.write(str(snap))
-    os.replace(tmp, _version_file(table))       # the atomic swap
+    lock = _lock_path(table)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        os.unlink(tmp_manifest)
+        os.unlink(tmp_version)
+        raise CommitConflict(
+            f"another commit holds {lock}; staged files are invisible "
+            "— re-read and retry (force_unlock() clears a lock left "
+            "by a killed writer)")
+    try:
+        now = current_snapshot(table) if \
+            os.path.exists(_version_file(table)) else 0
+        if now != parent:
+            raise CommitConflict(
+                f"concurrent writer advanced {table} to snapshot {now} "
+                f"(this commit based on {parent}); staged files are "
+                f"invisible — re-read and retry")
+        os.replace(tmp_manifest, _manifest_path(table, snap))
+        os.replace(tmp_version, _version_file(table))   # atomic swap
+    finally:
+        os.unlink(lock)
+        for t in (tmp_manifest, tmp_version):
+            if os.path.exists(t):
+                os.unlink(t)
     return snap
+
+
+def force_unlock(table: str) -> bool:
+    """Clear a COMMIT.lock left by a writer killed inside the (µs)
+    critical section.  Returns True if a lock was removed."""
+    try:
+        os.unlink(_lock_path(table))
+        return True
+    except FileNotFoundError:
+        return False
+
+
+def vacuum(table: str) -> list[str]:
+    """Garbage-collect staging directories referenced by NO manifest
+    (leftovers of crashed or conflicted commits).  Never touches a
+    directory any snapshot points at, so time travel keeps working.
+    Returns the removed directories."""
+    referenced: set[str] = set()
+    meta = _meta_dir(table)
+    for fname in os.listdir(meta):
+        if fname.startswith("v") and fname.endswith(".json"):
+            with open(os.path.join(meta, fname)) as f:
+                for e in json.load(f)["files"]:
+                    referenced.add(os.path.dirname(e["path"]))
+    removed = []
+    droot = os.path.join(table, "data")
+    for d in sorted(os.listdir(droot)) if os.path.isdir(droot) else []:
+        full = os.path.join(droot, d)
+        if full not in referenced:
+            shutil.rmtree(full)
+            removed.append(full)
+    return removed
 
 
 def read(spark: SparkSession, table: str, snapshot: int | None = None,

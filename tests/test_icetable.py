@@ -108,3 +108,45 @@ def test_metrics_lineage(spark, tmp_path):
     for e in m["files"]:
         assert e["rows"] > 0 and os.path.exists(e["path"])
         assert "url" in e["stats"]
+
+def test_commit_retry_after_crash_succeeds(spark, tmp_path):
+    """ADVICE r03 #2: a crashed commit leaves a populated staging dir;
+    the retry stages under a fresh uuid dir, so mode('error') never
+    collides and the retry lands."""
+    t = str(tmp_path / "tbl")
+    icetable.commit(_pages(spark).limit(50), t)           # snapshot 1
+    # simulate a crash AFTER the data write of a failed snapshot-2
+    # attempt: stage an orphan dir with the same snapshot prefix
+    orphan = os.path.join(t, "data", "s2-deadbeefdead")
+    _pages(spark).limit(3).write.parquet(orphan)
+    # the retry must succeed despite the leftover
+    s = icetable.commit(_pages(spark).limit(7), t, mode="append")
+    assert s == 2
+    assert icetable.read(spark, t).count() == 57
+    # and vacuum removes exactly the unreferenced staging dir
+    removed = icetable.vacuum(t)
+    assert removed == [orphan]
+    assert icetable.read(spark, t).count() == 57
+    assert icetable.read(spark, t, snapshot=1).count() == 50
+
+
+def test_commit_lock_is_compare_and_set(spark, tmp_path):
+    """The pointer swap happens under an O_EXCL lock: a held lock
+    makes a concurrent commit raise CommitConflict (no silent manifest
+    loss), and force_unlock recovers from a killed writer."""
+    import pytest
+    t = str(tmp_path / "tbl")
+    icetable.commit(_pages(spark).limit(10), t)
+    # another writer "holds" the lock
+    fd = os.open(icetable._lock_path(t), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+    os.close(fd)
+    with pytest.raises(icetable.CommitConflict, match="COMMIT.lock"):
+        icetable.commit(_pages(spark).limit(5), t)
+    # table unchanged, no stray tmp files in meta/
+    assert icetable.current_snapshot(t) == 1
+    metas = os.listdir(icetable._meta_dir(t))
+    assert not [f for f in metas if f.endswith(".tmp")]
+    assert icetable.force_unlock(t) is True
+    assert icetable.force_unlock(t) is False
+    s = icetable.commit(_pages(spark).limit(5), t, mode="append")
+    assert s == 2 and icetable.read(spark, t).count() == 15
