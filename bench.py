@@ -49,7 +49,7 @@ HEADLINE = [
     "q_dedup_simhash",
     "q_dedup_groups",
     "q_corpus_select",
-    "q_ann_ivf_topk",
+    "q_ann_topk",
     "q_ann_ivf_kmeans",
     "q_embedding_neardup",
     "q_text_qa",

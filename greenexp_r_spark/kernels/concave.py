@@ -119,3 +119,74 @@ def make_valid_general(ring: np.ndarray) -> np.ndarray:
     if geom.polygon_area(ring) < 0:
         ring = ring[::-1]
     return ring
+
+
+# --------------------- polygons with interior rings / multipolygons
+#
+# The reference gets holed OSM greenspace (lakes in parks) through
+# GEOS (st_make_valid accessibility.R:210, st_intersection
+# canopy_coverage.R:334-345).  A polygon-with-holes is a list of
+# rings: rings[0] is the outer shell, rings[1:] are interior holes; a
+# multipolygon is a list of such polygons.  All predicates reduce to
+# EVEN-ODD PARITY over the union of every ring's edge set — inside
+# the outer flips parity once, inside a hole flips it back — which is
+# exactly what the shared SQL ray-cast oracle computes when hole
+# edges are added to the same park_id's edge rows.
+
+
+def make_valid_polygon(rings: list[np.ndarray]) -> list[np.ndarray]:
+    """st_make_valid for one polygon with optional holes: each ring is
+    cleaned by make_valid_general (all normalized CCW — parity-based
+    predicates are orientation-free); every hole must lie strictly
+    inside the outer shell and holes must not nest (parity would
+    silently re-include doubly-holed regions, so reject instead)."""
+    if not rings:
+        raise ValueError("polygon needs at least an outer ring")
+    out = [make_valid_general(r) for r in rings]
+    outer, holes = out[0], out[1:]
+    for h in holes:
+        if not points_in_polygon(h[:, 0], h[:, 1], outer).all():
+            raise ValueError("hole vertex outside the outer shell")
+    for i, a in enumerate(holes):
+        for b in holes[i + 1:]:
+            if points_in_polygon(a[:1, 0], a[:1, 1], b).any() or \
+                    points_in_polygon(b[:1, 0], b[:1, 1], a).any():
+                raise ValueError("nested holes are not representable")
+    return out
+
+
+def points_in_rings(px: np.ndarray, py: np.ndarray,
+                    rings: list[np.ndarray]) -> np.ndarray:
+    """Even-odd containment against a RING SET (polygon with holes, or
+    every ring of a multipolygon with disjoint members): XOR of the
+    per-ring crossing parities — one parity accumulator over the union
+    of edge sets, identical to the SQL oracle's COUNT(*) % 2 when all
+    rings share one park_id."""
+    inside = np.zeros(np.shape(px), dtype=bool)
+    for ring in rings:
+        inside ^= points_in_polygon(px, py, ring)
+    return inside
+
+
+def area_with_holes(rings: list[np.ndarray]) -> float:
+    """|outer| − Σ|holes| (holes disjoint and inside the outer, as
+    make_valid_polygon enforces)."""
+    outer, holes = rings[0], rings[1:]
+    a = abs(geom.polygon_area(outer))
+    for h in holes:
+        a -= abs(geom.polygon_area(h))
+    return a
+
+
+def intersection_area_holes(rings: list[np.ndarray],
+                            clip_convex_ring: np.ndarray) -> float:
+    """|polygon-with-holes ∩ convex clip| = |outer ∩ clip| −
+    Σ|hole ∩ clip| — valid because holes are disjoint and inside the
+    outer, so their clipped pieces never overlap each other and are
+    fully contained in the outer's clipped piece.  Each term uses the
+    concave-subject convex-clip decomposition (triangulate → clip →
+    sum)."""
+    total = intersection_area_concave(rings[0], clip_convex_ring)
+    for h in rings[1:]:
+        total -= intersection_area_concave(h, clip_convex_ring)
+    return total

@@ -397,6 +397,155 @@ FROM j GROUP BY regexp_extract(url, '^https?://([^/]+)/', 1)
 """
 
 
+def _oracle_poly_pct(d: Dialect) -> str:
+    """Exact DuckDB replay of overlay.greenspace_polygon_pct
+    (upgrades the last oracle-able rows-only query — VERDICT r03
+    'Next round #2').
+
+    The engine clips each candidate park k-gon by the 64-gon buffer
+    disc with Sutherland–Hodgman in POINT-LOCAL coordinates; the
+    oracle enumerates the convex∩convex intersection's vertices
+    instead (park verts inside buffer ∪ buffer verts inside park ∪
+    edge×edge crossings), orders them by angle around their centroid
+    and takes the shoelace area — the same mathematical value through
+    different float paths, differing by ≲1e-8 m² in the local frame.
+    Both sides then quantize PER PAIR with FLOOR(a·1000 + 0.5) —
+    five orders of margin — and sum exact BIGINTs per point, so the
+    final pct is bit-identical (the q_isochrone_hull angle-ordering +
+    q_viewshed_flat quantized-contract precedents).  The oracle's own
+    shoelace sum is made order-independent by quantizing cross terms
+    at 2^-21 (error ≤ 2e-5 m², still far under the pair quantizer).
+    Runs on DuckDB only (free use of pi()/trig; the engine side is
+    the real mapInPandas kernel, not shared SQL)."""
+    from .kernels import geom as G
+    R = float(C.BUFFER_M)
+    buf_area = float(abs(G.polygon_area(
+        G.regular_polygon(0.0, 0.0, R, 64))))
+    cross = ("(({x2} - {x1}) * ({py} - {y1})"
+             " - ({y2} - {y1}) * ({px} - {x1}))")
+    in_buf = cross.format(x1="e.x1", y1="e.y1", x2="e.x2", y2="e.y2",
+                          px="v.vx", py="v.vy")
+    in_park = cross.format(x1="e.x1", y1="e.y1", x2="e.x2", y2="e.y2",
+                           px="b.bx", py="b.by")
+    return f"""
+WITH points AS ({world.points_sql(d)}),
+parks AS ({world.parks_sql(d)}),
+pk AS (SELECT park_id, cx, cy, radius,
+              5 + CAST(park_id % 4 AS INT) AS k
+       FROM parks),
+cand AS (
+  SELECT p.point_id, p.x, p.y, g.park_id, g.cx, g.cy, g.radius, g.k
+  FROM points p JOIN pk g
+    ON (g.cx - p.x) * (g.cx - p.x) + (g.cy - p.y) * (g.cy - p.y)
+       <= (g.radius + {R!r}) * (g.radius + {R!r})
+),
+i64 AS (SELECT unnest(generate_series(0, 63)) AS i),
+-- buffer disc vertices/edges at the ORIGIN (local frame — identical
+-- for every pair), vertex 0 due east, CCW: regular_polygon's formula
+bo AS (
+  SELECT i, {R!r} * COS(2.0 * PI() * i / 64) AS bx,
+         {R!r} * SIN(2.0 * PI() * i / 64) AS by
+  FROM i64
+),
+be AS (
+  SELECT a.i, a.bx AS x1, a.by AS y1, b.bx AS x2, b.by AS y2
+  FROM bo a JOIN bo b ON b.i = (a.i + 1) % 64
+),
+-- park k-gon vertices in the pair's local frame
+pv AS (
+  SELECT c.point_id, c.park_id, i.i AS vi,
+         (c.cx + c.radius * COS(2.0 * PI() * i.i / c.k)) - c.x AS vx,
+         (c.cy + c.radius * SIN(2.0 * PI() * i.i / c.k)) - c.y AS vy
+  FROM cand c JOIN i64 i ON i.i < c.k
+),
+pe AS (
+  SELECT a.point_id, a.park_id, a.vx AS x1, a.vy AS y1,
+         b.vx AS x2, b.vy AS y2
+  FROM pv a
+  JOIN pv b ON b.point_id = a.point_id AND b.park_id = a.park_id
+  JOIN pk g ON g.park_id = a.park_id
+  WHERE b.vi = (a.vi + 1) % g.k
+),
+-- intersection vertices: park verts in buffer (convex CCW half-plane
+-- test, boundary counts in), buffer verts in park, edge crossings
+vin AS (
+  SELECT v.point_id, v.park_id, v.vx AS x, v.vy AS y
+  FROM pv v
+  WHERE NOT EXISTS (SELECT 1 FROM be e WHERE {in_buf} < 0)
+),
+bin AS (
+  SELECT c.point_id, c.park_id, b.bx AS x, b.by AS y
+  FROM cand c JOIN bo b ON TRUE
+  WHERE NOT EXISTS (
+    SELECT 1 FROM pe e
+    WHERE e.point_id = c.point_id AND e.park_id = c.park_id
+      AND {in_park} < 0)
+),
+xg AS (
+  SELECT p.point_id, p.park_id,
+         p.x2 - p.x1 AS rx, p.y2 - p.y1 AS ry,
+         e.x2 - e.x1 AS sx, e.y2 - e.y1 AS sy,
+         e.x1 - p.x1 AS qx, e.y1 - p.y1 AS qy,
+         p.x1, p.y1
+  FROM pe p JOIN be e ON TRUE
+),
+xings AS (
+  SELECT point_id, park_id,
+         x1 + (qx * sy - qy * sx) / (rx * sy - ry * sx) * rx AS x,
+         y1 + (qx * sy - qy * sx) / (rx * sy - ry * sx) * ry AS y
+  FROM xg
+  WHERE (rx * sy - ry * sx) <> 0
+    AND (qx * sy - qy * sx) / (rx * sy - ry * sx) > 0
+    AND (qx * sy - qy * sx) / (rx * sy - ry * sx) < 1
+    AND (qx * ry - qy * rx) / (rx * sy - ry * sx) > 0
+    AND (qx * ry - qy * rx) / (rx * sy - ry * sx) < 1
+),
+verts AS (
+  SELECT DISTINCT point_id, park_id, x, y FROM (
+    SELECT * FROM vin UNION ALL SELECT * FROM bin
+    UNION ALL SELECT * FROM xings) _u
+),
+ctr AS (
+  SELECT point_id, park_id, AVG(x) AS mx, AVG(y) AS my
+  FROM verts GROUP BY point_id, park_id
+),
+ordered AS (
+  SELECT v.point_id, v.park_id, v.x, v.y,
+         ROW_NUMBER() OVER (PARTITION BY v.point_id, v.park_id
+             ORDER BY atan2(v.y - c.my, v.x - c.mx), v.x, v.y) AS rn,
+         COUNT(*) OVER (PARTITION BY v.point_id, v.park_id) AS m
+  FROM verts v JOIN ctr c
+    ON c.point_id = v.point_id AND c.park_id = v.park_id
+),
+sh AS (
+  SELECT o.point_id, o.park_id,
+         CAST(FLOOR((o.x * n.y - n.x * o.y) * 2097152.0 + 0.5)
+              AS BIGINT) AS crq
+  FROM ordered o JOIN ordered n
+    ON n.point_id = o.point_id AND n.park_id = o.park_id
+   AND n.rn = (o.rn % o.m) + 1
+),
+pair_area AS (
+  SELECT point_id, park_id,
+         ABS(CAST(SUM(crq) AS BIGINT)) / 2097152.0 / 2.0 AS a
+  FROM sh GROUP BY point_id, park_id
+),
+pair_q AS (
+  SELECT point_id,
+         CAST(FLOOR(a * 1000.0 + 0.5) AS BIGINT) AS q
+  FROM pair_area
+),
+agg AS (
+  SELECT point_id, CAST(SUM(q) AS BIGINT) AS green_q
+  FROM pair_q GROUP BY point_id
+)
+SELECT p.point_id,
+       LEAST(CAST(COALESCE(a.green_q, 0) AS DOUBLE) / 1000.0
+             / {buf_area!r} * 100.0, 100.0) AS greenspace_poly_pct
+FROM points p LEFT JOIN agg a ON a.point_id = p.point_id
+"""
+
+
 def _q_events_props(s, sf):
     """Semi-structured extraction: JSON props field aggregated per
     event type (get_json_object — JVM-side JSON path)."""
@@ -443,9 +592,12 @@ def build_geo2_registry() -> dict[str, QSpec]:
                     F.col("point_id") % ISO_SAMPLE_MOD == 0),
                 world.road_edges_df(s)),
             _oracle_isochrone_hull(d)),
-        # exact polygon-clip overlay — verified against the grid
-        # discretization in tests/test_overlay.py
+        # exact polygon-clip overlay (also grid-verified in
+        # tests/test_overlay.py): the real mapInPandas clip kernel on
+        # the Spark side, vertex-enumeration replay on DuckDB, exact
+        # through the 0.001 m² per-pair quantized-area contract
         "q_greenspace_poly_pct": QSpec(
             lambda s, sf: overlay.greenspace_polygon_pct(
-                world.points_df(s, sf), world.parks_df(s)), None),
+                world.points_df(s, sf), world.parks_df(s)),
+            _oracle_poly_pct(d)),
     }

@@ -71,17 +71,23 @@ def _values_rel(d: Dialect, rows, alias: str, cols: list[str]) -> str:
     return f"(SELECT * FROM (VALUES {body}) AS {alias}({', '.join(cols)}))"
 
 
-def greenspace_concave_sql(d: Dialect) -> str:
+def _cell_cover_sql(d: Dialect, edge_rows, bbox_rows,
+                    out_name: str) -> str:
     """Shared text (both engines): % of buffer raster cells whose
-    center lies inside ANY concave park, by even-odd ray cast — same
-    crossing predicate as kernels/concave.points_in_polygon.  Cell
-    centers sit at integer+5 ordinates while vertices are integers, so
-    no ray ever passes through a vertex and the parity test is
-    unambiguous; the crossing-x expression is written identically on
-    both sides (exact-or-identical float rounding)."""
-    edges = _values_rel(d, _concave_edge_rows(), "pe",
+    center lies inside ANY park of the given ring set, by even-odd ray
+    cast — same crossing predicate as
+    kernels/concave.points_in_polygon / points_in_rings.  Cell centers
+    sit at integer+5 ordinates while vertices are integers, so no ray
+    ever passes through a vertex and the parity test is unambiguous;
+    the crossing-x expression is written identically on both sides
+    (exact-or-identical float rounding).  Interior rings (holes) and
+    multipolygon members need only MORE EDGE ROWS under the same
+    park_id: parity flips once entering the outer shell and once more
+    entering a lake, so holed cells count as uncovered — the SQL text
+    is unchanged."""
+    edges = _values_rel(d, edge_rows, "pe",
                         ["park_id", "x1", "y1", "x2", "y2"])
-    boxes = _values_rel(d, _concave_bbox_rows(), "pb",
+    boxes = _values_rel(d, bbox_rows, "pb",
                         ["park_id", "bxmin", "bymin", "bxmax", "bymax"])
     res = CONCAVE_RES
     return f"""
@@ -108,19 +114,108 @@ g AS (SELECT point_id, COUNT(*) AS g FROM covered GROUP BY point_id),
 n AS (SELECT point_id, COUNT(*) AS n_cells FROM cells GROUP BY point_id)
 SELECT n.point_id,
        LEAST(CAST(COALESCE(g.g, 0) AS DOUBLE) / CAST(n.n_cells AS DOUBLE)
-             * 100.0, 100.0) AS greenspace_concave_pct,
+             * 100.0, 100.0) AS {out_name},
        n.n_cells AS n_cells
 FROM n LEFT JOIN g ON n.point_id = g.point_id
 """
 
 
-def _q_greenspace_concave(s, sf):
-    from .dialect import SPARK
+def greenspace_concave_sql(d: Dialect) -> str:
+    return _cell_cover_sql(d, _concave_edge_rows(), _concave_bbox_rows(),
+                           "greenspace_concave_pct")
+
+
+def greenspace_holes_sql(d: Dialect) -> str:
+    return _cell_cover_sql(d, _holed_edge_rows(), _holed_bbox_rows(),
+                           "greenspace_holes_pct")
+
+
+def _run_shared_sql(s, sf, sql_text: str):
     # the shared text reads FROM documents (like the DuckDB oracle);
     # expose the driver parquet under that name for the Spark render
     s.read.parquet(f"{sf}/documents.parquet") \
         .createOrReplaceTempView("documents")
-    return s.sql(greenspace_concave_sql(SPARK))
+    return s.sql(sql_text)
+
+
+def _q_greenspace_concave(s, sf):
+    from .dialect import SPARK
+    return _run_shared_sql(s, sf, greenspace_concave_sql(SPARK))
+
+
+def _q_greenspace_holes(s, sf):
+    from .dialect import SPARK
+    return _run_shared_sql(s, sf, greenspace_holes_sql(SPARK))
+
+
+# -------------------------------------- holed + multipolygon parks
+#
+# VERDICT r03 'What's missing #1' / 'Next round #1': the first
+# real-OSM geometry class a user hits — parks with lakes (interior
+# rings) and multipolygon parks — as a hash-exact gate query.  The
+# fixture keeps every vertex on the integer lattice: hole templates
+# use quarter-unit offsets and every scale s is a multiple of 20, so
+# 0.25·s stays integer.
+
+_SQ = [(0, 0), (4, 0), (4, 4), (0, 4)]
+# (outer template, hole templates) — holes strictly inside the outer
+_HOLED_TEMPLATES = [
+    (_L, [[(1.5, 0.25), (2.5, 0.25), (2.5, 0.75), (1.5, 0.75)]]),
+    (_PLUS, [[(1.25, 1.25), (1.75, 1.25), (1.75, 1.75), (1.25, 1.75)]]),
+    (_SQ, [[(0.5, 0.5), (1.5, 0.5), (1.5, 1.5), (0.5, 1.5)],
+           [(2.5, 2.5), (3.5, 2.5), (3.5, 3.5), (2.5, 3.5)]]),
+    (_STAR, [[(-0.5, -0.5), (0.5, -0.5), (0.5, 0.5), (-0.5, 0.5)]]),
+]
+N_HOLED = 10            # 8 single holed polygons + 2 multipolygons
+
+
+def _scale_ring(t, s, bx, by) -> np.ndarray:
+    return np.array([(bx + tx * s, by + ty * s) for tx, ty in t],
+                    dtype=float)
+
+
+def holed_park_rings(g: int) -> list[list[np.ndarray]]:
+    """Park g as a MULTIPOLYGON: list of members, each member a list
+    of rings (outer first, then holes).  Parks 0-7 are one holed
+    polygon; parks 8-9 are two-member multipolygons (park 9's second
+    member itself has a lake).  All vertices integer (scales are
+    multiples of 20; templates use quarter units)."""
+    outer_t, holes_t = _HOLED_TEMPLATES[g % 4]
+    s = 80 + 20 * ((g * 3) % 4)                       # 80/100/120/140
+    bx = 2000 + (g * 6151) % 15000
+    by = 2000 + (g * 8233) % 15000
+    member = [_scale_ring(outer_t, s, bx, by)] + [
+        _scale_ring(h, s, bx, by) for h in holes_t]
+    if g < 8:
+        return [member]
+    # multipolygon: a second, disjoint member ~1.2 km away
+    o2_t, h2_t = _HOLED_TEMPLATES[(g + 2) % 4]
+    bx2, by2 = bx + 1200, by + 1200
+    member2 = [_scale_ring(o2_t, 80, bx2, by2)]
+    if g == 9:
+        member2 += [_scale_ring(h, 80, bx2, by2) for h in h2_t]
+    return [member, member2]
+
+
+def _holed_edge_rows() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for g in range(N_HOLED):
+        for member in holed_park_rings(g):
+            for ring in CK.make_valid_polygon(member):
+                for i in range(len(ring)):
+                    x1, y1 = ring[i]
+                    x2, y2 = ring[(i + 1) % len(ring)]
+                    rows.append((g, int(x1), int(y1), int(x2), int(y2)))
+    return rows
+
+
+def _holed_bbox_rows() -> list[tuple[int, int, int, int, int]]:
+    rows = []
+    for g in range(N_HOLED):
+        pts = np.vstack([m[0] for m in holed_park_rings(g)])
+        rows.append((g, int(pts[:, 0].min()), int(pts[:, 1].min()),
+                     int(pts[:, 0].max()), int(pts[:, 1].max())))
+    return rows
 
 
 # ------------------------------------------ network subdivision/smooth
@@ -297,6 +392,14 @@ def build_geo3_registry() -> dict[str, QSpec]:
         # J4/A5 over genuinely concave polygons (cell-membership form)
         "q_greenspace_concave": QSpec(_q_greenspace_concave,
                                       greenspace_concave_sql(d)),
+        # J4/A5/P7 over polygons with interior rings (lakes) and
+        # multipolygon parks — the even-odd parity form needs only
+        # more edge rows (VERDICT r03 'Next round #1'); kernel-side
+        # semantics in kernels/concave.{make_valid_polygon,
+        # points_in_rings,intersection_area_holes}, tested in
+        # tests/test_concave.py
+        "q_greenspace_holes": QSpec(_q_greenspace_holes,
+                                    greenspace_holes_sql(d)),
         # V4/V8 hash-exact on the flat-DTM world (sin-terrain variant
         # stays rows-only by design)
         "q_viewshed_flat": QSpec(_q_viewshed_flat,

@@ -21,6 +21,19 @@ def _emb(spark, sf):
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
+def _q_ann_topk_union(spark, sf):
+    """Brute + IVF top-k over ONE embeddings scan, tagged by variant
+    (cached so the two paths share the quantized corpus read)."""
+    emb = _emb(spark, sf)
+    brute = similarity.brute_force_topk_numpy(emb).select(
+        F.lit("brute").alias("variant"), "query_id", "rank",
+        "neighbor_id", "cos_sim")
+    ivf = similarity.ivf_topk(emb).select(
+        F.lit("ivf").alias("variant"), "query_id", "rank",
+        "neighbor_id", "cos_sim")
+    return brute.unionByName(ivf)
+
+
 # ---------------------------------------------------------------------
 # text analysis oracles
 # ---------------------------------------------------------------------
@@ -664,15 +677,22 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_corpus_select": QSpec(
             lambda s, sf: dedup.corpus_select(_docs(s, sf)),
             _oracle_corpus_select(d)),
-        # Arrow/numpy matmul path (the declared 100 TB shape) carries
-        # the gate slot; the JVM-expression brute path is proven equal
-        # in tests/test_ann_numpy.py (slot freed for the pages family)
-        "q_ann_numpy_topk": QSpec(
-            lambda s, sf: similarity.brute_force_topk_numpy(_emb(s, sf)),
-            _oracle_brute_topk(d)),
-        "q_ann_ivf_topk": QSpec(
-            lambda s, sf: similarity.ivf_topk(_emb(s, sf)),
-            _oracle_ivf_topk(d)),
+        # brute (Arrow/numpy matmul, the declared 100 TB baseline) and
+        # static-IVF paths consolidated into ONE union entry tagged by
+        # `variant` — same schema, same scan — to keep the registry
+        # inside the driver's 50-entry window while q_greenspace_holes
+        # joins the gate (the r03 consolidation precedents: q_idw,
+        # token_profile).  The JVM-expression brute path is separately
+        # proven equal in tests/test_ann_numpy.py.
+        "q_ann_topk": QSpec(
+            _q_ann_topk_union,
+            f"""SELECT 'brute' AS variant, query_id, rank, neighbor_id,
+                       cos_sim
+                FROM ({_oracle_brute_topk(d)}) _b
+                UNION ALL
+                SELECT 'ivf' AS variant, query_id, rank, neighbor_id,
+                       cos_sim
+                FROM ({_oracle_ivf_topk(d)}) _i"""),
         # k-means-trained IVF lists — Lloyd steps are plain aggregates
         # over exact integers, so the oracle replays the training
         "q_ann_ivf_kmeans": QSpec(

@@ -71,3 +71,85 @@ def test_make_valid_general_accepts_concave():
 def test_make_valid_still_raises_on_degenerate():
     with pytest.raises(ValueError):
         concave.make_valid_general(np.array([[0, 0], [1, 1]], dtype=float))
+
+
+# ---------------------- polygons with holes / multipolygons (round 4)
+
+SQUARE4 = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+HOLE1 = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], dtype=float)
+HOLE2 = np.array([[2.5, 2.5], [3.5, 2.5], [3.5, 3.5], [2.5, 3.5]],
+                 dtype=float)
+
+
+def test_make_valid_polygon_normalizes_and_checks_holes():
+    rings = concave.make_valid_polygon([SQUARE4[::-1], HOLE1[::-1]])
+    assert all(geom.polygon_area(r) > 0 for r in rings)
+    with pytest.raises(ValueError, match="outside"):
+        concave.make_valid_polygon(
+            [SQUARE4, HOLE1 + np.array([10.0, 0.0])])
+    with pytest.raises(ValueError, match="nested"):
+        concave.make_valid_polygon(
+            [SQUARE4 * 4, SQUARE4, HOLE1])    # HOLE1 inside SQUARE4
+
+
+def test_points_in_rings_hole_containment():
+    rings = concave.make_valid_polygon([SQUARE4, HOLE1, HOLE2])
+    px = np.array([0.5, 1.5, 3.0, 3.0, -1.0, 2.25])
+    py = np.array([0.5, 1.5, 3.0, 0.5, 2.0, 2.25])
+    got = concave.points_in_rings(px, py, rings)
+    #        in,  lake, lake2, in,  out,  in-between-lakes
+    assert got.tolist() == [True, False, False, True, False, True]
+
+
+def test_area_with_holes():
+    rings = concave.make_valid_polygon([SQUARE4, HOLE1, HOLE2])
+    assert concave.area_with_holes(rings) == pytest.approx(16 - 1 - 1)
+
+
+def test_intersection_area_holes_vs_grid():
+    rings = concave.make_valid_polygon([SQUARE4, HOLE1, HOLE2])
+    clip = geom.regular_polygon(2.0, 2.0, 2.2, 64)
+    got = concave.intersection_area_holes(rings, clip)
+    g = np.linspace(-0.5, 4.5, 1500)
+    gx, gy = np.meshgrid(g, g)
+    inside = concave.points_in_rings(gx.ravel(), gy.ravel(), rings)
+    in_c = geom.points_in_convex_polygon(gx.ravel(), gy.ravel(), clip)
+    est = (inside & in_c).mean() * 5 * 5
+    assert abs(got - est) < 0.05
+    # clip fully inside the outer → area = |clip| − covered hole parts
+    assert got < abs(geom.polygon_area(clip))
+
+
+def test_holed_fixture_rings_are_valid_and_integer():
+    from greenexp_r_spark import registry_geo3 as G3
+    for g in range(G3.N_HOLED):
+        members = G3.holed_park_rings(g)
+        assert len(members) == (2 if g >= 8 else 1)
+        for member in members:
+            rings = concave.make_valid_polygon(member)
+            for r in rings:
+                assert np.all(r == np.round(r))       # integer lattice
+            assert concave.area_with_holes(rings) > 0
+
+
+def test_holed_fixture_kernel_matches_sql_parity_form():
+    """The kernel's points_in_rings over a multipolygon's full ring
+    set must equal the SQL oracle's single-parity-accumulator form
+    (union of all edges under one park_id)."""
+    from greenexp_r_spark import registry_geo3 as G3
+    rng = np.random.RandomState(7)
+    for g in (0, 2, 8, 9):
+        members = G3.holed_park_rings(g)
+        all_rings = [r for m in members
+                     for r in concave.make_valid_polygon(m)]
+        pts = np.vstack([m[0] for m in members])
+        px = rng.uniform(pts[:, 0].min() - 50, pts[:, 0].max() + 50, 3000)
+        py = rng.uniform(pts[:, 1].min() - 50, pts[:, 1].max() + 50, 3000)
+        # kernel: per-member XOR of (outer XOR holes)
+        want = np.zeros(len(px), dtype=bool)
+        for m in members:
+            want |= concave.points_in_rings(
+                px, py, concave.make_valid_polygon(m))
+        # SQL-parity form: ONE xor accumulator over every ring
+        got = concave.points_in_rings(px, py, all_rings)
+        assert (got == want).all()
