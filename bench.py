@@ -45,8 +45,7 @@ HEADLINE = [
     # training-data pipeline
     "q_token_stats",
     "q_fingerprint",
-    "q_dedup_minhash_lsh",
-    "q_dedup_simhash",
+    "q_dedup_neardup",
     "q_dedup_groups",
     "q_corpus_select",
     "q_ann_topk",

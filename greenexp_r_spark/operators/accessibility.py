@@ -35,7 +35,13 @@ def euclidean_access(points: DataFrame, parks: DataFrame,
                      min_area_m2: float = C.MIN_GREENSPACE_M2) -> DataFrame:
     """(point_id, closest_greenspace, greenspace_in_buffer) —
     accessibility.R:307-315: nearest-centroid distance (:311) and the
-    within-buffer boolean (:313)."""
+    within-buffer boolean (:313).
+
+    Refuses a mixed-CRS join: if the two layers DECLARE conflicting
+    projected CRSs (functions/crs.declare_crs), distances would be
+    meaningless — mirror sf's st_distance CRS check."""
+    from ..functions.crs import crs_of, require_same_crs
+    require_same_crs(points, expect=crs_of(parks, col="cx"))
     p = parks.where(F.col("area_m2") > min_area_m2) \
              .select("park_id", "cx", "cy")
     cand = (points.select("point_id", "x", "y")

@@ -546,6 +546,110 @@ FROM points p LEFT JOIN agg a ON a.point_id = p.point_id
 """
 
 
+# ------------------------------------------------------- CRS / UTM
+
+UTM_SAMPLE_MOD = 5
+_UTM_CRS = "EPSG:32631"
+# synthetic WGS84 fixture: integer micro-degrees from doc_id (exact on
+# both engines), lon ∈ [0.5°, 5.5°) → all of UTM zone 31
+_LON_SQL = "(500000 + (doc_id * 97) % 5000000) / 1000000.0"
+_LAT_SQL = "(45000000 + (doc_id * 131) % 10000000) / 1000000.0"
+
+
+def _q_crs_utm(s, sf):
+    """P1 on a second projected CRS (VERDICT r03 'Next round #6'):
+    WGS84 → UTM zone 31N through the vectorized Snyder series
+    (functions/crs.utm_forward), outputs quantized to integer
+    millimeters — the engine's numpy trig and the oracle's DuckDB trig
+    replay the same formula with ~1e-8 m divergence against a 0.5 mm
+    quantizer half-step (the q_greenspace_poly_pct contract).  The UTM
+    point table is CRS-DECLARED (declare_crs) and consumed through
+    require_same_crs, exercising the per-dataset declaration path on a
+    gate query (reference: ndvi_calc.R:50-62 `projected_crs`)."""
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (LongType, StructField, StructType)
+    from .functions import crs as CR
+
+    docs = s.read.parquet(f"{sf}/documents.parquet")
+    base = docs.where(F.col("doc_id") % UTM_SAMPLE_MOD == 0).select(
+        F.col("doc_id").alias("point_id"),
+        F.expr(_LON_SQL).alias("lon"),
+        F.expr(_LAT_SQL).alias("lat"))
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("zone", LongType()),
+        StructField("e_mm", LongType()),
+        StructField("n_mm", LongType()),
+    ])
+
+    def fwd(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        for pdf in it:
+            if not len(pdf):
+                continue
+            z, e, n = CR.utm_forward(pdf["lon"].to_numpy(),
+                                     pdf["lat"].to_numpy())
+            yield pd.DataFrame({
+                "point_id": pdf["point_id"].to_numpy(),
+                "zone": z,
+                "e_mm": np.floor(e * 1000.0 + 0.5).astype(np.int64),
+                "n_mm": np.floor(n * 1000.0 + 0.5).astype(np.int64)})
+
+    utm = CR.declare_crs(base.mapInPandas(fwd, schema), _UTM_CRS,
+                         cols=("e_mm", "n_mm"))
+    # the declared-CRS consumption guard (raises on a mixed join)
+    CR.require_same_crs(utm, col="e_mm", expect=_UTM_CRS)
+    return utm
+
+
+def _oracle_crs_utm(d: Dialect) -> str:
+    """DuckDB replay of the Snyder forward series with Python-computed
+    coefficient literals; quantized-mm contract (see _q_crs_utm)."""
+    import numpy as np
+    from .functions import crs as CR
+    e2, ep2, a, k0 = CR._E2, CR._EP2, CR.WGS84_A, CR.UTM_K0
+    c0 = 1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256
+    c2 = 3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024
+    c4 = 15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024
+    c6 = 35 * e2 ** 3 / 3072
+    lam0 = float(np.radians(3.0))                     # zone 31 CM
+    return f"""
+WITH base AS (
+  SELECT doc_id AS point_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
+  FROM documents WHERE doc_id % {UTM_SAMPLE_MOD} = 0
+),
+t1 AS (SELECT point_id, RADIANS(lon) AS lam, RADIANS(lat) AS phi
+       FROM base),
+t2 AS (SELECT point_id, lam, phi, SIN(phi) AS sp, COS(phi) AS cp,
+              TAN(phi) AS tp
+       FROM t1),
+t3 AS (SELECT point_id, lam, phi, sp, cp, tp,
+              {a!r} / SQRT(1 - {e2!r} * sp * sp) AS N,
+              tp * tp AS T,
+              {ep2!r} * cp * cp AS Cc,
+              (lam - {lam0!r}) * cp AS A,
+              {a!r} * ({c0!r} * phi - {c2!r} * SIN(2 * phi)
+                       + {c4!r} * SIN(4 * phi)
+                       - {c6!r} * SIN(6 * phi)) AS M
+       FROM t2),
+t4 AS (SELECT point_id,
+              {k0!r} * N * (A + (1 - T + Cc) * POWER(A, 3) / 6
+                  + (5 - 18 * T + T * T + 72 * Cc - 58 * {ep2!r})
+                    * POWER(A, 5) / 120) + 500000.0 AS x,
+              {k0!r} * (M + N * tp * (A * A / 2
+                  + (5 - T + 9 * Cc + 4 * Cc * Cc) * POWER(A, 4) / 24
+                  + (61 - 58 * T + T * T + 600 * Cc - 330 * {ep2!r})
+                    * POWER(A, 6) / 720)) AS y
+       FROM t3)
+SELECT point_id, CAST(31 AS BIGINT) AS zone,
+       CAST(FLOOR(x * 1000.0 + 0.5) AS BIGINT) AS e_mm,
+       CAST(FLOOR(y * 1000.0 + 0.5) AS BIGINT) AS n_mm
+FROM t4
+"""
+
+
 def _q_events_props(s, sf):
     """Semi-structured extraction: JSON props field aggregated per
     event type (get_json_object — JVM-side JSON path)."""
@@ -569,6 +673,9 @@ def build_geo2_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
         "q_scene_selection": QSpec(_q_scene_selection, _oracle_scene(d)),
+        # P1 on a UTM-declared variant (second projected CRS +
+        # declaration/dispatch plumbing), quantized-mm exact
+        "q_crs_utm": QSpec(_q_crs_utm, _oracle_crs_utm(d)),
         "q_ndvi_bands": QSpec(_q_ndvi_bands, _oracle_ndvi_bands(d)),
         # per-domain corpus stats over the pages' url column (the
         # domain-level filtering grouping of CC-style pipelines)

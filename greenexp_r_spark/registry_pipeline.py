@@ -21,6 +21,19 @@ def _emb(spark, sf):
     return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
+def _q_dedup_neardup_union(spark, sf):
+    """MinHash-LSH + SimHash near-dup pairs over one augmented-corpus
+    build, tagged by method."""
+    aug = dedup.augmented_corpus(_docs(spark, sf))
+    mh = dedup.minhash_lsh_pairs(aug).select(
+        F.lit("minhash").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"))
+    sh = dedup.simhash_pairs(aug).select(
+        F.lit("simhash").alias("method"), "doc_a", "doc_b",
+        F.col("hamming").cast("double").alias("score"))
+    return mh.unionByName(sh)
+
+
 def _q_ann_topk_union(spark, sf):
     """Brute + IVF top-k over ONE embeddings scan, tagged by variant
     (cached so the two paths share the quantized corpus read)."""
@@ -660,14 +673,19 @@ def build_pipeline_registry() -> dict[str, QSpec]:
             lambda s, sf: dedup.exact_duplicates(
                 dedup.augmented_corpus(_docs(s, sf))),
             _oracle_exact_dup(d)),
-        "q_dedup_minhash_lsh": QSpec(
-            lambda s, sf: dedup.minhash_lsh_pairs(
-                dedup.augmented_corpus(_docs(s, sf))),
-            _oracle_minhash_pairs(d)),
-        "q_dedup_simhash": QSpec(
-            lambda s, sf: dedup.simhash_pairs(
-                dedup.augmented_corpus(_docs(s, sf))),
-            _oracle_simhash_pairs(d)),
+        # MinHash-LSH and SimHash pair queries consolidated into ONE
+        # union entry tagged by `method` — same augmented-corpus scan,
+        # aligned (method, doc_a, doc_b, score) schema — freeing the
+        # slot q_crs_utm takes (r03 consolidation precedents)
+        "q_dedup_neardup": QSpec(
+            _q_dedup_neardup_union,
+            f"""SELECT 'minhash' AS method, doc_a, doc_b,
+                       jaccard AS score
+                FROM ({_oracle_minhash_pairs(d)}) _m
+                UNION ALL
+                SELECT 'simhash' AS method, doc_a, doc_b,
+                       CAST(hamming AS DOUBLE) AS score
+                FROM ({_oracle_simhash_pairs(d)}) _s"""),
         # capstones: near-dup clusters → canonical keeper; and the
         # composed filter+dedup corpus-selection pipeline
         "q_dedup_groups": QSpec(

@@ -64,7 +64,7 @@ def test_entry_queries_release_at_boundary(spark):
     from greenexp_r_spark.plans import caching
 
     qs = entrymod.queries()
-    qs["q_dedup_minhash_lsh"](spark, SF_TEST).count()
+    qs["q_dedup_neardup"](spark, SF_TEST).count()
     assert len(caching._live) > 0
     # building ANY next query evicts the previous query's caches
     qs["q_token_stats"](spark, SF_TEST)
