@@ -46,8 +46,54 @@ import shutil
 import uuid
 from dataclasses import dataclass
 
+import numpy as np
 import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+
+
+# ----------------------------------------------------------- bucket()
+#
+# Iceberg's bucket(N, col) partition transform (spec: murmur3_x86_32
+# of the value's little-endian 8-byte form, & Integer.MAX_VALUE, % N).
+# Implemented once in vectorized numpy and used on BOTH sides: the
+# write path (Arrow-batched pandas UDF assigns each row's bucket) and
+# the planner (read() hashes the predicate literal the same way), so
+# bucket pruning is a pure manifest lookup.
+
+def murmur3_32_long(v, seed: int = 0) -> np.ndarray:
+    """murmur3_x86_32 over the 8-byte little-endian encoding of int64
+    values, vectorized (public reference algorithm)."""
+    with np.errstate(over="ignore"):
+        v = np.atleast_1d(np.asarray(v)).astype(np.int64).view(np.uint64)
+        blocks = [(v & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+                  (v >> np.uint64(32)).astype(np.uint32)]
+        h = np.full(v.shape, seed, dtype=np.uint32)
+        c1 = np.uint32(0xCC9E2D51)
+        c2 = np.uint32(0x1B873593)
+
+        def rotl(x: np.ndarray, r: int) -> np.ndarray:
+            return (x << np.uint32(r)) | (x >> np.uint32(32 - r))
+
+        for k in blocks:
+            k = k * c1
+            k = rotl(k, 15)
+            k = k * c2
+            h = h ^ k
+            h = rotl(h, 13)
+            h = h * np.uint32(5) + np.uint32(0xE6546B64)
+        h = h ^ np.uint32(8)               # input length in bytes
+        h = h ^ (h >> np.uint32(16))
+        h = h * np.uint32(0x85EBCA6B)
+        h = h ^ (h >> np.uint32(13))
+        h = h * np.uint32(0xC2B2AE35)
+        h = h ^ (h >> np.uint32(16))
+        return h
+
+
+def bucket_of(value, n: int) -> int:
+    """Iceberg bucket id of a long value: (murmur3 & MAX_INT) % n."""
+    h = murmur3_32_long(value)
+    return int((h[0] & np.uint32(0x7FFFFFFF)) % np.uint32(n))
 
 
 @dataclass
@@ -55,6 +101,7 @@ class FileEntry:
     path: str
     rows: int
     stats: dict          # col -> [min, max] (numeric/string leaf cols)
+    partition: dict | None = None   # e.g. {"bucket": 3}
 
 
 def _json_safe(v):
@@ -142,7 +189,8 @@ def _lock_path(table: str) -> str:
 
 def commit(df: DataFrame, table: str, mode: str = "append",
            stat_cols: list[str] | None = None,
-           expected_parent: int | None = None) -> int:
+           expected_parent: int | None = None,
+           partition: tuple[str, int, str] | None = None) -> int:
     """Write ``df`` as a new snapshot.  ``append`` unions the parent
     snapshot's files; ``overwrite`` starts fresh.  Returns the new
     snapshot id.
@@ -160,6 +208,13 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         os.replace'd.  Readers see the old or the new snapshot, never
         a partial one; a losing writer raises CommitConflict with all
         of its tmp state cleaned up, so re-read-and-retry succeeds.
+
+    ``partition=("bucket", N, col)`` applies the Iceberg bucket
+    transform: rows land in per-bucket files (_b=<k> dirs inside the
+    staging dir), the manifest records each file's bucket, and
+    ``read(..., bucket_eq=(col, value))`` prunes to ~1/N of the files
+    at planning time (BASELINE's "Iceberg table partitioned by
+    bucket(N, cell_id)").
     """
     os.makedirs(_meta_dir(table), exist_ok=True)
     parent = current_snapshot(table) if \
@@ -170,21 +225,57 @@ def commit(df: DataFrame, table: str, mode: str = "append",
     snap = parent + 1
     data_dir = os.path.join(table, "data",
                             f"s{snap}-{uuid.uuid4().hex[:12]}")
-    df.write.mode("error").parquet(data_dir)
+    part_spec = None
+    if partition is not None:
+        transform, n_buckets, col = partition
+        if transform != "bucket":
+            raise ValueError(f"unknown partition transform {transform}")
+        part_spec = {"transform": "bucket", "n": int(n_buckets),
+                     "col": col}
+    # spec compatibility is checked BEFORE staging any data — a
+    # rejected commit must leave nothing to vacuum
+    if parent and mode != "overwrite":
+        prev_spec = _load_manifest(table, parent).get("partition_spec")
+        if prev_spec != part_spec:
+            raise ValueError(
+                f"append partition spec {part_spec} != table spec "
+                f"{prev_spec}; use mode='overwrite' to change specs")
+    if partition is not None:
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(v):
+            import pandas as pd
+            h = murmur3_32_long(v.to_numpy())
+            return pd.Series(
+                ((h & np.uint32(0x7FFFFFFF))
+                 % np.uint32(n_buckets)).astype(np.int32))
+
+        df.withColumn("_b", _bucket(df[col])) \
+          .write.mode("error").partitionBy("_b").parquet(data_dir)
+    else:
+        df.write.mode("error").parquet(data_dir)
     stat_cols = stat_cols if stat_cols is not None else [
         f.name for f in df.schema
         if f.dataType.simpleString() in
         ("bigint", "int", "double", "float", "string", "timestamp")]
-    new = [
-        _file_entry(os.path.join(data_dir, f), stat_cols)
-        for f in sorted(os.listdir(data_dir))
-        if f.endswith(".parquet")]
+    new = []
+    for root, _dirs, fnames in sorted(os.walk(data_dir)):
+        base = os.path.basename(root)
+        part = ({"bucket": int(base.split("=", 1)[1])}
+                if base.startswith("_b=") else None)
+        for f in sorted(fnames):
+            if f.endswith(".parquet"):
+                e = _file_entry(os.path.join(root, f), stat_cols)
+                e.partition = part
+                new.append(e)
     files = ([] if mode == "overwrite" or parent == 0
              else _load_manifest(table, parent)["files"])
     manifest = {
         "snapshot": snap,
         "parent": parent if parent else None,
         "mode": mode,
+        "partition_spec": part_spec,
         "files": files + [vars(e) for e in new],
     }
     tag = uuid.uuid4().hex[:8]
@@ -240,36 +331,57 @@ def vacuum(table: str) -> list[str]:
     Returns the removed directories."""
     referenced: set[str] = set()
     meta = _meta_dir(table)
+    droot = os.path.join(table, "data")
     for fname in os.listdir(meta):
         if fname.startswith("v") and fname.endswith(".json"):
             with open(os.path.join(meta, fname)) as f:
                 for e in json.load(f)["files"]:
-                    referenced.add(os.path.dirname(e["path"]))
+                    # normalize to the TOP-LEVEL staging dir: bucket-
+                    # partitioned files live in s{N}-<uuid>/_b=<k>/
+                    rel = os.path.relpath(os.path.dirname(e["path"]),
+                                          droot)
+                    referenced.add(rel.split(os.sep)[0])
     removed = []
-    droot = os.path.join(table, "data")
     for d in sorted(os.listdir(droot)) if os.path.isdir(droot) else []:
-        full = os.path.join(droot, d)
-        if full not in referenced:
+        if d not in referenced:
+            full = os.path.join(droot, d)
             shutil.rmtree(full)
             removed.append(full)
     return removed
 
 
 def read(spark: SparkSession, table: str, snapshot: int | None = None,
-         between: tuple | None = None) -> DataFrame:
+         between: tuple | None = None,
+         bucket_eq: tuple | None = None) -> DataFrame:
     """Plan a scan of the table at ``snapshot`` (default: current).
     ``between=(col, lo, hi)`` prunes files by manifest min/max stats
     before Spark ever sees them (Iceberg's planning-time pruning);
-    row-level filtering still belongs in a normal ``.where`` (which
-    Spark pushes into the parquet scan)."""
+    ``bucket_eq=(col, value)`` prunes by the bucket partition
+    transform — the planner hashes the literal with the same murmur3
+    the writer used and keeps only that bucket's files (~1/N of the
+    scan).  Row-level filtering still belongs in a normal ``.where``
+    (which Spark pushes into the parquet scan) — bucket pruning is a
+    FILE-level superset, not an exact filter."""
     snap = snapshot if snapshot is not None else current_snapshot(table)
-    files = _load_manifest(table, snap)["files"]
+    m = _load_manifest(table, snap)
+    files = m["files"]
     if between is not None:
         col, lo, hi = between
         files = [e for e in files
                  if col not in e["stats"]
                  or (e["stats"][col][0] <= hi
                      and e["stats"][col][1] >= lo)]
+    if bucket_eq is not None:
+        col, value = bucket_eq
+        spec = m.get("partition_spec")
+        if not spec or spec.get("col") != col:
+            raise ValueError(
+                f"table snapshot {snap} is not bucket-partitioned by "
+                f"{col} (spec: {spec})")
+        want = bucket_of(value, spec["n"])
+        files = [e for e in files
+                 if e.get("partition") is None
+                 or e["partition"].get("bucket") == want]
     if not files:
         raise ValueError(f"no files for snapshot {snap} of {table}")
     return spark.read.parquet(*[e["path"] for e in files])

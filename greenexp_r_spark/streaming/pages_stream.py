@@ -31,7 +31,11 @@ from .events_stream import stage_as_dir
 def pages_snapshot_stream(spark: SparkSession, docs_path: str,
                           watermark: str = "30 days") -> DataFrame:
     """Streaming latest-capture-per-url: (url, warc_ts, n_chars,
-    lang), state = one max-struct per url."""
+    lang, n_captures), state = one max-struct + counter per url.
+    n_captures is the per-url capture count — a lineage/row-count
+    metric (north_rule) that also makes restart tests loss- AND
+    duplication-sensitive (the max-struct alone is idempotent, so a
+    replayed file would be invisible to it)."""
     docs_path = stage_as_dir(docs_path)
     static = spark.read.parquet(docs_path)
     stream = spark.readStream.schema(static.schema).parquet(docs_path)
@@ -43,19 +47,30 @@ def pages_snapshot_stream(spark: SparkSession, docs_path: str,
     agg = (pages
            .withColumn("warc_ts", F.col("warc_ts").cast("timestamp"))
            .withWatermark("warc_ts", watermark)
-           .groupBy("url").agg(best))
+           .groupBy("url").agg(best,
+                               F.count(F.lit(1)).alias("n_captures")))
     return agg.select(
         "url", "s.warc_ts",
-        (F.col("s.n_html") - P.WRAP_LEN).alias("n_chars"), "s.lang")
+        (F.col("s.n_html") - P.WRAP_LEN).alias("n_chars"), "s.lang",
+        "n_captures")
 
 
 def run_snapshot_available_now(spark: SparkSession, docs_path: str,
-                               table_name: str = "pages_snap") -> DataFrame:
-    """Drain the full input with availableNow and return the snapshot
-    as a batch DataFrame (complete-mode in-memory sink)."""
-    q = (pages_snapshot_stream(spark, docs_path)
+                               table_name: str = "pages_snap",
+                               checkpoint: str | None = None) -> DataFrame:
+    """Drain all CURRENTLY available input with availableNow and
+    return the snapshot as a batch DataFrame (complete-mode in-memory
+    sink).  Pass the SAME `checkpoint` across calls to resume: the
+    file source's processed-file log and the aggregation state both
+    live in the checkpoint, so a restart reads only NEW files and
+    re-emits the full recovered state — kill-and-restart loses
+    nothing and re-processes nothing (tests/test_pages_stream.py)."""
+    w = (pages_snapshot_stream(spark, docs_path)
          .writeStream.format("memory").queryName(table_name)
          .outputMode("complete")
-         .trigger(availableNow=True).start())
+         .trigger(availableNow=True))
+    if checkpoint is not None:
+        w = w.option("checkpointLocation", checkpoint)
+    q = w.start()
     q.awaitTermination()
     return spark.table(table_name)

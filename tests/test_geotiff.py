@@ -63,3 +63,93 @@ def test_tiles_from_array_rejects_misaligned():
     a = np.zeros((TILE_CELLS, TILE_CELLS), dtype=np.int32)
     with pytest.raises(ValueError):
         list(GT.tiles_from_array(a, xmin=13.0, ymax=2560.0, res=10.0))
+
+
+# --------------------------- tiled (COG-layout) + LZW (round 4)
+
+@pytest.mark.parametrize("compress", [False, "deflate", "lzw"])
+@pytest.mark.parametrize("shape", [(64, 96), (80, 100), (16, 16)])
+def test_tiled_roundtrip(tmp_path, compress, shape):
+    """Tiled layout with zero-padded edge tiles, all three codecs;
+    (80, 100) exercises partial edge tiles (tile 32 ∤ extent)."""
+    rng = np.random.RandomState(5)
+    a = rng.randint(-500, 500, shape).astype(np.int32)
+    p = str(tmp_path / "t.tif")
+    GT.write_geotiff(p, a, xmin=0.0, ymax=float(shape[0] * 10), res=10.0,
+                     compress=compress, tiled=32)
+    vals, xmin, ymax, res = GT.parse_geotiff(open(p, "rb").read())
+    assert (vals == a).all() and vals.dtype == np.int32
+    assert (xmin, ymax, res) == (0.0, float(shape[0] * 10), 10.0)
+
+
+def test_tiled_float64_roundtrip(tmp_path):
+    rng = np.random.RandomState(6)
+    a = rng.randn(48, 64)
+    p = str(tmp_path / "f.tif")
+    GT.write_geotiff(p, a, xmin=0.0, ymax=480.0, res=10.0,
+                     compress="lzw", tiled=16)
+    vals, *_ = GT.parse_geotiff(open(p, "rb").read())
+    assert (vals == a).all() and vals.dtype == np.float64
+
+
+def test_tiled_file_structure_is_cog_shaped(tmp_path):
+    """The tiled writer must emit real TileWidth/TileLength/TileOffsets
+    tags (not strips) so external COG readers see a tiled TIFF."""
+    import struct
+    a = np.arange(64 * 64, dtype=np.int32).reshape(64, 64)
+    p = str(tmp_path / "t.tif")
+    GT.write_geotiff(p, a, xmin=0.0, ymax=640.0, res=10.0, tiled=32)
+    buf = open(p, "rb").read()
+    (ifd_off,) = struct.unpack_from("<I", buf, 4)
+    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    tags = {struct.unpack_from("<HHII", buf, ifd_off + 2 + 12 * i)[0]:
+            struct.unpack_from("<HHII", buf, ifd_off + 2 + 12 * i)
+            for i in range(n)}
+    assert GT._TAG_TILE_WIDTH in tags and GT._TAG_TILE_OFFSETS in tags
+    assert GT._TAG_STRIP_OFFSETS not in tags
+    assert tags[GT._TAG_TILE_OFFSETS][2] == 4      # 2×2 tiles
+    assert tags[GT._TAG_TILE_WIDTH][3] == 32
+
+
+def test_lzw_vectors_and_width_boundaries():
+    """LZW roundtrip across code-width bumps (9→10→11→12 bits) and the
+    4094-entry Clear reset; plus degenerate inputs."""
+    for data in (b"", b"\x00", b"TOBEORNOTTOBEORTOBEORNOT" * 3,
+                 bytes(range(256)) * 40,            # forces width bumps
+                 np.random.RandomState(0).randint(
+                     0, 256, 200_000).astype(np.uint8).tobytes(),
+                 b"\x00" * 100_000):                # deep dictionary
+        assert GT._lzw_decode(GT._lzw_encode(data)) == data
+
+
+def test_lzw_first_code_after_clear():
+    """The TIFF6 stream must start with ClearCode at 9 bits."""
+    enc = GT._lzw_encode(b"A")
+    first = int.from_bytes(enc[:2], "big") >> 7
+    assert first == GT._LZW_CLEAR
+
+
+def test_ingest_tiled_lzw_zonal_equals_virtual(spark, tmp_path):
+    """The r03 'Done' criterion: ingest over TILED (+LZW/deflate)
+    fixture files, ingested-zonal ≡ virtual still exact."""
+    from greenexp_r_spark.operators.availability import ndvi_zonal
+    from greenexp_r_spark.operators.zonal_tiles import ndvi_zonal_tiles
+    from greenexp_r_spark.sources.tiles import TILE_CELLS, ndvi_tile_values
+
+    res, span = 10, TILE_CELLS * 10
+    codecs = ["lzw", "deflate", False]
+    for k, (tx, ty) in enumerate([(tx, ty) for tx in range(0, 9)
+                                  for ty in range(0, 9)]):
+        v = ndvi_tile_values(tx, ty, res).reshape(TILE_CELLS, TILE_CELLS)
+        GT.write_geotiff(str(tmp_path / f"t_{tx}_{ty}.tif"),
+                         v[::-1].astype(np.int32), xmin=tx * span,
+                         ymax=(ty + 1) * span, res=float(res),
+                         compress=codecs[k % 3], tiled=32)
+    tiles = GT.ingest_geotiff_tiles(spark, str(tmp_path) + "/*.tif")
+    pts = world.points_df(spark, SF_TEST).where(
+        "x > 400 and x < 19600 and y > 400 and y < 19600").limit(40)
+    got = ndvi_zonal_tiles(pts, tiles).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    want = ndvi_zonal(pts).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    assert got.equals(want)
