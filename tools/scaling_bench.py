@@ -49,6 +49,11 @@ def control_burn():
 
 cpus = int(sys.argv[1]); n = int(sys.argv[2])
 sample_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 10
+# certify the host BEFORE any JVM exists: a burn taken after session
+# warmup is polluted by background JIT/GC threads and flags healthy
+# hosts as stalled (observed: before≈1.2-1.7s vs after≈0.31s on the
+# same trial)
+c0 = control_burn()
 spark = build_session(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
@@ -60,7 +65,6 @@ parks = world.parks_df(spark)
 availability.ndvi_zonal(world.synthetic_points(spark, 500)).count()
 visibility.vgvi_points(world.synthetic_points(spark, 200),
                        sample_mod=1).count()
-c0 = control_burn()
 t0 = time.time()
 # the full north-star pages pipeline: snapshot dedup -> byte-exact
 # extract -> url geocode -> all three exposure families
@@ -132,6 +136,20 @@ def main() -> None:
     print(json.dumps(result))
     os.makedirs(os.path.join(repo, "BENCH"), exist_ok=True)
     stamp = time.strftime("%Y-%m-%d %H:%M:%S")
+    # machine-readable evidence for bench.py to embed, so the driver's
+    # BENCH_r{N}.json alone carries the two-cluster-size numbers
+    # (VERDICT r03 'Next round #8')
+    head = subprocess.run(["git", "rev-parse", "--short", "HEAD"],
+                          capture_output=True, text=True,
+                          cwd=repo).stdout.strip()
+    with open(os.path.join(repo, "BENCH", "scaling_evidence.json"),
+              "w") as f:
+        json.dump({"timestamp": stamp, "commit": head,
+                   "protocol": "same job, separate JVMs, best clean "
+                   "trial (control-burn-filtered host stalls)",
+                   "job": "pages pipeline: snapshot dedup + extract + "
+                   "geocode + 3-family exposure join",
+                   "n_points": n, **result}, f, indent=1)
     with open(os.path.join(repo, "BENCH", "BASELINE.md"), "a") as f:
         f.write(f"""
 ## Scaling run {stamp}
