@@ -149,11 +149,18 @@ def main() -> None:
     visibility.vgvi_points(world.synthetic_points(spark, 100),
                            sample_mod=1).count()
 
+    from greenexp_r_spark.plans.caching import release_caches
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     total = 0.0
     for name in HEADLINE:
         fn = extra[name] if name in extra else reg[name].spark
+        # query-boundary cache release, mirroring the driver contract
+        # wrapper — without it tracked persists accumulate across the
+        # whole suite and later cache-heavy queries pay the memory
+        # pressure (q_ann_ivf_kmeans measured 3.9→10.7 s)
+        release_caches()
         t0 = time.time()
         df = fn(spark, sf_dir)
         n = df.count()          # forces full execution, no driver collect

