@@ -422,6 +422,98 @@ def network_access_extended(points: DataFrame, edges: DataFrame,
     return _attach_points(points, dist, buffer_m)
 
 
+def labeled_bfs_layers(src: np.ndarray, dst: np.ndarray,
+                       seed_pids: np.ndarray, seed_nodes: np.ndarray,
+                       n_layers: int, hop: float
+                       ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-source bounded BFS on a uniform-weight bidirectional edge
+    set, vectorized per layer (the driver-side isochrone solve).
+    Returns (point_ids, node_ids, dists) — one row per (source,
+    reached node)."""
+    import pandas as pd
+    inv, nodes = pd.factorize(np.concatenate([src, dst, seed_nodes]))
+    s_c = inv[:len(src)]
+    d_c = inv[len(src):len(src) + len(dst)]
+    seeds_c = inv[len(src) + len(dst):]
+    nodes = np.asarray(nodes, dtype=np.int64)
+    order = np.argsort(s_c, kind="stable")
+    s_s, d_s = s_c[order], d_c[order]
+    indptr = np.searchsorted(s_s, np.arange(len(nodes) + 1))
+    out_p, out_n, out_d = [], [], []
+    for pid, seed in zip(seed_pids, seeds_c):
+        seen = np.zeros(len(nodes), dtype=bool)
+        seen[seed] = True
+        frontier = np.array([seed], dtype=np.int64)
+        out_p.append(np.full(1, pid))
+        out_n.append(nodes[frontier])
+        out_d.append(np.zeros(1))
+        for layer in range(1, n_layers + 1):
+            starts = indptr[frontier]
+            cnt = indptr[frontier + 1] - starts
+            total = int(cnt.sum())
+            if not total:
+                break
+            eidx = (np.repeat(starts, cnt)
+                    + (np.arange(total)
+                       - np.repeat(np.cumsum(cnt) - cnt, cnt)))
+            nxt = np.unique(d_s[eidx])
+            nxt = nxt[~seen[nxt]]
+            if not len(nxt):
+                break
+            seen[nxt] = True
+            frontier = nxt
+            out_p.append(np.full(len(nxt), pid))
+            out_n.append(nodes[nxt])
+            out_d.append(np.full(len(nxt), layer * hop))
+    return (np.concatenate(out_p), np.concatenate(out_n),
+            np.concatenate(out_d))
+
+
+def isochrone_nodes_driver(points_sample: DataFrame, edges: DataFrame,
+                           max_dist: float = C.BUFFER_M,
+                           hop: float = C.NET_HOP) -> DataFrame:
+    """Driver-side isochrones for dimension-sized road graphs: one
+    Arrow transfer + per-source vectorized BFS layers, zero iterative
+    shuffles.  Distances identical to the distributed layering
+    (uniform weights → layer·hop; parity in
+    tests/test_network_parity.py)."""
+    import pandas as pd
+    spark = edges.sparkSession
+    pdf = bidirectional(edges).select("src", "dst").toPandas()
+    seeds = points_sample.select(
+        "point_id",
+        (snap_node_expr("y") * C.ROAD_N + snap_node_expr("x"))
+        .alias("node_id")).distinct().toPandas()
+    p, n, d = labeled_bfs_layers(
+        pdf["src"].to_numpy(dtype=np.int64),
+        pdf["dst"].to_numpy(dtype=np.int64),
+        seeds["point_id"].to_numpy(dtype=np.int64),
+        seeds["node_id"].to_numpy(dtype=np.int64),
+        int(max_dist // hop), hop)
+    return spark.createDataFrame(
+        pd.DataFrame({"point_id": p, "node_id": n, "net_dist": d}),
+        "point_id long, node_id long, net_dist double")
+
+
+def isochrone_nodes_auto(points_sample: DataFrame, edges: DataFrame,
+                         max_dist: float = C.BUFFER_M,
+                         hop: float = C.NET_HOP,
+                         n_edges_hint: int | None = None) -> DataFrame:
+    """Size-routed isochrones: dimension-sized graphs solve on the
+    driver (isochrone_nodes_driver); larger graphs keep the
+    distributed labeled BFS.  Same routing contract as
+    multi_source_dist_auto."""
+    eb = bidirectional(edges)
+    if n_edges_hint is None:
+        _warn_if_expensive_probe(eb, "isochrone_nodes_auto")
+    n = (n_edges_hint if n_edges_hint is not None
+         else eb.limit(DRIVER_GRAPH_EDGE_LIMIT + 1).count())
+    if n <= DRIVER_GRAPH_EDGE_LIMIT:
+        return isochrone_nodes_driver(points_sample, edges,
+                                      max_dist, hop)
+    return isochrone_nodes(points_sample, edges, max_dist, hop)
+
+
 def isochrone_nodes(points_sample: DataFrame, edges: DataFrame,
                     max_dist: float = C.BUFFER_M,
                     hop: float = C.NET_HOP) -> DataFrame:
@@ -456,16 +548,19 @@ def isochrone_nodes(points_sample: DataFrame, edges: DataFrame,
 
 
 def isochrone_hulls(points_sample: DataFrame, edges: DataFrame,
-                    max_dist: float = C.BUFFER_M) -> DataFrame:
+                    max_dist: float = C.BUFFER_M,
+                    n_edges_hint: int | None = None) -> DataFrame:
     """Isochrone summary per source: node count + convex-hull area of
     the reached lattice nodes (A12 + P5, ndvi_calc.R:229-236).
-    Output: (point_id, n_nodes, hull_area_m2)."""
+    Output: (point_id, n_nodes, hull_area_m2).  Size-routed through
+    isochrone_nodes_auto."""
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
     from ..kernels import geom as G
 
-    iso = isochrone_nodes(points_sample, edges, max_dist)
+    iso = isochrone_nodes_auto(points_sample, edges, max_dist,
+                               n_edges_hint=n_edges_hint)
     nodes = iso.select(
         "point_id",
         (F.col("node_id") % C.ROAD_N).cast("double").alias("nx"),

@@ -300,10 +300,20 @@ FROM cnt c LEFT JOIN area a ON c.point_id = a.point_id
 """
 
 
+def _q_isochrone_hull(s, sf):
+    from .registry import _LATTICE_EDGES
+    return network.isochrone_hulls(
+        world.points_df(s, sf).where(
+            F.col("point_id") % ISO_SAMPLE_MOD == 0),
+        world.road_edges_df(s), n_edges_hint=_LATTICE_EDGES)
+
+
 def _q_isochrone_nodes(s, sf):
+    from .registry import _LATTICE_EDGES
     pts = world.points_df(s, sf).where(
         F.col("point_id") % ISO_SAMPLE_MOD == 0)
-    iso = network.isochrone_nodes(pts, world.road_edges_df(s))
+    iso = network.isochrone_nodes_auto(pts, world.road_edges_df(s),
+                                       n_edges_hint=_LATTICE_EDGES)
     return iso.groupBy("point_id").agg(
         F.count(F.lit(1)).alias("n_nodes"),
         F.sum("net_dist").alias("total_dist"))
@@ -693,12 +703,8 @@ def build_geo2_registry() -> dict[str, QSpec]:
         # strictly inside any peer triangle, shoelace over the
         # angle-ordered boundary); the engine-side hull kernel is
         # additionally brute-force-tested in tests/test_geom_kernels.py
-        "q_isochrone_hull": QSpec(
-            lambda s, sf: network.isochrone_hulls(
-                world.points_df(s, sf).where(
-                    F.col("point_id") % ISO_SAMPLE_MOD == 0),
-                world.road_edges_df(s)),
-            _oracle_isochrone_hull(d)),
+        "q_isochrone_hull": QSpec(_q_isochrone_hull,
+                                  _oracle_isochrone_hull(d)),
         # exact polygon-clip overlay (also grid-verified in
         # tests/test_overlay.py): the real mapInPandas clip kernel on
         # the Spark side, vertex-enumeration replay on DuckDB, exact

@@ -42,6 +42,9 @@ from .tiles import TILE_CELLS, TILE_SCHEMA
 _TAG_WIDTH, _TAG_LENGTH = 256, 257
 _TAG_BITS, _TAG_COMPRESSION, _TAG_PHOTOMETRIC = 258, 259, 262
 _TAG_STRIP_OFFSETS, _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS = 273, 278, 279
+_TAG_SAMPLES_PER_PIXEL = 277
+_TAG_PLANAR_CONFIG = 284
+_TAG_PREDICTOR = 317
 _TAG_TILE_WIDTH, _TAG_TILE_LENGTH = 322, 323
 _TAG_TILE_OFFSETS, _TAG_TILE_COUNTS = 324, 325
 _TAG_SAMPLE_FORMAT = 339
@@ -168,6 +171,24 @@ def _decompress(chunk: bytes, comp: int) -> bytes:
     return chunk
 
 
+# Predictor=2 (TIFF6 §14, horizontal differencing): each sample is
+# stored as the difference from its left neighbor within the row;
+# real LZW/deflate COGs almost always carry it (GDAL PREDICTOR=2 for
+# integer data).  The transform operates on samples (int32 here),
+# row-wise per chunk; wraparound arithmetic matches the spec.
+
+def _predict2_encode(a: np.ndarray) -> np.ndarray:
+    out = a.copy()
+    with np.errstate(over="ignore"):
+        out[:, 1:] = a[:, 1:] - a[:, :-1]
+    return out
+
+
+def _predict2_decode(a: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        return np.cumsum(a, axis=1, dtype=a.dtype)
+
+
 def _comp_code(compress) -> int:
     if compress in (False, None, "none"):
         return _COMP_NONE
@@ -181,45 +202,82 @@ def _comp_code(compress) -> int:
 def write_geotiff(path: str, values: np.ndarray, xmin: float,
                   ymax: float, res: float,
                   compress: bool | str = False,
-                  tiled: int | None = None) -> None:
+                  tiled: int | None = None,
+                  predictor: int = 1) -> None:
     """Write a single-band north-up GeoTIFF (row 0 = north).  values:
     (nrow, ncol) int32 or float64.  `compress`: False | 'deflate' |
     'lzw'.  `tiled`: tile edge in pixels (multiple of 16 per TIFF6
     §15) → COG-layout TileWidth/TileLength/TileOffsets; edge tiles are
-    zero-padded as the spec requires."""
-    a = np.asarray(values)
-    if a.dtype == np.int32:
+    zero-padded as the spec requires.  `predictor`: 1 (none) or 2
+    (horizontal differencing, int32 only)."""
+    write_geotiff_multi(path, [np.asarray(values)], xmin, ymax, res,
+                        compress=compress, tiled=tiled,
+                        predictor=predictor)
+
+
+def write_geotiff_multi(path: str, arrays: list, xmin: float,
+                        ymax: float, res: float,
+                        compress: bool | str = False,
+                        tiled: int | None = None,
+                        predictor: int = 1) -> None:
+    """Write an N-band north-up GeoTIFF with PlanarConfiguration=2
+    (each band its own strips/tiles — the layout that lets a reader
+    fetch one band without touching the others, like a per-band COG
+    overview).  All bands share dtype and shape; the reference's
+    red+NIR Sentinel-2 read (ndvi_calc.R:315-318) is the 2-band case."""
+    arrays = [np.asarray(a) for a in arrays]
+    if not arrays:
+        raise ValueError("need at least one band")
+    if len({a.shape for a in arrays}) != 1 or \
+            len({a.dtype for a in arrays}) != 1:
+        raise ValueError("all bands must share shape and dtype")
+    a0 = arrays[0]
+    if a0.dtype == np.int32:
         fmt, bits = _FMT_INT, 32
-    elif a.dtype == np.float64:
+    elif a0.dtype == np.float64:
         fmt, bits = _FMT_FLOAT, 64
     else:
-        raise ValueError(f"unsupported dtype {a.dtype}")
-    nrow, ncol = a.shape
+        raise ValueError(f"unsupported dtype {a0.dtype}")
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+    if predictor == 2 and a0.dtype != np.int32:
+        raise ValueError("predictor 2 requires integer samples")
+    nrow, ncol = a0.shape
+    n_bands = len(arrays)
     comp = _comp_code(compress)
 
-    if tiled is None:
-        chunks = [_compress(a.tobytes(), comp)]
-    else:
-        if tiled % 16:
-            raise ValueError("tile size must be a multiple of 16")
-        td = -(-nrow // tiled)
-        ta = -(-ncol // tiled)
-        pad = np.zeros((td * tiled, ta * tiled), dtype=a.dtype)
-        pad[:nrow, :ncol] = a
-        chunks = [
-            _compress(np.ascontiguousarray(
-                pad[tj * tiled:(tj + 1) * tiled,
-                    ti * tiled:(ti + 1) * tiled]).tobytes(), comp)
-            for tj in range(td) for ti in range(ta)]
+    def chunk_bytes(block: np.ndarray) -> bytes:
+        if predictor == 2:
+            block = _predict2_encode(block)
+        return _compress(np.ascontiguousarray(block).tobytes(), comp)
+
+    chunks = []                       # band-major order
+    for a in arrays:
+        if tiled is None:
+            chunks.append(chunk_bytes(a))
+        else:
+            if tiled % 16:
+                raise ValueError("tile size must be a multiple of 16")
+            td = -(-nrow // tiled)
+            ta = -(-ncol // tiled)
+            pad = np.zeros((td * tiled, ta * tiled), dtype=a.dtype)
+            pad[:nrow, :ncol] = a
+            chunks.extend(
+                chunk_bytes(pad[tj * tiled:(tj + 1) * tiled,
+                                ti * tiled:(ti + 1) * tiled])
+                for tj in range(td) for ti in range(ta))
 
     entries = []          # (tag, type, count, value_or_offset_marker)
 
     def e(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
-    # layout: header(8) + IFD + extra arrays + chunk data
-    # (tiled IFDs carry one more entry: 4 tile tags replace 3 strip tags)
-    n_entries = 12 if tiled is not None else 11
+    # layout: header(8) + IFD + extra arrays + chunk data.  Entry
+    # count: 11 striped / 12 tiled, +1 for predictor 2, +2 for
+    # multiband (SamplesPerPixel + PlanarConfiguration)
+    n_entries = (12 if tiled is not None else 11) \
+        + (1 if predictor == 2 else 0) \
+        + (2 if n_bands > 1 else 0)
     ifd_size = 2 + n_entries * 12 + 4
     extra_off = 8 + ifd_size
     extras = []
@@ -230,6 +288,17 @@ def write_geotiff(path: str, values: np.ndarray, xmin: float,
         extras.append(payload)
         extra_off += len(payload)
         return off
+
+    def short_multi(values: list[int]) -> tuple[int, int]:
+        """(count, value) for a SHORT tag with per-band values: ≤2
+        shorts pack inline into the 4-byte value field (TIFF6 inline
+        rule), more spill to the extras block."""
+        if len(values) == 1:
+            return 1, values[0]
+        if len(values) == 2:
+            return 2, values[0] | (values[1] << 16)
+        return len(values), extra(
+            struct.pack(f"<{len(values)}H", *values))
 
     scale_off = extra(struct.pack("<3d", res, res, 0.0))
     tie_off = extra(struct.pack("<6d", 0.0, 0.0, 0.0, xmin, ymax, 0.0))
@@ -251,9 +320,12 @@ def write_geotiff(path: str, values: np.ndarray, xmin: float,
 
     e(_TAG_WIDTH, 3, 1, ncol)
     e(_TAG_LENGTH, 3, 1, nrow)
-    e(_TAG_BITS, 3, 1, bits)
+    e(_TAG_BITS, 3, *short_multi([bits] * n_bands))
     e(_TAG_COMPRESSION, 3, 1, comp)
     e(_TAG_PHOTOMETRIC, 3, 1, 1)
+    if n_bands > 1:
+        e(_TAG_SAMPLES_PER_PIXEL, 3, 1, n_bands)
+        e(_TAG_PLANAR_CONFIG, 3, 1, 2)
     if tiled is None:
         e(_TAG_STRIP_OFFSETS, 4, n_chunks,
           data_off if n_chunks == 1 else offsets_val)
@@ -267,7 +339,9 @@ def write_geotiff(path: str, values: np.ndarray, xmin: float,
           data_off if n_chunks == 1 else offsets_val)
         e(_TAG_TILE_COUNTS, 4, n_chunks,
           len(chunks[0]) if n_chunks == 1 else counts_val)
-    e(_TAG_SAMPLE_FORMAT, 3, 1, fmt)
+    if predictor == 2:
+        e(_TAG_PREDICTOR, 3, 1, 2)
+    e(_TAG_SAMPLE_FORMAT, 3, *short_multi([fmt] * n_bands))
     e(_TAG_PIXEL_SCALE, 12, 3, scale_off)
     e(_TAG_TIEPOINT, 12, 6, tie_off)
     entries.sort()
@@ -285,7 +359,18 @@ def write_geotiff(path: str, values: np.ndarray, xmin: float,
 
 
 def parse_geotiff(buf: bytes):
-    """→ (values (nrow, ncol) ndarray, xmin, ymax, res)."""
+    """→ (values (nrow, ncol) ndarray, xmin, ymax, res) — single-band
+    convenience over parse_geotiff_bands."""
+    bands, xmin, ymax, res = parse_geotiff_bands(buf)
+    if len(bands) != 1:
+        raise ValueError(f"expected 1 band, file has {len(bands)}")
+    return bands[0], xmin, ymax, res
+
+
+def parse_geotiff_bands(buf: bytes):
+    """→ (list of (nrow, ncol) band arrays, xmin, ymax, res).
+    Multi-band files must be PlanarConfiguration=2 (band-major
+    strips/tiles); all bands share dtype."""
     if buf[:4] != b"II\x2a\x00":
         raise ValueError("not a little-endian classic TIFF")
     (ifd_off,) = struct.unpack_from("<I", buf, 4)
@@ -309,17 +394,27 @@ def parse_geotiff(buf: bytes):
 
     def longs(tag):
         typ, count, value = tags[tag]
-        if count == 1:
-            return [value]
         size = 2 if typ == 3 else 4
         fmt = "H" if typ == 3 else "I"
+        if size * count <= 4:
+            # TIFF6 inline rule: values ≤4 bytes live IN the value
+            # field (e.g. two SHORT BitsPerSample of a 2-band file)
+            return list(struct.unpack_from(
+                f"<{count}{fmt}", struct.pack("<I", value), 0))
         return list(struct.unpack_from(f"<{count}{fmt}", buf, value))
 
     ncol = scalar(_TAG_WIDTH)
     nrow = scalar(_TAG_LENGTH)
-    bits = scalar(_TAG_BITS)
+    spp = scalar(_TAG_SAMPLES_PER_PIXEL, 1)
+    bits_l = longs(_TAG_BITS)
+    fmt_l = longs(_TAG_SAMPLE_FORMAT) if _TAG_SAMPLE_FORMAT in tags \
+        else [1]
+    if len(set(bits_l)) != 1 or len(set(fmt_l)) != 1:
+        raise ValueError("mixed per-band sample types unsupported")
+    bits, fmt = bits_l[0], fmt_l[0]
     comp = scalar(_TAG_COMPRESSION, 1)
-    fmt = scalar(_TAG_SAMPLE_FORMAT, 1)
+    if spp > 1 and scalar(_TAG_PLANAR_CONFIG, 1) != 2:
+        raise ValueError("multi-band requires PlanarConfiguration=2")
     if comp not in (_COMP_NONE, _COMP_LZW, _COMP_DEFLATE):
         raise ValueError(f"unsupported compression {comp}")
     if (fmt, bits) == (_FMT_INT, 32):
@@ -330,37 +425,61 @@ def parse_geotiff(buf: bytes):
         dtype = np.uint32
     else:
         raise ValueError(f"unsupported sample format {fmt}/{bits}")
+    predictor = scalar(_TAG_PREDICTOR, 1)
+    if predictor not in (1, 2):
+        raise ValueError(f"unsupported predictor {predictor}")
+
+    def undo_predict(block: np.ndarray) -> np.ndarray:
+        return _predict2_decode(block) if predictor == 2 else block
+
     if _TAG_TILE_OFFSETS in tags:
-        # tiled (COG) layout: fixed-size zero-padded tiles, row-major
+        # tiled (COG) layout: fixed-size zero-padded tiles, row-major,
+        # band-major across planes
         tw = scalar(_TAG_TILE_WIDTH)
         tl = scalar(_TAG_TILE_LENGTH)
         offs = longs(_TAG_TILE_OFFSETS)
         cnts = longs(_TAG_TILE_COUNTS)
         ta = -(-ncol // tw)
         td = -(-nrow // tl)
-        if len(offs) != ta * td:
+        if len(offs) != ta * td * spp:
             raise ValueError("tile count mismatch")
-        full = np.zeros((td * tl, ta * tw), dtype=dtype)
-        for k, (o, c) in enumerate(zip(offs, cnts)):
-            tile = np.frombuffer(
-                _decompress(buf[o:o + c], comp), dtype=dtype
-            ).reshape(tl, tw)
-            tj, ti = divmod(k, ta)
-            full[tj * tl:(tj + 1) * tl, ti * tw:(ti + 1) * tw] = tile
-        values = full[:nrow, :ncol]
+        per = ta * td
+        bands = []
+        for b in range(spp):
+            full = np.zeros((td * tl, ta * tw), dtype=dtype)
+            for k in range(per):
+                o, c = offs[b * per + k], cnts[b * per + k]
+                tile = undo_predict(np.frombuffer(
+                    _decompress(buf[o:o + c], comp), dtype=dtype
+                ).reshape(tl, tw))
+                tj, ti = divmod(k, ta)
+                full[tj * tl:(tj + 1) * tl,
+                     ti * tw:(ti + 1) * tw] = tile
+            bands.append(full[:nrow, :ncol])
     else:
         offs = longs(_TAG_STRIP_OFFSETS)
         cnts = longs(_TAG_STRIP_COUNTS)
-        raw = b"".join(_decompress(buf[o:o + c], comp)
-                       for o, c in zip(offs, cnts))
-        values = np.frombuffer(raw, dtype=dtype).reshape(nrow, ncol)
+        if len(offs) % spp:
+            raise ValueError("strip count not divisible by bands")
+        per = len(offs) // spp
+        bands = []
+        for b in range(spp):
+            raw = b"".join(
+                _decompress(buf[o:o + c], comp)
+                for o, c in zip(offs[b * per:(b + 1) * per],
+                                cnts[b * per:(b + 1) * per]))
+            # horizontal differencing is row-local, so undoing it on
+            # the assembled plane equals undoing it per strip
+            bands.append(undo_predict(
+                np.frombuffer(raw, dtype=dtype)
+                .reshape(nrow, ncol).copy()))
     sx, sy, _ = doubles(_TAG_PIXEL_SCALE)
     if abs(sx - sy) > 1e-12:
         raise ValueError("non-square pixels")
     tie = doubles(_TAG_TIEPOINT)
     xmin = tie[3] - tie[0] * sx
     ymax = tie[4] + tie[1] * sy
-    return values, float(xmin), float(ymax), float(sx)
+    return bands, float(xmin), float(ymax), float(sx)
 
 
 def tiles_from_array(values: np.ndarray, xmin: float, ymax: float,
@@ -394,6 +513,66 @@ def tiles_from_array(values: np.ndarray, xmin: float, ymax: float,
                 "values": np.ascontiguousarray(block).reshape(-1)
                 .astype(np.int32),
             }
+
+
+def s2_rows_from_arrays(red: np.ndarray, nir: np.ndarray, xmin: float,
+                        ymax: float, res: float):
+    """Chop a two-band north-up raster into S2_SCHEMA rows (red+nir
+    co-located per tile row — the layout ndvi_bands_zonal_tiles
+    joins).  Same alignment contract as tiles_from_array."""
+    from .tiles import TILE_CELLS
+    span = TILE_CELLS * res
+    nrow, ncol = red.shape
+    ymin = ymax - nrow * res
+    if (xmin % span or ymin % span or nrow % TILE_CELLS
+            or ncol % TILE_CELLS):
+        raise ValueError("raster not aligned to the tile grid")
+    red_s, nir_s = red[::-1], nir[::-1]     # row 0 = south
+    tx0, ty0 = int(xmin // span), int(ymin // span)
+    for tj in range(nrow // TILE_CELLS):
+        for ti in range(ncol // TILE_CELLS):
+            sl = (slice(tj * TILE_CELLS, (tj + 1) * TILE_CELLS),
+                  slice(ti * TILE_CELLS, (ti + 1) * TILE_CELLS))
+            tx, ty = tx0 + ti, ty0 + tj
+            yield {
+                "tile_id": (ty + 1) * 1_000_000 + (tx + 1),
+                "tx": tx, "ty": ty,
+                "xmin": float(tx * span), "ymin": float(ty * span),
+                "res": float(res),
+                "nrow": TILE_CELLS, "ncol": TILE_CELLS,
+                "red": np.ascontiguousarray(red_s[sl]).reshape(-1)
+                .astype(np.int32),
+                "nir": np.ascontiguousarray(nir_s[sl]).reshape(-1)
+                .astype(np.int32),
+            }
+
+
+def ingest_geotiff_s2_tiles(spark, path_glob: str):
+    """Distributed two-band (red, NIR) ingest: every 2-band GeoTIFF
+    under `path_glob` becomes S2_SCHEMA tile rows — the real-file path
+    for the reference's Sentinel-2 two-band read
+    (ndvi_calc.R:315-318)."""
+    import pandas as pd
+
+    from .tiles import S2_SCHEMA
+
+    files = spark.read.format("binaryFile").load(path_glob) \
+        .select("path", "content")
+
+    def chop(it: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in it:
+            for content in pdf["content"]:
+                bands, xmin, ymax, res = parse_geotiff_bands(
+                    bytes(content))
+                if len(bands) != 2:
+                    raise ValueError(
+                        f"expected red+nir, file has {len(bands)} bands")
+                rows = list(s2_rows_from_arrays(bands[0], bands[1],
+                                                xmin, ymax, res))
+                if rows:
+                    yield pd.DataFrame(rows)
+
+    return files.mapInPandas(chop, S2_SCHEMA)
 
 
 def ingest_geotiff_tiles(spark, path_glob: str, band: str = "ingested"):

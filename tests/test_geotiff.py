@@ -153,3 +153,94 @@ def test_ingest_tiled_lzw_zonal_equals_virtual(spark, tmp_path):
     want = ndvi_zonal(pts).toPandas() \
         .sort_values("point_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+@pytest.mark.parametrize("tiled", [None, 32])
+@pytest.mark.parametrize("compress", ["lzw", "deflate"])
+def test_predictor2_roundtrip(tmp_path, tiled, compress):
+    """Predictor=2 (horizontal differencing) — the GDAL default for
+    integer COGs — across striped/tiled layouts and both codecs; the
+    smoother residual stream must also genuinely shrink the file."""
+    import os
+    rng = np.random.RandomState(9)
+    # smooth field (differencing pays off) + noise
+    gx, gy = np.meshgrid(np.arange(96), np.arange(64))
+    a = (gx * 7 + gy * 3 + rng.randint(0, 3, (64, 96))).astype(np.int32)
+    p1 = str(tmp_path / "p1.tif")
+    p2 = str(tmp_path / "p2.tif")
+    GT.write_geotiff(p1, a, 0.0, 640.0, 10.0, compress=compress,
+                     tiled=tiled, predictor=1)
+    GT.write_geotiff(p2, a, 0.0, 640.0, 10.0, compress=compress,
+                     tiled=tiled, predictor=2)
+    v1, *_ = GT.parse_geotiff(open(p1, "rb").read())
+    v2, *_ = GT.parse_geotiff(open(p2, "rb").read())
+    assert (v1 == a).all() and (v2 == a).all()
+    assert os.path.getsize(p2) < os.path.getsize(p1)
+
+
+def test_predictor2_rejects_float(tmp_path):
+    with pytest.raises(ValueError, match="integer"):
+        GT.write_geotiff(str(tmp_path / "f.tif"), np.zeros((16, 16)),
+                         0.0, 160.0, 10.0, compress="lzw", predictor=2)
+
+
+# --------------------------- multi-band (planar config 2, round 4)
+
+@pytest.mark.parametrize("tiled,compress,predictor",
+                         [(None, False, 1), (32, "lzw", 2),
+                          (None, "deflate", 2), (16, False, 1)])
+def test_multiband_roundtrip(tmp_path, tiled, compress, predictor):
+    rng = np.random.RandomState(11)
+    red = rng.randint(0, 4000, (64, 96)).astype(np.int32)
+    nir = rng.randint(0, 4000, (64, 96)).astype(np.int32)
+    p = str(tmp_path / "m.tif")
+    GT.write_geotiff_multi(p, [red, nir], 0.0, 640.0, 10.0,
+                           compress=compress, tiled=tiled,
+                           predictor=predictor)
+    bands, xmin, ymax, res = GT.parse_geotiff_bands(open(p, "rb").read())
+    assert len(bands) == 2
+    assert (bands[0] == red).all() and (bands[1] == nir).all()
+    assert (xmin, ymax, res) == (0.0, 640.0, 10.0)
+    # single-band reader refuses the 2-band file with a clear error
+    with pytest.raises(ValueError, match="band"):
+        GT.parse_geotiff(open(p, "rb").read())
+
+
+def test_multiband_rejects_mixed_shapes(tmp_path):
+    with pytest.raises(ValueError, match="share"):
+        GT.write_geotiff_multi(str(tmp_path / "x.tif"),
+                               [np.zeros((16, 16), dtype=np.int32),
+                                np.zeros((16, 32), dtype=np.int32)],
+                               0.0, 160.0, 10.0)
+
+
+def test_ingest_two_band_zonal_equals_virtual(spark, tmp_path):
+    """Two-band GeoTIFF files → ingest → band-zonal NDVI ≡ the virtual
+    s2 tile table (the reference's Sentinel-2 red+NIR workflow over
+    real files)."""
+    from greenexp_r_spark.operators.zonal_tiles import ndvi_bands_zonal_tiles
+    from greenexp_r_spark.sources.tiles import (TILE_CELLS,
+                                                band_tile_values,
+                                                s2_tiles_df)
+
+    res, span = 10, TILE_CELLS * 10
+    codecs = [("lzw", 2, 32), ("deflate", 1, None), (False, 1, 16)]
+    for k, (tx, ty) in enumerate([(tx, ty) for tx in range(0, 9)
+                                  for ty in range(0, 9)]):
+        red, nir = band_tile_values(tx, ty)
+        shape = (TILE_CELLS, TILE_CELLS)
+        compress, pred, tiled = codecs[k % 3]
+        GT.write_geotiff_multi(
+            str(tmp_path / f"s2_{tx}_{ty}.tif"),
+            [red.reshape(shape)[::-1].astype(np.int32),
+             nir.reshape(shape)[::-1].astype(np.int32)],
+            xmin=tx * span, ymax=(ty + 1) * span, res=float(res),
+            compress=compress, predictor=pred, tiled=tiled)
+    tiles = GT.ingest_geotiff_s2_tiles(spark, str(tmp_path) + "/*.tif")
+    pts = world.points_df(spark, SF_TEST).where(
+        "x > 400 and x < 19600 and y > 400 and y < 19600").limit(40)
+    got = ndvi_bands_zonal_tiles(pts, tiles).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    want = ndvi_bands_zonal_tiles(pts, s2_tiles_df(spark)).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    assert got.equals(want)

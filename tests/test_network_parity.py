@@ -224,3 +224,25 @@ def test_component_driver_equals_distributed(spark):
     ).toPandas().sort_values("node_id").reset_index(drop=True)
     assert (a["node_id"].values == b["node_id"].values).all()
     assert (a["label"].values == b["label"].values).all()
+
+
+def test_isochrone_driver_equals_distributed(spark, sf_dir):
+    """Size-routed isochrones (round 4): the driver labeled-BFS must
+    reproduce the distributed layering exactly, and the auto router
+    must take the distributed path past the limit."""
+    from pyspark.sql import functions as F
+    from greenexp_r_spark import world
+
+    pts = world.points_df(spark, sf_dir).where(
+        F.col("point_id") % 50 == 0)
+    edges = world.road_edges_df(spark)
+    a = network.isochrone_nodes_driver(pts, edges).toPandas() \
+        .sort_values(["point_id", "node_id"]).reset_index(drop=True)
+    b = network.isochrone_nodes(pts, edges).toPandas() \
+        .sort_values(["point_id", "node_id"]).reset_index(drop=True)
+    assert a.equals(b)
+    c = network.isochrone_nodes_auto(
+        pts, edges,
+        n_edges_hint=network.DRIVER_GRAPH_EDGE_LIMIT + 1).toPandas() \
+        .sort_values(["point_id", "node_id"]).reset_index(drop=True)
+    assert c.equals(a)
