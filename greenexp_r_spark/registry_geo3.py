@@ -63,6 +63,29 @@ def _concave_bbox_rows() -> list[tuple[int, int, int, int, int]]:
     return rows
 
 
+def _residue_cell_counts(res: int, buffer_m: int
+                         ) -> list[tuple[int, int, int]]:
+    """(x mod res, y mod res) → buffer-disc cell count, replicating
+    _buffer_cells_sql's membership predicate exactly for integer
+    coordinates: all quantities ((ci+0.5)·res − x, squares, the R²
+    comparison) are exactly representable doubles, so the numpy count
+    equals the SQL COUNT for every point with those residues."""
+    import math
+    out = []
+    for rx in range(res):
+        for ry in range(res):
+            ci = np.arange(math.floor((rx - buffer_m) / res),
+                           math.floor((rx + buffer_m) / res) + 1)
+            cj = np.arange(math.floor((ry - buffer_m) / res),
+                           math.floor((ry + buffer_m) / res) + 1)
+            dx = (ci + 0.5) * res - rx
+            dy = (cj + 0.5) * res - ry
+            n = int((((dx * dx)[:, None] + (dy * dy)[None, :])
+                     <= float(buffer_m) ** 2).sum())
+            out.append((rx, ry, n))
+    return out
+
+
 def _values_rel(d: Dialect, rows, alias: str, cols: list[str]) -> str:
     body = ", ".join("(" + ", ".join(str(v) for v in r) + ")"
                      for r in rows)
@@ -100,17 +123,44 @@ def _cell_cover_sql(d: Dialect, edge_rows, bbox_rows,
     # floors identically in both engines; the precise bbox predicate
     # stays as a residual filter.
     G = 2000
+    R = C.BUFFER_M
     boxes_g = d.explode_range(
         d.explode_range(f"SELECT * FROM {boxes} _pb", "gx",
-                        f"CAST(FLOOR(bxmin / {G}) AS BIGINT)",
-                        f"CAST(FLOOR(bxmax / {G}) AS BIGINT)"),
+                        f"CAST(FLOOR((bxmin - {R}) / {G}) AS BIGINT)",
+                        f"CAST(FLOOR((bxmax + {R}) / {G}) AS BIGINT)"),
         "gy",
-        f"CAST(FLOOR(bymin / {G}) AS BIGINT)",
-        f"CAST(FLOOR(bymax / {G}) AS BIGINT)")
+        f"CAST(FLOOR((bymin - {R}) / {G}) AS BIGINT)",
+        f"CAST(FLOOR((bymax + {R}) / {G}) AS BIGINT)")
+    # per-point cell COUNT from the 10×10 residue pattern: the buffer
+    # disc's grid-aligned cell membership depends only on (x mod res,
+    # y mod res) for integer coordinates, so the denominator needs NO
+    # cell enumeration at all — the pattern literal replicates the
+    # cells-CTE predicate with exact integer/float arithmetic (numpy
+    # doubles ≡ SQL doubles on these values).  Cells are then
+    # enumerated ONLY for points whose buffer bucket touches a park
+    # bucket — the corpus-scaling denominator work drops from
+    # O(points·cells) to O(points-near-parks·cells) (measured 5.8 s of
+    # a 6.6 s query at sf0.1 was the full enumeration).
+    pat = _values_rel(d, _residue_cell_counts(res, R), "pc",
+                      ["rx", "ry", "n_cells"])
+    pts_g = d.explode_range(
+        d.explode_range("SELECT point_id, x, y FROM points", "pgx",
+                        f"CAST(FLOOR((x - {R}) / {G}) AS BIGINT)",
+                        f"CAST(FLOOR((x + {R}) / {G}) AS BIGINT)"),
+        "pgy",
+        f"CAST(FLOOR((y - {R}) / {G}) AS BIGINT)",
+        f"CAST(FLOOR((y + {R}) / {G}) AS BIGINT)")
     return f"""
 WITH points AS ({world.points_sql(d)}),
-cells AS ({_buffer_cells_sql(d, res, C.BUFFER_M)}),
 boxes_g AS ({boxes_g}),
+pts_near AS (
+  SELECT DISTINCT p.point_id, p.x, p.y
+  FROM ({pts_g}) p
+  JOIN (SELECT DISTINCT gx, gy FROM boxes_g) bg
+    ON bg.gx = p.pgx AND bg.gy = p.pgy
+),
+cells AS ({_buffer_cells_sql(d, res, C.BUFFER_M,
+                             src="SELECT point_id, x, y FROM pts_near")}),
 cand AS (
   SELECT c.point_id, c.ci, c.cj, b.park_id,
          (c.ci + 0.5) * {res} AS cx, (c.cj + 0.5) * {res} AS cy
@@ -131,7 +181,12 @@ covered AS (
   SELECT DISTINCT point_id, ci, cj FROM crossings WHERE nx % 2 = 1
 ),
 g AS (SELECT point_id, COUNT(*) AS g FROM covered GROUP BY point_id),
-n AS (SELECT point_id, COUNT(*) AS n_cells FROM cells GROUP BY point_id)
+n AS (
+  SELECT p.point_id, CAST(t.n_cells AS BIGINT) AS n_cells
+  FROM points p JOIN {pat} t
+    ON t.rx = CAST(p.x AS BIGINT) % {res}
+   AND t.ry = CAST(p.y AS BIGINT) % {res}
+)
 SELECT n.point_id,
        LEAST(CAST(COALESCE(g.g, 0) AS DOUBLE) / CAST(n.n_cells AS DOUBLE)
              * 100.0, 100.0) AS {out_name},
