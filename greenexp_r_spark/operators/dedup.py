@@ -156,13 +156,42 @@ def minhash_signatures_from_arrays(sh: DataFrame) -> DataFrame:
     return sh.mapInPandas(sig, schema)
 
 
+def char_shingle_arrays(corpus: DataFrame, n: int = 3) -> DataFrame:
+    """(doc_id, sh_arr): distinct char n-gram hash set per document —
+    the character-level dedup representation for text without reliable
+    word boundaries (CJK, concatenated tokens, minified markup) where
+    word-bigram shingles under-segment.  Row-local JVM expressions
+    (sequence → transform → xxhash64(substring)), zero shuffle, and
+    the SAME array shape as shingle_arrays, so the whole MinHash-LSH
+    machinery (signatures, banding, exact-Jaccard verify) reuses it
+    through the `shingler` parameter."""
+    sh = F.expr(
+        f"array_distinct(transform("
+        f"sequence(1, greatest(length(text) - {n - 1}, 0)), "
+        f"i -> pmod(xxhash64(substring(text, i, {n})), {C.P31})))")
+    return (corpus.select("doc_id", sh.alias("sh_arr"))
+            .where(F.size("sh_arr") >= 1))
+
+
+def ngram_jaccard_pairs(corpus: DataFrame, n: int = 3,
+                        jaccard_threshold: float = C.JACCARD_THRESHOLD
+                        ) -> DataFrame:
+    """Char n-gram Jaccard near-dup pairs: identical plan shape to the
+    word-shingle minhash_lsh_pairs — candidates from banded MinHash
+    over the n-gram sets, then EXACT n-gram Jaccard verification.
+    Completeness vs exhaustive all-pairs Jaccard is asserted on the
+    dup fixture in tests/test_round4_ops.py."""
+    return minhash_lsh_pairs(corpus, jaccard_threshold,
+                             shingler=lambda c: char_shingle_arrays(c, n))
+
+
 def minhash_signatures(corpus: DataFrame) -> DataFrame:
     return minhash_signatures_from_arrays(shingle_arrays(corpus))
 
 
 def minhash_lsh_pairs(corpus: DataFrame,
-                      jaccard_threshold: float = C.JACCARD_THRESHOLD
-                      ) -> DataFrame:
+                      jaccard_threshold: float = C.JACCARD_THRESHOLD,
+                      shingler=None) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact Jaccard verify.
 
     Plan: row-local signatures → posexplode to (band, h1, h2) keys →
@@ -172,7 +201,7 @@ def minhash_lsh_pairs(corpus: DataFrame,
     array joins.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
     from ..plans.caching import tracked_persist
-    sh = tracked_persist(shingle_arrays(corpus))
+    sh = tracked_persist((shingler or shingle_arrays)(corpus))
     sig = minhash_signatures_from_arrays(sh)
     n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
     band_arr = F.array(*[

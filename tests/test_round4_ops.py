@@ -156,3 +156,61 @@ def test_network_access_probes_when_no_hint(spark, sf_dir):
                network.network_access_extended):
         assert inspect.signature(fn).parameters["n_edges_hint"].default \
             is None
+
+
+# ----------------------------------------- char n-gram Jaccard dedup
+
+def test_ngram_jaccard_pairs_sound_and_highJ_complete(spark, sf_dir):
+    """Char-3-gram Jaccard near-dup (the character-level dedup family
+    member) vs exhaustive all-pairs Jaccard: every reported pair must
+    exist in the exhaustive set WITH THE SAME exact Jaccard
+    (soundness — the verify step is exact), and every true pair at
+    J ≥ 0.9 must be found (the banded-LSH miss probability at 0.9 is
+    1−(1−0.81)⁴ ≈ 1.3e-3 per pair; on this deterministic fixture the
+    high-J set is recalled in full).  Threshold-adjacent pairs may be
+    probabilistically missed — inherent to LSH, matching the word-
+    shingle gate oracle which replays the banding rather than
+    exhaustive search."""
+    from pyspark.sql import functions as F
+    from greenexp_r_spark import constants as C
+    from greenexp_r_spark.operators import dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+        .limit(120)
+    corpus = dedup.augmented_corpus(docs)
+    got = dedup.ngram_jaccard_pairs(corpus).toPandas()
+    got_map = {(a, b): j for a, b, j in got.itertuples(index=False)}
+
+    # exhaustive oracle: all-pairs exact Jaccard over the same arrays
+    sh = dedup.char_shingle_arrays(corpus)
+    l = sh.select(F.col("doc_id").alias("doc_a"),
+                  F.col("sh_arr").alias("sa"))
+    r = sh.select(F.col("doc_id").alias("doc_b"),
+                  F.col("sh_arr").alias("sb"))
+    n_inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = (n_inter.cast("double")
+           / (F.size("sa") + F.size("sb") - n_inter).cast("double"))
+    want = (l.crossJoin(r).where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= C.JACCARD_THRESHOLD)
+            .toPandas())
+    want_map = {(a, b): j for a, b, j in want.itertuples(index=False)}
+    assert len(want_map) > 0              # fixture has near-dups
+    # soundness: reported ⊆ true, values exact
+    for pair, j in got_map.items():
+        assert pair in want_map and want_map[pair] == j
+    # high-J completeness
+    high = {p for p, j in want_map.items() if j >= 0.9}
+    assert high and high <= set(got_map)
+
+
+def test_char_shingles_catch_wordless_neardups(spark):
+    """Documents without word boundaries: word-bigram shingling sees
+    nothing (< 2 words), char n-grams still pair them."""
+    rows = [(1, "abcdefghijklmnopqrstuvwxyz0123456789" * 4),
+            (2, "abcdefghijklmnopqrstuvwxyz0123456789" * 4 + "zz"),
+            (3, "completely-different-single-token-value-here")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    from greenexp_r_spark.operators import dedup
+    pairs = dedup.ngram_jaccard_pairs(docs).toPandas()
+    assert set(map(tuple, pairs[["doc_a", "doc_b"]].values)) == {(1, 2)}
