@@ -71,3 +71,90 @@ def test_minhash_permutation_range(sh, j):
     a, b = C.MINHASH_PERMS[j % len(C.MINHASH_PERMS)]
     v = (sh * a + b) % C.P31
     assert 0 <= v < C.P31
+
+
+# ----------------------------- round-4 kernels (holes, LZW, solvers)
+
+from greenexp_r_spark.kernels import concave as CK
+from greenexp_r_spark.operators import network
+from greenexp_r_spark.sources import geotiff as GT
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.binary(min_size=0, max_size=4000))
+def test_lzw_roundtrip_arbitrary_bytes(data):
+    assert GT._lzw_decode(GT._lzw_encode(data)) == data
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1),
+       st.integers(min_value=2, max_value=6))
+def test_holed_clip_area_bounds(seed, k):
+    """0 ≤ |holed ∩ clip| ≤ min(|holed|, |clip|), and subtracting a
+    hole never increases the clipped area."""
+    rng = np.random.RandomState(seed)
+    side = 10.0
+    outer = np.array([[0, 0], [side, 0], [side, side], [0, side]])
+    hx, hy = rng.uniform(1, side - 3, 2)
+    hole = np.array([[hx, hy], [hx + 1.5, hy],
+                     [hx + 1.5, hy + 1.5], [hx, hy + 1.5]])
+    clip = G.regular_polygon(rng.uniform(0, side),
+                             rng.uniform(0, side),
+                             rng.uniform(1, 8), 4 + k)
+    rings = CK.make_valid_polygon([outer, hole])
+    a_holed = CK.intersection_area_holes(rings, clip)
+    a_outer = CK.intersection_area_concave(outer, clip)
+    assert -1e-9 <= a_holed <= a_outer + 1e-9
+    assert a_holed <= CK.area_with_holes(rings) + 1e-9
+    assert a_holed <= abs(G.polygon_area(clip)) + 1e-9
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_solvers_invariant_under_edge_permutation(seed):
+    """dijkstra_buckets and min_label_components must return
+    bit-identical results for any edge ordering (the partition-order
+    independence the distributed paths rely on)."""
+    rng = np.random.RandomState(seed)
+    n = 60
+    src = rng.randint(0, n, 150).astype(np.int64)
+    dst = rng.randint(0, n, 150).astype(np.int64)
+    keep = src != dst
+    src, dst = src[keep], dst[keep]
+    w = rng.randint(1, 9, len(src)).astype(np.float64) * 10
+    bsrc = np.concatenate([src, dst])
+    bdst = np.concatenate([dst, src])
+    bw = np.concatenate([w, w])
+    perm = rng.permutation(len(bsrc))
+    seeds = np.array([0, 3], dtype=np.int64)
+
+    n1, d1 = network.dijkstra_buckets(bsrc, bdst, bw, seeds, 300.0)
+    n2, d2 = network.dijkstra_buckets(bsrc[perm], bdst[perm], bw[perm],
+                                      seeds, 300.0)
+    assert dict(zip(n1.tolist(), d1.tolist())) == \
+        dict(zip(n2.tolist(), d2.tolist()))
+
+    c1 = dict(zip(*[a.tolist() for a in
+                    network.min_label_components(bsrc, bdst)]))
+    c2 = dict(zip(*[a.tolist() for a in
+                    network.min_label_components(bsrc[perm],
+                                                 bdst[perm])]))
+    assert c1 == c2
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.integers(min_value=0, max_value=2**31 - 1))
+def test_points_in_rings_xor_property(seed):
+    """Listing the same ring twice cancels (even-odd parity algebra),
+    and ring order never matters."""
+    rng = np.random.RandomState(seed)
+    ring = np.array([[0, 0], [6, 0], [6, 6], [0, 6]], dtype=float)
+    hole = np.array([[2, 2], [4, 2], [4, 4], [2, 4]], dtype=float)
+    px = rng.uniform(-1, 7, 300)
+    py = rng.uniform(-1, 7, 300)
+    a = CK.points_in_rings(px, py, [ring, hole])
+    b = CK.points_in_rings(px, py, [hole, ring])
+    assert (a == b).all()
+    cancel = CK.points_in_rings(px, py, [ring, hole, hole])
+    outer_only = CK.points_in_rings(px, py, [ring])
+    assert (cancel == outer_only).all()
