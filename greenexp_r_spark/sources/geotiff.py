@@ -11,9 +11,11 @@ The reference reads rasters with terra/GDAL (`terra::rast` on a
     (Compression=8) or LZW (Compression=5, TIFF6 §13 early-change
     variant), int32 or float64 samples, georeferenced by
     ModelPixelScale + ModelTiepoint (the two tags every north-up
-    GeoTIFF carries).  BigTIFF (>4 GB single files) is out of scope:
-    the 100 TB posture shards rasters into many classic-TIFF COGs,
-    one binaryFile task each;
+    GeoTIFF carries).  Both containers: classic TIFF (magic 42) and
+    BigTIFF (magic 43, 8-byte offsets — required past 4 GB;
+    roundtripped over a real >4 GB file in tests).  The 100 TB
+    posture still prefers many COG-sized files — one binaryFile task
+    each — but continental single-file DEMs now ingest as-is;
   * `write_geotiff` — enough of a writer to round-trip fixtures and
     export raster sinks;
   * `ingest_geotiff_tiles(spark, path_glob)` — the distributed path:
@@ -203,23 +205,26 @@ def write_geotiff(path: str, values: np.ndarray, xmin: float,
                   ymax: float, res: float,
                   compress: bool | str = False,
                   tiled: int | None = None,
-                  predictor: int = 1) -> None:
+                  predictor: int = 1,
+                  bigtiff: bool = False) -> None:
     """Write a single-band north-up GeoTIFF (row 0 = north).  values:
     (nrow, ncol) int32 or float64.  `compress`: False | 'deflate' |
     'lzw'.  `tiled`: tile edge in pixels (multiple of 16 per TIFF6
     §15) → COG-layout TileWidth/TileLength/TileOffsets; edge tiles are
     zero-padded as the spec requires.  `predictor`: 1 (none) or 2
-    (horizontal differencing, int32 only)."""
+    (horizontal differencing, int32 only).  `bigtiff`: the 8-byte-
+    offset BigTIFF container — REQUIRED past 4 GB of data."""
     write_geotiff_multi(path, [np.asarray(values)], xmin, ymax, res,
                         compress=compress, tiled=tiled,
-                        predictor=predictor)
+                        predictor=predictor, bigtiff=bigtiff)
 
 
 def write_geotiff_multi(path: str, arrays: list, xmin: float,
                         ymax: float, res: float,
                         compress: bool | str = False,
                         tiled: int | None = None,
-                        predictor: int = 1) -> None:
+                        predictor: int = 1,
+                        bigtiff: bool = False) -> None:
     """Write an N-band north-up GeoTIFF with PlanarConfiguration=2
     (each band its own strips/tiles — the layout that lets a reader
     fetch one band without touching the others, like a per-band COG
@@ -272,14 +277,23 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
     def e(tag, typ, count, value):
         entries.append((tag, typ, count, value))
 
-    # layout: header(8) + IFD + extra arrays + chunk data.  Entry
-    # count: 11 striped / 12 tiled, +1 for predictor 2, +2 for
-    # multiband (SamplesPerPixel + PlanarConfiguration)
+    # layout: header + IFD + extra arrays + chunk data.  Entry count:
+    # 11 striped / 12 tiled, +1 for predictor 2, +2 for multiband
+    # (SamplesPerPixel + PlanarConfiguration).  BigTIFF: 16-byte
+    # header, 8-byte entry count + next pointer, 20-byte entries,
+    # LONG8 offset/count arrays, 8-byte inline rule.
     n_entries = (12 if tiled is not None else 11) \
         + (1 if predictor == 2 else 0) \
         + (2 if n_bands > 1 else 0)
-    ifd_size = 2 + n_entries * 12 + 4
-    extra_off = 8 + ifd_size
+    if bigtiff:
+        header_size = 16
+        ifd_size = 8 + n_entries * 20 + 8
+        inline_cap, off_type, off_fmt = 8, 16, "Q"
+    else:
+        header_size = 8
+        ifd_size = 2 + n_entries * 12 + 4
+        inline_cap, off_type, off_fmt = 4, 4, "I"
+    extra_off = header_size + ifd_size
     extras = []
 
     def extra(payload: bytes) -> int:
@@ -290,13 +304,16 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
         return off
 
     def short_multi(values: list[int]) -> tuple[int, int]:
-        """(count, value) for a SHORT tag with per-band values: ≤2
-        shorts pack inline into the 4-byte value field (TIFF6 inline
-        rule), more spill to the extras block."""
+        """(count, value) for a SHORT tag with per-band values: shorts
+        pack inline into the value field while they fit (4 bytes
+        classic / 8 bytes BigTIFF), more spill to the extras block."""
         if len(values) == 1:
             return 1, values[0]
-        if len(values) == 2:
-            return 2, values[0] | (values[1] << 16)
+        if 2 * len(values) <= inline_cap:
+            packed = 0
+            for i, v in enumerate(values):
+                packed |= v << (16 * i)
+            return len(values), packed
         return len(values), extra(
             struct.pack(f"<{len(values)}H", *values))
 
@@ -308,15 +325,20 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
         data_off = extra_off
     else:
         # offset/count arrays live in the extras block, data follows
-        arr_bytes = 4 * n_chunks
+        arr_bytes = (8 if bigtiff else 4) * n_chunks
         data_off = extra_off + 2 * arr_bytes
         offs, pos = [], data_off
         for c in chunks:
             offs.append(pos)
             pos += len(c)
-        offsets_val = extra(struct.pack(f"<{n_chunks}I", *offs))
+        if not bigtiff and pos > 0xFFFFFFFF:
+            raise ValueError(
+                f"{pos:,} bytes exceed classic-TIFF 4 GB offsets — "
+                "pass bigtiff=True")
+        offsets_val = extra(struct.pack(f"<{n_chunks}{off_fmt}", *offs))
         counts_val = extra(
-            struct.pack(f"<{n_chunks}I", *[len(c) for c in chunks]))
+            struct.pack(f"<{n_chunks}{off_fmt}",
+                        *[len(c) for c in chunks]))
 
     e(_TAG_WIDTH, 3, 1, ncol)
     e(_TAG_LENGTH, 3, 1, nrow)
@@ -327,17 +349,17 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
         e(_TAG_SAMPLES_PER_PIXEL, 3, 1, n_bands)
         e(_TAG_PLANAR_CONFIG, 3, 1, 2)
     if tiled is None:
-        e(_TAG_STRIP_OFFSETS, 4, n_chunks,
+        e(_TAG_STRIP_OFFSETS, off_type, n_chunks,
           data_off if n_chunks == 1 else offsets_val)
         e(_TAG_ROWS_PER_STRIP, 3, 1, nrow)
-        e(_TAG_STRIP_COUNTS, 4, n_chunks,
+        e(_TAG_STRIP_COUNTS, off_type, n_chunks,
           len(chunks[0]) if n_chunks == 1 else counts_val)
     else:
         e(_TAG_TILE_WIDTH, 3, 1, tiled)
         e(_TAG_TILE_LENGTH, 3, 1, tiled)
-        e(_TAG_TILE_OFFSETS, 4, n_chunks,
+        e(_TAG_TILE_OFFSETS, off_type, n_chunks,
           data_off if n_chunks == 1 else offsets_val)
-        e(_TAG_TILE_COUNTS, 4, n_chunks,
+        e(_TAG_TILE_COUNTS, off_type, n_chunks,
           len(chunks[0]) if n_chunks == 1 else counts_val)
     if predictor == 2:
         e(_TAG_PREDICTOR, 3, 1, 2)
@@ -347,11 +369,18 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
     entries.sort()
     assert len(entries) == n_entries, (len(entries), n_entries)
 
-    out = [struct.pack("<2sHI", b"II", 42, 8),
-           struct.pack("<H", n_entries)]
-    for tag, typ, count, value in entries:
-        out.append(struct.pack("<HHII", tag, typ, count, value))
-    out.append(struct.pack("<I", 0))          # no next IFD
+    if bigtiff:
+        out = [struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16),
+               struct.pack("<Q", n_entries)]
+        for tag, typ, count, value in entries:
+            out.append(struct.pack("<HHQQ", tag, typ, count, value))
+        out.append(struct.pack("<Q", 0))      # no next IFD
+    else:
+        out = [struct.pack("<2sHI", b"II", 42, 8),
+               struct.pack("<H", n_entries)]
+        for tag, typ, count, value in entries:
+            out.append(struct.pack("<HHII", tag, typ, count, value))
+        out.append(struct.pack("<I", 0))      # no next IFD
     out.extend(extras)
     out.extend(chunks)
     with open(path, "wb") as f:
@@ -367,18 +396,38 @@ def parse_geotiff(buf: bytes):
     return bands[0], xmin, ymax, res
 
 
+_TYPE_SIZES = {3: 2, 4: 4, 12: 8, 16: 8}       # SHORT, LONG, DOUBLE, LONG8
+_TYPE_FMTS = {3: "H", 4: "I", 12: "d", 16: "Q"}
+
+
 def parse_geotiff_bands(buf: bytes):
     """→ (list of (nrow, ncol) band arrays, xmin, ymax, res).
+    Accepts classic TIFF (magic 42, 4-byte offsets) AND BigTIFF
+    (magic 43, 8-byte offsets — required past 4 GB; TIFF-6 BigTIFF
+    spec: 20-byte IFD entries, LONG8 type 16, 8-byte inline rule).
     Multi-band files must be PlanarConfiguration=2 (band-major
     strips/tiles); all bands share dtype."""
-    if buf[:4] != b"II\x2a\x00":
-        raise ValueError("not a little-endian classic TIFF")
-    (ifd_off,) = struct.unpack_from("<I", buf, 4)
-    (n,) = struct.unpack_from("<H", buf, ifd_off)
+    if buf[:4] == b"II\x2a\x00":
+        (ifd_off,) = struct.unpack_from("<I", buf, 4)
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
+        entry_fmt, entry_size, body_off = "<HHII", 12, 2
+        inline_cap = 4
+        inline_pack = "<I"
+    elif buf[:4] == b"II\x2b\x00":
+        osize, pad = struct.unpack_from("<HH", buf, 4)
+        if osize != 8 or pad != 0:
+            raise ValueError("malformed BigTIFF header")
+        (ifd_off,) = struct.unpack_from("<Q", buf, 8)
+        (n,) = struct.unpack_from("<Q", buf, ifd_off)
+        entry_fmt, entry_size, body_off = "<HHQQ", 20, 8
+        inline_cap = 8
+        inline_pack = "<Q"
+    else:
+        raise ValueError("not a little-endian TIFF/BigTIFF")
     tags = {}
     for i in range(n):
         tag, typ, count, value = struct.unpack_from(
-            "<HHII", buf, ifd_off + 2 + 12 * i)
+            entry_fmt, buf, ifd_off + body_off + entry_size * i)
         tags[tag] = (typ, count, value)
 
     def scalar(tag, default=None):
@@ -388,20 +437,23 @@ def parse_geotiff_bands(buf: bytes):
             return default
         return tags[tag][2]
 
+    def _vals(tag):
+        typ, count, value = tags[tag]
+        size = _TYPE_SIZES[typ]
+        fmt = _TYPE_FMTS[typ]
+        if size * count <= inline_cap:
+            # inline rule: ≤4 bytes (classic) / ≤8 bytes (BigTIFF)
+            # live IN the value field — `value` holds the raw field
+            # bits, so re-pack and re-interpret (works for DOUBLE too)
+            raw = struct.pack(inline_pack, value)
+            return list(struct.unpack_from(f"<{count}{fmt}", raw, 0))
+        return list(struct.unpack_from(f"<{count}{fmt}", buf, value))
+
     def doubles(tag):
-        typ, count, off = tags[tag]
-        return struct.unpack_from(f"<{count}d", buf, off)
+        return _vals(tag)
 
     def longs(tag):
-        typ, count, value = tags[tag]
-        size = 2 if typ == 3 else 4
-        fmt = "H" if typ == 3 else "I"
-        if size * count <= 4:
-            # TIFF6 inline rule: values ≤4 bytes live IN the value
-            # field (e.g. two SHORT BitsPerSample of a 2-band file)
-            return list(struct.unpack_from(
-                f"<{count}{fmt}", struct.pack("<I", value), 0))
-        return list(struct.unpack_from(f"<{count}{fmt}", buf, value))
+        return _vals(tag)
 
     ncol = scalar(_TAG_WIDTH)
     nrow = scalar(_TAG_LENGTH)
