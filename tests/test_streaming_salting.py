@@ -97,3 +97,56 @@ def test_sessionize_matches_batch_oracle(spark):
             == pd.to_datetime(want["session_start"]).to_numpy()).all()
     assert (pd.to_datetime(got["session_end"]).to_numpy()
             == pd.to_datetime(want["session_end"]).to_numpy()).all()
+
+
+def test_hourly_rollup_restart_from_checkpoint(spark, tmp_path):
+    """Windowed-aggregation restart recovery (the stateful counterpart
+    of the pages-stream restart test): drain half the event files,
+    stop, deliver the rest, restart from the SAME checkpoint — the
+    complete-mode output must equal the batch rollup over everything,
+    with per-group event COUNTS exact (counts catch both loss and
+    replay of a file)."""
+    import os
+
+    from greenexp_r_spark.streaming import events_stream as ES
+
+    events = spark.read.parquet(f"{SF_TEST}/events.parquet")
+    indir = str(tmp_path / "incoming")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(indir)
+
+    def deliver(cond, tag):
+        d = f"{indir}/{tag}_stage"
+        events.where(cond).repartition(1).write.parquet(d)
+        for f in os.listdir(d):
+            if f.endswith(".parquet"):
+                os.rename(f"{d}/{f}", f"{indir}/{tag}_{f}")
+
+    def drain(name):
+        q = (ES.hourly_rollup_stream(spark, indir)
+             .writeStream.format("memory").queryName(name)
+             .outputMode("complete")
+             .option("checkpointLocation", ckpt)
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        return spark.table(name).toPandas()
+
+    deliver("event_id % 2 = 0", "p1")
+    first = drain("rollup_restart1")
+    assert len(first) > 0
+    deliver("event_id % 2 = 1", "p2")
+    got = drain("rollup_restart2")
+
+    from pyspark.sql import functions as F
+    want = (events.withColumn("ts", F.col("ts").cast("timestamp"))
+            .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(F.count(F.lit(1)).alias("n_events"),
+                 F.sum(F.round(F.col("value") * 1000000).cast("long"))
+                 .alias("value_sum_micros"))
+            .select(F.col("w.start").alias("hour"), "event_type",
+                    "n_events", "value_sum_micros").toPandas())
+    cols = ["hour", "event_type", "n_events", "value_sum_micros"]
+    a = got[cols].sort_values(cols[:2], ignore_index=True)
+    b = want[cols].sort_values(cols[:2], ignore_index=True)
+    import pandas as pd
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
