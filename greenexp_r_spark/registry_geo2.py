@@ -559,16 +559,20 @@ FROM points p LEFT JOIN agg a ON a.point_id = p.point_id
 # ------------------------------------------------------- CRS / UTM
 
 UTM_SAMPLE_MOD = 5
-_UTM_CRS = "EPSG:32631"
+_UTM_CRS = "UTM/WGS84(zones 31-32)"
 # synthetic WGS84 fixture: integer micro-degrees from doc_id (exact on
-# both engines), lon ∈ [0.5°, 5.5°) → all of UTM zone 31
-_LON_SQL = "(500000 + (doc_id * 97) % 5000000) / 1000000.0"
-_LAT_SQL = "(45000000 + (doc_id * 131) % 10000000) / 1000000.0"
+# both engines), lon ∈ [0.5°, 11.5°) → spans UTM zones 31 AND 32, so
+# per-row zone selection and the per-zone central meridian are
+# exercised inside the hash (zone boundary 6.0° is exact: 186/6 is a
+# representable double, FLOOR agrees on both engines)
+_LON_SQL = "(500000 + (doc_id * 2654435761) % 11000000) / 1000000.0"
+_LAT_SQL = "(45000000 + (doc_id * 2246822519) % 10000000) / 1000000.0"
 
 
 def _q_crs_utm(s, sf):
     """P1 on a second projected CRS (VERDICT r03 'Next round #6'):
-    WGS84 → UTM zone 31N through the vectorized Snyder series
+    WGS84 → UTM (zones 31-32, per-row zone dispatch in the hash)
+    through the vectorized Snyder series
     (functions/crs.utm_forward), outputs quantized to integer
     millimeters — the engine's numpy trig and the oracle's DuckDB trig
     replay the same formula with ~1e-8 m divergence against a 0.5 mm
@@ -616,35 +620,38 @@ def _q_crs_utm(s, sf):
 
 def _oracle_crs_utm(d: Dialect) -> str:
     """DuckDB replay of the Snyder forward series with Python-computed
-    coefficient literals; quantized-mm contract (see _q_crs_utm)."""
-    import numpy as np
+    coefficient literals; per-row zone selection (lon spans zones
+    31-32) and per-zone central meridian; quantized-mm contract (see
+    _q_crs_utm)."""
     from .functions import crs as CR
     e2, ep2, a, k0 = CR._E2, CR._EP2, CR.WGS84_A, CR.UTM_K0
     c0 = 1 - e2 / 4 - 3 * e2 ** 2 / 64 - 5 * e2 ** 3 / 256
     c2 = 3 * e2 / 8 + 3 * e2 ** 2 / 32 + 45 * e2 ** 3 / 1024
     c4 = 15 * e2 ** 2 / 256 + 45 * e2 ** 3 / 1024
     c6 = 35 * e2 ** 3 / 3072
-    lam0 = float(np.radians(3.0))                     # zone 31 CM
     return f"""
 WITH base AS (
   SELECT doc_id AS point_id, {_LON_SQL} AS lon, {_LAT_SQL} AS lat
   FROM documents WHERE doc_id % {UTM_SAMPLE_MOD} = 0
 ),
-t1 AS (SELECT point_id, RADIANS(lon) AS lam, RADIANS(lat) AS phi
+t1 AS (SELECT point_id,
+              CAST(FLOOR((lon + 180.0) / 6.0) AS BIGINT) + 1 AS zone,
+              RADIANS(lon) AS lam, RADIANS(lat) AS phi
        FROM base),
-t2 AS (SELECT point_id, lam, phi, SIN(phi) AS sp, COS(phi) AS cp,
-              TAN(phi) AS tp
+t2 AS (SELECT point_id, zone, lam, phi,
+              RADIANS(CAST(zone AS DOUBLE) * 6.0 - 183.0) AS lam0,
+              SIN(phi) AS sp, COS(phi) AS cp, TAN(phi) AS tp
        FROM t1),
-t3 AS (SELECT point_id, lam, phi, sp, cp, tp,
+t3 AS (SELECT point_id, zone, lam, phi, sp, cp, tp,
               {a!r} / SQRT(1 - {e2!r} * sp * sp) AS N,
               tp * tp AS T,
               {ep2!r} * cp * cp AS Cc,
-              (lam - {lam0!r}) * cp AS A,
+              (lam - lam0) * cp AS A,
               {a!r} * ({c0!r} * phi - {c2!r} * SIN(2 * phi)
                        + {c4!r} * SIN(4 * phi)
                        - {c6!r} * SIN(6 * phi)) AS M
        FROM t2),
-t4 AS (SELECT point_id,
+t4 AS (SELECT point_id, zone,
               {k0!r} * N * (A + (1 - T + Cc) * POWER(A, 3) / 6
                   + (5 - 18 * T + T * T + 72 * Cc - 58 * {ep2!r})
                     * POWER(A, 5) / 120) + 500000.0 AS x,
@@ -653,7 +660,7 @@ t4 AS (SELECT point_id,
                   + (61 - 58 * T + T * T + 600 * Cc - 330 * {ep2!r})
                     * POWER(A, 6) / 720)) AS y
        FROM t3)
-SELECT point_id, CAST(31 AS BIGINT) AS zone,
+SELECT point_id, zone,
        CAST(FLOOR(x * 1000.0 + 0.5) AS BIGINT) AS e_mm,
        CAST(FLOOR(y * 1000.0 + 0.5) AS BIGINT) AS n_mm
 FROM t4
