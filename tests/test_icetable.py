@@ -208,3 +208,34 @@ def test_murmur3_bucket_reference_vectors():
     # distinct inputs spread across buckets
     bs = {icetable.bucket_of(v, 8) for v in range(50)}
     assert len(bs) >= 6
+
+
+def test_bucketed_tile_table_prunes_and_zonal_matches(spark, tmp_path):
+    """The raster side of bucket(N, cell_id): commit the NDVI tile
+    table bucketed by tile_id, prune a single tile's bucket at
+    planning time, and verify the FULL-table icetable read still
+    feeds tile-zonal NDVI identically to the virtual raster."""
+    from pyspark.sql import functions as F
+    from greenexp_r_spark import world
+    from greenexp_r_spark.operators.availability import ndvi_zonal
+    from greenexp_r_spark.operators.zonal_tiles import ndvi_zonal_tiles
+    from greenexp_r_spark.sources.tiles import ndvi_tiles_df
+
+    t = str(tmp_path / "tiles_tbl")
+    tiles = ndvi_tiles_df(spark)
+    icetable.commit(tiles, t, partition=("bucket", 8, "tile_id"),
+                    stat_cols=["tile_id", "tx", "ty"])
+    m = icetable.metrics(t)
+    assert len({e["partition"]["bucket"] for e in m["files"]}) > 1
+    # single-tile read: bucket pruning plans a file subset
+    target = tiles.select("tile_id").first()[0]
+    pruned = icetable.read(spark, t, bucket_eq=("tile_id", target))
+    assert len(pruned.inputFiles()) < m["n_files"]
+    assert pruned.where(F.col("tile_id") == target).count() == 1
+    # end-to-end: zonal over the icetable-managed tiles == virtual
+    pts = world.points_df(spark, SF_TEST).limit(40)
+    got = ndvi_zonal_tiles(pts, icetable.read(spark, t)).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    want = ndvi_zonal(pts).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    assert got.equals(want)
