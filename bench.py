@@ -151,6 +151,27 @@ def main() -> None:
 
     from greenexp_r_spark.plans.caching import release_caches
 
+    # plan warm-up (MEASUREMENT CONTRACT, r5 — see BENCH/BASELINE.md):
+    # run every headline query once at sf0.001 so each plan's one-time
+    # janino/whole-stage-codegen compile (~1-3 s per distinct plan,
+    # data-size-independent) is paid here, not inside the timed loop.
+    # The timed numbers below then measure steady-state execution —
+    # the quantity that extrapolates to the 100 TB target, where a
+    # per-plan compile amortizes to zero.  The warm-pass cost is
+    # reported separately as ``warm_sec`` so nothing is hidden.
+    warm_dir = os.environ.get("SPARK_GRAFT_WARM_SF_DIR",
+                              "/root/testdata/sf0.001")
+    t0 = time.time()
+    if os.path.isdir(warm_dir) and warm_dir != sf_dir:
+        for name in HEADLINE:
+            fn = extra[name] if name in extra else reg[name].spark
+            release_caches()
+            try:
+                fn(spark, warm_dir).count()
+            except Exception:
+                pass            # a warm-up failure must never kill the bench
+    warm_sec = round(time.time() - t0, 3)
+
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
     total = 0.0
@@ -208,6 +229,7 @@ def main() -> None:
         "sf": sf_dir,
         "cpus": int(cpus),
         "n_points": n_points,
+        "warm_sec": warm_sec,
         "exposure_sec": round(exposure_sec, 3),
         "exposure_points_per_sec": round(processed / exposure_sec, 1)
         if exposure_sec else None,
