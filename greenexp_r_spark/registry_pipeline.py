@@ -636,14 +636,36 @@ GROUP BY doc_id, f
 
 
 def _oracle_multimodal(d: Dialect) -> str:
-    return """
-SELECT doc_id,
-       CAST(length(text) + 26 AS BIGINT) AS n_bytes,
-       CAST(64 + (length(text) + 26) % 512 AS BIGINT) AS fake_width,
-       CAST(64 + ((length(text) + 26) * 7) % 512 AS BIGINT) AS fake_height,
-       CASE WHEN (length(text) + 26) % 2 = 0 THEN 'png' ELSE 'jpeg' END
-           AS fmt
-FROM documents
+    """Generation-rule oracle for the REAL-codec metadata round-trip
+    (operators/multimodal.py synthesize_image → decode_image_real):
+    the engine's numbers come out of genuine PNG/JFIF bytes; the
+    oracle recomputes them from the deterministic rule, including the
+    PNG pixel sum that proves the IDAT decode."""
+    dims = ("SELECT doc_id, text, length(text) AS lt, "
+            "length(text) + 26 AS n, "
+            "8 + (length(text) + 26) % 24 AS w, "
+            "8 + ((length(text) + 26) * 5) % 24 AS h "
+            "FROM documents")
+    png = f"SELECT * FROM ({dims}) _d WHERE n % 2 = 0"
+    px_src = d.explode_range(png, "i", "0", "h * w - 1")
+    return f"""
+WITH dims AS ({dims}),
+px AS (
+  SELECT doc_id,
+         CAST(SUM(ascii(substr(text, CAST(i % lt AS INT) + 1, 1)))
+              AS BIGINT) AS s
+  FROM ({px_src}) _p GROUP BY doc_id
+)
+SELECT dims.doc_id,
+       CAST(n AS BIGINT) AS n_bytes,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CASE WHEN n % 2 = 0 THEN 'png' ELSE 'jpeg' END AS fmt,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(CASE WHEN n % 2 = 0 THEN 1 ELSE 3 END AS BIGINT)
+           AS n_components,
+       CASE WHEN n % 2 = 0 THEN px.s ELSE NULL END AS px_sum
+FROM dims LEFT JOIN px ON dims.doc_id = px.doc_id
 """
 
 
