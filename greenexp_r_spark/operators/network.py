@@ -38,7 +38,16 @@ def _warn_if_expensive_probe(df: DataFrame, what: str) -> None:
     input is a raw join/aggregate pipeline (e.g. un-checkpointed dedup
     candidate pairs).  Heuristic: warn when the input is neither
     persisted nor a leaf-ish plan (no Join/Aggregate in the analyzed
-    plan — localCheckpoint collapses to a LogicalRDD leaf)."""
+    plan — localCheckpoint collapses to a LogicalRDD leaf).
+
+    HARD CONTRACT (VERDICT r04 ask #8): this function reads the
+    PRIVATE py4j surface (`df._jdf.queryExecution()`), which any
+    Spark upgrade may drift.  It must therefore stay warn-only and
+    fail OPEN — it returns None, no caller branches on it, and every
+    exception (including py4j drift) exits silently.  Routing (probe
+    vs hint, driver vs distributed) must NEVER depend on anything
+    computed here; tests/test_network_parity.py asserts routing is
+    unchanged when this introspection raises."""
     try:
         if df.storageLevel.useMemory or df.storageLevel.useDisk:
             return
@@ -151,29 +160,51 @@ def dijkstra_buckets(src: np.ndarray, dst: np.ndarray, w: np.ndarray,
     n = len(nodes)
     dist = np.full(n, np.inf)
     dist[seed_c] = 0.0
-    settled = np.zeros(n, dtype=bool)
-    delta = float(w_s.min()) if len(w_s) else 1.0
-    if delta <= 0:
+    min_w = float(w_s.min()) if len(w_s) else 1.0
+    if min_w <= 0:
         raise ValueError("non-positive edge weight")
-    for b in range(int(max_dist / delta) + 2):
-        lo, hi = b * delta, (b + 1) * delta
-        cur = np.flatnonzero(~settled & (dist >= lo) & (dist < hi)
-                             & (dist <= max_dist))
-        if not len(cur):
-            if lo > max_dist:
-                break
-            continue
-        settled[cur] = True
+    # delta clamped from BELOW (ADVICE r04): with delta = min edge
+    # weight, a road graph with a 0.01 m shortest edge runs
+    # max_dist/0.01 Python iterations of O(n) flatnonzero.  Classic
+    # delta-stepping allows delta > min edge provided nodes improved
+    # WITHIN the current bucket are re-expanded, which the
+    # `expanded_at` array below does — each node re-relaxes only when
+    # its distance strictly improved since its last expansion, so the
+    # result is still exact Dijkstra (and bit-identical: every final
+    # distance is the same prefix sum of doubles along the same
+    # shortest path; ties resolve through order-independent minima).
+    _MAX_BUCKETS = 2048
+    delta = max(min_w, float(max_dist) / _MAX_BUCKETS)
+    # when min_w already gives few buckets, the re-expansion test
+    # never fires (no edge shorter than the bucket span) and this is
+    # exactly the one-pass Dial solver it replaces
+    expanded_at = np.full(n, np.inf)
+
+    def relax(cur: np.ndarray) -> None:
         starts, cnt = indptr[cur], indptr[cur + 1] - indptr[cur]
         total = int(cnt.sum())
         if total == 0:
-            continue
+            return
         eidx = (np.repeat(starts, cnt)
                 + (np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)))
         cand = np.repeat(dist[cur], cnt) + w_s[eidx]
         ok = cand <= max_dist
         np.minimum.at(dist, d_s[eidx[ok]], cand[ok])
-    keep = settled & (dist <= max_dist)
+
+    n_buckets = int(float(max_dist) / delta) + 2
+    for b in range(n_buckets):
+        lo, hi = b * delta, (b + 1) * delta
+        if lo > max_dist:
+            break
+        while True:
+            cur = np.flatnonzero((dist >= lo) & (dist < hi)
+                                 & (dist <= max_dist)
+                                 & (dist < expanded_at))
+            if not len(cur):
+                break
+            expanded_at[cur] = dist[cur]
+            relax(cur)
+    keep = (dist <= max_dist) & np.isfinite(dist)
     return nodes[keep], dist[keep]
 
 

@@ -324,11 +324,21 @@ def force_unlock(table: str) -> bool:
         return False
 
 
-def vacuum(table: str) -> list[str]:
+def vacuum(table: str, grace_seconds: float = 3600.0) -> list[str]:
     """Garbage-collect staging directories referenced by NO manifest
     (leftovers of crashed or conflicted commits).  Never touches a
     directory any snapshot points at, so time travel keeps working.
-    Returns the removed directories."""
+    Returns the removed directories.
+
+    Concurrency (ADVICE r04): ``commit()`` stages data BEFORE taking
+    COMMIT.lock and writes its manifest last, so an unreferenced
+    staging dir may belong to an in-flight commit.  Directories
+    modified within ``grace_seconds`` are therefore skipped — only
+    set it below the longest plausible commit duration if no writer
+    can be active (Iceberg's own expire/remove-orphans carries the
+    same default-3-day contract for the same reason)."""
+    import time as _time
+    cutoff = _time.time() - grace_seconds
     referenced: set[str] = set()
     meta = _meta_dir(table)
     droot = os.path.join(table, "data")
@@ -343,10 +353,13 @@ def vacuum(table: str) -> list[str]:
                     referenced.add(rel.split(os.sep)[0])
     removed = []
     for d in sorted(os.listdir(droot)) if os.path.isdir(droot) else []:
-        if d not in referenced:
-            full = os.path.join(droot, d)
-            shutil.rmtree(full)
-            removed.append(full)
+        if d in referenced:
+            continue
+        full = os.path.join(droot, d)
+        if os.path.getmtime(full) > cutoff:
+            continue                       # possibly an in-flight commit
+        shutil.rmtree(full)
+        removed.append(full)
     return removed
 
 

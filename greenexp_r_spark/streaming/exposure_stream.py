@@ -97,10 +97,17 @@ def exposure_scorer(park_cx: np.ndarray, park_cy: np.ndarray,
             s1 = v.sum(axis=(1, 2))
             n = in_disc.sum(axis=(1, 2))
             mean_ndvi = s1 / (800.0 * n)
-            # accessibility: BIGINT d² minimum over the park dim
-            d2 = ((x[:, None] - park_cx[None, :]) ** 2
-                  + (y[:, None] - park_cy[None, :]) ** 2)
-            min_d2 = d2.min(axis=1)
+            # accessibility: BIGINT d² minimum over the park dim.
+            # Empty dim (every park filtered by min_area): match the
+            # batch operator's left-join semantics — no nearest park
+            # (inf distance), nothing in buffer (ADVICE r04: the bare
+            # d2.min(axis=1) raised on the (n, 0) shape).
+            if len(park_cx) == 0:
+                min_d2 = np.full(len(x), np.inf)
+            else:
+                d2 = ((x[:, None] - park_cx[None, :]) ** 2
+                      + (y[:, None] - park_cy[None, :]) ** 2)
+                min_d2 = d2.min(axis=1)
             return pd.DataFrame({
                 "url": pdf["url"].to_numpy(),
                 "warc_ts": pdf["warc_ts"].to_numpy(),

@@ -47,3 +47,20 @@ def test_stream_equals_batch(spark):
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
     # one exposure row per CAPTURE (stateless), not per url
     assert len(a) == P.pages_df(spark, SF_TEST).count()
+
+
+def test_scorer_empty_park_dim(spark):
+    """Every park filtered out (ADVICE r04): the scorer must emit
+    inf distance / False in-buffer, matching left-join semantics,
+    instead of crashing on the (n, 0) reduction."""
+    import numpy as np
+    caps = pages_ops.extract_text(P.pages_df(spark, SF_TEST)).limit(20)
+    geo = pages_ops.geocode(caps).select(
+        "url", "warc_ts", "point_id", "x", "y")
+    empty = np.array([], dtype=np.int64)
+    got = geo.mapInPandas(ES.exposure_scorer(empty, empty),
+                          ES.EXPO_SCHEMA).toPandas()
+    assert len(got) == 20
+    assert np.isinf(got["closest_greenspace"]).all()
+    assert (~got["greenspace_in_buffer"]).all()
+    assert got["mean_ndvi"].notna().all()

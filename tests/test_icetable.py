@@ -123,8 +123,12 @@ def test_commit_retry_after_crash_succeeds(spark, tmp_path):
     s = icetable.commit(_pages(spark).limit(7), t, mode="append")
     assert s == 2
     assert icetable.read(spark, t).count() == 57
-    # and vacuum removes exactly the unreferenced staging dir
-    removed = icetable.vacuum(t)
+    # default vacuum SKIPS the fresh orphan — it is indistinguishable
+    # from an in-flight commit's staging dir (ADVICE r04: commit
+    # stages before locking, manifest lands last)
+    assert icetable.vacuum(t) == []
+    # past the grace period (simulated with grace 0) it is collected
+    removed = icetable.vacuum(t, grace_seconds=0)
     assert removed == [orphan]
     assert icetable.read(spark, t).count() == 57
     assert icetable.read(spark, t, snapshot=1).count() == 50
@@ -186,7 +190,7 @@ def test_bucket_partition_spec_prunes_files(spark, tmp_path):
         icetable.commit(docs.limit(5), t, partition=("bucket", 4,
                                                      "cell_id"))
     # vacuum never touches live bucket dirs
-    assert icetable.vacuum(t) == []
+    assert icetable.vacuum(t, grace_seconds=0) == []
     assert icetable.read(spark, t).count() == docs.count()
 
 
