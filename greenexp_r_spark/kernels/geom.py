@@ -25,7 +25,10 @@ import struct
 import numpy as np
 
 WKB_POINT = 1
+WKB_LINESTRING = 2
 WKB_POLYGON = 3
+WKB_MULTIPOINT = 4
+WKB_MULTILINESTRING = 5
 
 
 # ---------------------------------------------------------------- WKB
@@ -39,6 +42,72 @@ def parse_wkb_point(b: bytes) -> tuple[float, float]:
     if typ != WKB_POINT:
         raise ValueError(f"not a WKB point: type {typ}")
     return x, y
+
+
+def wkb_linestring(pts: np.ndarray) -> bytes:
+    """pts: (n, 2) vertex sequence, n >= 2."""
+    pts = np.asarray(pts, dtype=float)
+    return (struct.pack("<BII", 1, WKB_LINESTRING, len(pts))
+            + np.ascontiguousarray(pts, dtype="<f8").tobytes())
+
+
+def parse_wkb_linestring(b: bytes) -> np.ndarray:
+    byte_order, typ = struct.unpack_from("<BI", b, 0)
+    if byte_order != 1 or typ != WKB_LINESTRING:
+        raise ValueError(f"not a WKB linestring: order={byte_order} "
+                         f"type={typ}")
+    (n,) = struct.unpack_from("<I", b, 5)
+    return np.frombuffer(b, dtype="<f8", count=2 * n, offset=9) \
+        .reshape(n, 2).copy()
+
+
+def wkb_multilinestring(parts: list) -> bytes:
+    """parts: list of (n_i, 2) vertex arrays."""
+    out = [struct.pack("<BII", 1, WKB_MULTILINESTRING, len(parts))]
+    for p in parts:
+        out.append(wkb_linestring(p))
+    return b"".join(out)
+
+
+def parse_wkb_lines(b: bytes) -> list:
+    """Any (MULTI)LINESTRING → list of (n, 2) vertex arrays — the
+    road-layer analog of parse_wkb_rings (vgvi_from_sf.R:97 accepts 6
+    geometry types; roads arrive as these two)."""
+    byte_order, typ = struct.unpack_from("<BI", b, 0)
+    if byte_order != 1:
+        raise ValueError("big-endian WKB unsupported")
+    if typ == WKB_LINESTRING:
+        return [parse_wkb_linestring(b)]
+    if typ != WKB_MULTILINESTRING:
+        raise ValueError(f"not a (multi)linestring: type {typ}")
+    (n,) = struct.unpack_from("<I", b, 5)
+    parts, off = [], 9
+    for _ in range(n):
+        (m,) = struct.unpack_from("<I", b, off + 5)
+        parts.append(np.frombuffer(b, dtype="<f8", count=2 * m,
+                                   offset=off + 9).reshape(m, 2).copy())
+        off += 9 + 16 * m
+    return parts
+
+
+def wkb_multipoint(pts: np.ndarray) -> bytes:
+    """pts: (n, 2) — each member a full WKB POINT per spec."""
+    pts = np.asarray(pts, dtype=float)
+    out = [struct.pack("<BII", 1, WKB_MULTIPOINT, len(pts))]
+    for x, y in pts:
+        out.append(wkb_point(x, y))
+    return b"".join(out)
+
+
+def parse_wkb_multipoint(b: bytes) -> np.ndarray:
+    byte_order, typ = struct.unpack_from("<BI", b, 0)
+    if byte_order != 1 or typ != WKB_MULTIPOINT:
+        raise ValueError(f"not a WKB multipoint: type {typ}")
+    (n,) = struct.unpack_from("<I", b, 5)
+    out = np.empty((n, 2))
+    for i in range(n):
+        out[i] = struct.unpack_from("<dd", b, 9 + i * 21 + 5)
+    return out
 
 
 def wkb_polygon(ring: np.ndarray) -> bytes:

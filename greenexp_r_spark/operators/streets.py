@@ -33,6 +33,76 @@ def street_green_cover(edges: DataFrame) -> DataFrame:
         .alias("name"),
         ex(F.col("src")).alias("x1"), ey(F.col("src")).alias("y1"),
         ex(F.col("dst")).alias("x2"), ey(F.col("dst")).alias("y2"))
+    return _green_cover_from_segments(e)
+
+
+def roads_wkb(edges: DataFrame) -> DataFrame:
+    """(name, geom) WKB road layer: one MULTILINESTRING per street of
+    its member 100 m segments (edge_id order — deterministic bytes).
+    The shipped-geometry form of the road network (S1 vector read for
+    lines; vgvi_from_sf.R:97's 6-type contract covers LINESTRING /
+    MULTILINESTRING)."""
+    import pandas as pd
+
+    from ..kernels import geom as G
+    n = C.ROAD_N
+    ex = lambda node: (node % n) * C.ROAD_SPACING
+    ey = lambda node: F.floor(node / n).cast("long") * C.ROAD_SPACING
+    e = edges.select(
+        "edge_id",
+        F.concat(F.lit("street_"), (F.col("edge_id") % 50).cast("string"))
+        .alias("name"),
+        ex(F.col("src")).alias("x1"), ey(F.col("src")).alias("y1"),
+        ex(F.col("dst")).alias("x2"), ey(F.col("dst")).alias("y2"))
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("edge_id")
+        parts = [[(x1, y1), (x2, y2)] for x1, y1, x2, y2 in
+                 zip(pdf["x1"], pdf["y1"], pdf["x2"], pdf["y2"])]
+        return pd.DataFrame({"name": [pdf["name"].iloc[0]],
+                             "geom": [G.wkb_multilinestring(parts)]})
+
+    return e.groupBy("name").applyInPandas(build,
+                                           "name string, geom binary")
+
+
+def street_segments_from_wkb(roads: DataFrame) -> DataFrame:
+    """Decode a WKB road layer (LINESTRING or MULTILINESTRING rows)
+    into per-segment rows (name, x1, y1, x2, y2) — consecutive vertex
+    pairs of every part.  Arrow-batched; narrow."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+
+    from ..kernels import geom as G
+
+    def decode(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("name", "x1", "y1", "x2", "y2")}
+            for name, geom in zip(pdf["name"], pdf["geom"]):
+                for part in G.parse_wkb_lines(bytes(geom)):
+                    for i in range(len(part) - 1):
+                        out["name"].append(name)
+                        out["x1"].append(part[i, 0])
+                        out["y1"].append(part[i, 1])
+                        out["x2"].append(part[i + 1, 0])
+                        out["y2"].append(part[i + 1, 1])
+            yield pd.DataFrame(out)
+
+    return roads.mapInPandas(
+        decode, "name string, x1 double, y1 double, "
+                "x2 double, y2 double")
+
+
+def street_green_cover_wkb(roads: DataFrame) -> DataFrame:
+    """street_green_cover over a WKB-shipped road layer: decode, then
+    the identical sampling/aggregation plan — sample coordinates are
+    the same exact doubles (integer vertices are exact in f8), so the
+    output hashes equal the node-table path's."""
+    return _green_cover_from_segments(street_segments_from_wkb(roads))
+
+
+def _green_cover_from_segments(e: DataFrame) -> DataFrame:
     s = e.withColumn("k", F.explode(F.sequence(
         F.lit(0), F.lit(SAMPLES_PER_EDGE - 1))))
     # integer sample coordinates along the segment

@@ -701,9 +701,13 @@ def build_geo2_registry() -> dict[str, QSpec]:
         # A13 point + grid paths merged into one exact union entry
         # (was q_idw + q_idw_grid; both shapes still hash-verified)
         "q_idw": QSpec(_q_idw_union, _oracle_idw_union(d)),
+        # fed from the WKB-shipped road layer (VERDICT r04 ask #4):
+        # MULTILINESTRING decode → identical sampling plan → hashes
+        # unchanged vs the node-table path (equality also pinned by
+        # tests/test_round2_ops.py::test_street_cover_wkb_equals_nodes)
         "q_street_green_cover": QSpec(
-            lambda s, sf: streets.street_green_cover(
-                world.road_edges_df(s)),
+            lambda s, sf: streets.street_green_cover_wkb(
+                streets.roads_wkb(world.road_edges_df(s))),
             _oracle_streets(d)),
         "q_isochrone_nodes": QSpec(_q_isochrone_nodes, _oracle_isochrone(d)),
         # exact: the oracle derives the hull in SQL (boundary = not
