@@ -72,6 +72,26 @@ def _patches(xs: np.ndarray, ys: np.ndarray, r: int, res: float):
     return dsm, gs, h0
 
 
+OBS_PER_PARTITION = 2_000     # kernel cost is linear in observers; a
+# partition of 2k observers is ~seconds of Arrow-batched numpy — small
+# enough for retry granularity, large enough to amortize worker setup
+
+
+def _obs_partitions(obs: DataFrame, n_obs_hint: int | None = None) -> int:
+    """Observer-volume-derived partition target (VERDICT r04 ask #6).
+    The r4 shape `repartition(2·defaultParallelism)` fixed the
+    partition COUNT while observer volume grows 100× — at scale each
+    partition's patch batch outgrows executor memory.  Target:
+    ceil(n/OBS_PER_PARTITION), floored at the session's parallelism
+    (2·cores, so small jobs still use the machine) and capped at n so
+    tiny inputs don't schedule empty tasks.  Pass ``n_obs_hint`` when
+    the caller knows the count (skips one cheap count job)."""
+    sc = obs.sparkSession.sparkContext
+    n = n_obs_hint if n_obs_hint is not None else obs.count()
+    base = max(4, 2 * sc.defaultParallelism)
+    return max(min(base, max(int(n), 1)), -(-int(n) // OBS_PER_PARTITION))
+
+
 def _disk_mask(r: int) -> np.ndarray:
     """Radial analysis mask: center + every cell on some LoS ray
     (viewshed.R:152-162)."""
@@ -87,7 +107,8 @@ def _disk_mask(r: int) -> np.ndarray:
 def viewshed_metrics(points: DataFrame,
                      max_distance: float = C.VIS_MAX_DIST,
                      res: float = C.VIS_RES,
-                     sample_mod: int = 10) -> DataFrame:
+                     sample_mod: int = 10,
+                     n_obs_hint: int | None = None) -> DataFrame:
     """(point_id, visible_cells, disk_cells, visibility_proportion) for
     every sample_mod-th point (viewshed + visibility_proportion.R)."""
     r = int(round(max_distance / res))
@@ -113,14 +134,15 @@ def viewshed_metrics(points: DataFrame,
                     "visibility_proportion": nvis / disk,
                 })
 
-    return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+    return obs.repartition(_obs_partitions(obs, n_obs_hint)) \
               .mapInPandas(run, VIS_SCHEMA)
 
 
 def viewshed_raster(points: DataFrame,
                     max_distance: float = C.VIS_MAX_DIST,
                     res: float = C.VIS_RES,
-                    sample_mod: int = 100) -> DataFrame:
+                    sample_mod: int = 100,
+                    n_obs_hint: int | None = None) -> DataFrame:
     """The reference's actual viewshed OUTPUT (R/viewshed.R:152-162):
     the masked 0/1 raster — cells on some LoS ray get 1/0 visibility,
     cells outside the radial mask are NA (omitted here).  Emitted as
@@ -167,15 +189,16 @@ def viewshed_raster(points: DataFrame,
                     .astype("int32"),
                 })
 
-    par = max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)
-    return obs.repartition(par).mapInPandas(run, schema)
+    return obs.repartition(_obs_partitions(obs, n_obs_hint)) \
+        .mapInPandas(run, schema)
 
 
 def vgvi_points(points: DataFrame,
                 max_distance: float = C.VIS_MAX_DIST,
                 res: float = C.VIS_RES,
                 fun: int = 1, m: float = C.VGVI_M, b: float = C.VGVI_B,
-                sample_mod: int = 10) -> DataFrame:
+                sample_mod: int = 10,
+                n_obs_hint: int | None = None) -> DataFrame:
     """(point_id, vgvi) — vgvi_from_sf over every sample_mod-th point."""
     r = int(round(max_distance / res))
     obs = points.where(F.col("point_id") % sample_mod == 0) \
@@ -194,13 +217,14 @@ def vgvi_points(points: DataFrame,
                 yield pd.DataFrame({"point_id": pdf["point_id"],
                                     "vgvi": out})
 
-    return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+    return obs.repartition(_obs_partitions(obs, n_obs_hint)) \
               .mapInPandas(run, VGVI_SCHEMA)
 
 
 def _vgvi_over(obs: DataFrame, id_cols: list[str],
                max_distance: float, res: float,
-               fun: int, m: float, b: float) -> DataFrame:
+               fun: int, m: float, b: float,
+               n_obs_hint: int | None = None) -> DataFrame:
     """Run the VGVI kernel over an observer DataFrame carrying
     arbitrary id columns + (x, y); returns id columns + vgvi.
     Shared by point / line-sample / polygon-grid observers
@@ -224,8 +248,8 @@ def _vgvi_over(obs: DataFrame, id_cols: list[str],
                 res_pdf["vgvi"] = out
                 yield res_pdf
 
-    par = max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)
-    return obs.repartition(par).mapInPandas(run, schema)
+    return obs.repartition(_obs_partitions(obs, n_obs_hint)) \
+        .mapInPandas(run, schema)
 
 
 def vgvi_lines(edges: DataFrame, spacing: float = 25.0,
@@ -289,7 +313,8 @@ def vgvi_from_address(points: DataFrame,
                       res: float = C.VIS_RES,
                       fun: int = 1, m: float = C.VGVI_M,
                       b: float = C.VGVI_B,
-                      sample_mod: int = 25) -> DataFrame:
+                      sample_mod: int = 25,
+                      n_obs_hint: int | None = None) -> DataFrame:
     """Mean VGVI over seeded random sample points in each address
     buffer (vgvi_from_address.R:259-270 uses st_sample — we seed the
     rejection sampler by point_id for reproducibility, SURVEY P10).
@@ -377,7 +402,7 @@ def vgvi_from_address(points: DataFrame,
                 out["n_samples"] = out["n_samples"].astype("int64")
                 yield out
 
-    return obs.repartition(max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)) \
+    return obs.repartition(_obs_partitions(obs, n_obs_hint)) \
               .mapInPandas(run, schema)
 
 
@@ -413,7 +438,8 @@ def flat_height_sql(ci: str, cj: str) -> str:
 def viewshed_flat_raster(points: DataFrame,
                          max_distance: float = FLAT_MAX_DIST,
                          res: float = FLAT_RES,
-                         sample_mod: int = 25) -> DataFrame:
+                         sample_mod: int = 25,
+                         n_obs_hint: int | None = None) -> DataFrame:
     """Masked 0/1 viewshed raster on the flat-DTM integer-building
     world — bit-identical to a DuckDB replay of the LoS trie
     (kernels/lostrie.py), shrinking the rows-only set to the pure
@@ -464,5 +490,5 @@ def viewshed_flat_raster(points: DataFrame,
                     "visible": vis[:, midx].reshape(-1).astype("int32"),
                 })
 
-    par = max(2 * obs.sparkSession.sparkContext.defaultParallelism, 4)
-    return obs.repartition(par).mapInPandas(run, schema)
+    return obs.repartition(_obs_partitions(obs, n_obs_hint)) \
+        .mapInPandas(run, schema)

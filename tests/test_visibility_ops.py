@@ -93,3 +93,33 @@ def test_vgvi_polygons_masked_grid(spark):
         cx, cy, r = p.loc[pid, ["cx", "cy", "radius"]]
         d2 = (grp.gx * 50.0 - cx) ** 2 + (grp.gy * 50.0 - cy) ** 2
         assert (d2 <= r * r + 1e-6).all()
+
+
+def test_partitions_track_observer_volume(spark):
+    """VERDICT r04 ask #6: the repartition target must grow with
+    observer volume instead of being fixed at 2x cores."""
+    from greenexp_r_spark.operators import visibility as V
+    df = spark.range(1)
+    base = max(4, 2 * spark.sparkContext.defaultParallelism)
+    assert V._obs_partitions(df, n_obs_hint=1) == 1
+    assert V._obs_partitions(df, n_obs_hint=100) == min(base, 100)
+    assert V._obs_partitions(df, n_obs_hint=10_000_000) == \
+        10_000_000 // V.OBS_PER_PARTITION
+    # strictly monotone past the parallelism floor
+    p1 = V._obs_partitions(df, n_obs_hint=1_000_000)
+    p2 = V._obs_partitions(df, n_obs_hint=100_000_000)
+    assert base <= p1 < p2
+    # no hint: derived from an actual count, same value
+    n = df.sparkSession.range(5000).selectExpr(
+        "id as point_id", "CAST(id AS DOUBLE) x", "CAST(id AS DOUBLE) y")
+    assert V._obs_partitions(n) == V._obs_partitions(n, n_obs_hint=5000)
+
+
+def test_viewshed_hint_does_not_change_results(spark):
+    from greenexp_r_spark.operators import visibility as V
+    pts = world.points_df(spark, SF_TEST).limit(40)
+    a = V.viewshed_metrics(pts, sample_mod=1).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    b = V.viewshed_metrics(pts, sample_mod=1, n_obs_hint=40).toPandas() \
+        .sort_values("point_id").reset_index(drop=True)
+    assert a.equals(b)
