@@ -403,6 +403,108 @@ def _attach_points(points: DataFrame, dist: DataFrame,
          & (F.col("net_dist") < buffer_m)).alias("reachable_in_buffer"))
 
 
+PREFILTER_MAX_DIST = 1000.0   # per-park search horizon for the
+# euclidean-prefilter variant: a euclid<=BUFFER_M candidate on the
+# 100 m lattice is at most L1<=sqrt(2)*300 + 2*50 snap slack away by
+# network, far under 1000 — the bound provably never truncates on a
+# connected lattice (asserted in tests), and it is part of the
+# operator's documented contract (the ORACLE applies the same bound)
+
+
+def network_access_prefilter(points: DataFrame, edges: DataFrame,
+                             parks: DataFrame, entrances: DataFrame,
+                             buffer_m: float = C.BUFFER_M,
+                             max_dist: float = PREFILTER_MAX_DIST
+                             ) -> DataFrame:
+    """The reference's entrances_within_buffer=TRUE loop
+    (accessibility.R:326-350), exact semantics (VERDICT r04 ask #7):
+
+      per address: euclidean buffer ∩ greenspace points → candidate
+      parks (boundary-INCLUSIVE d<=buffer, st_intersection semantics
+      — deliberately different from the full-OD flag's strict-<);
+      network cost computed ONLY to flagged candidates; the reported
+      distance is the min over that restricted set (it may exceed
+      buffer_m, and it may exceed the full-OD minimum when the
+      network-nearest park lies outside the euclidean buffer); NA and
+      flag=FALSE when no candidate exists — the flag reflects the
+      EUCLIDEAN test, not the network one.
+
+    Output: (point_id, prefilter_dist, prefilter_in_buffer).
+
+    Scale shape: the per-(address, candidate) network cost factors
+    through per-PARK bounded distance tables — parks are a dimension,
+    so k bounded SSSP solves on the driver (each a radius-max_dist
+    ball, ~ms on the lattice) broadcast back; the candidate join is a
+    broadcast equi-join refined by exact integer d².  No per-address
+    loop anywhere (the reference iterates addresses one by one with a
+    progress bar — 7.2/sec; this is three joins)."""
+    import pandas as pd
+    spark = points.sparkSession
+    qualifying = parks.where(F.col("area_m2") > C.MIN_GREENSPACE_M2) \
+        .select("park_id", "cx", "cy")
+    # per-park bounded distance tables, driver-solved (dimension-sized);
+    # collect the stored (undirected) edges once and mirror numpy-side
+    # — half the Arrow transfer of collecting bidirectional()
+    epdf = edges.select("src", "dst", "length_m").toPandas()
+    s1 = epdf["src"].to_numpy(dtype=np.int64)
+    d1 = epdf["dst"].to_numpy(dtype=np.int64)
+    w1 = epdf["length_m"].to_numpy(dtype=np.float64)
+    src = np.concatenate([s1, d1])
+    dst = np.concatenate([d1, s1])
+    w = np.concatenate([w1, w1])
+    ent = entrances.select("park_id", "entrance_node").toPandas()
+    # a node farther than max_dist by NETWORK is farther by Chebyshev
+    # too (every lattice edge moves 100 m in one axis at cost >=
+    # length), so each park's solve only needs the edges inside its
+    # max_dist ball — 60 solves of ~1k edges instead of 60 full-graph
+    # factorizations
+    n_lat = C.ROAD_N
+    si, sj = src % n_lat, src // n_lat
+    rows = []
+    for pid, node in zip(ent["park_id"], ent["entrance_node"]):
+        ei, ej = int(node) % n_lat, int(node) // n_lat
+        # each lattice edge advances one cell at cost >= min weight →
+        # more than ceil(max_dist/min_w) cells away is unreachable
+        min_w = float(w.min()) if len(w) else 1.0
+        reach_cells = int(np.ceil(max_dist / max(min_w, 1e-9))) + 1
+        m = ((np.abs(si - ei) <= reach_cells)
+             & (np.abs(sj - ej) <= reach_cells))
+        ids, ds = dijkstra_buckets(
+            src[m], dst[m], w[m],
+            np.array([node], dtype=np.int64), max_dist)
+        rows.append(pd.DataFrame({
+            "park_id": np.int64(pid), "node_id": ids, "net_dist": ds}))
+    pdist = spark.createDataFrame(
+        pd.concat(rows, ignore_index=True) if rows else
+        pd.DataFrame({"park_id": [], "node_id": [], "net_dist": []}),
+        "park_id long, node_id long, net_dist double")
+    # euclidean candidates: broadcast park dim, exact integer d²
+    from ..functions.geo import dist2_long
+    r2 = int(buffer_m) ** 2
+    cand = points.select("point_id", "x", "y").join(
+        F.broadcast(qualifying),
+        dist2_long(F.col("x"), F.col("y"), F.col("cx"), F.col("cy"))
+        <= F.lit(r2))
+    snapped = points.select(
+        "point_id",
+        (snap_node_expr("y") * C.ROAD_N + snap_node_expr("x"))
+        .alias("node_id"))
+    got = (cand.select("point_id", "park_id")
+           .join(snapped, "point_id")
+           .join(F.broadcast(pdist), ["park_id", "node_id"], "left")
+           .groupBy("point_id")
+           .agg(F.min("net_dist").alias("prefilter_dist")))
+    # flag = euclidean candidates EXIST (accessibility.R:349's is.na
+    # test: min over an all-Inf candidate cost row is Inf, not NA, so
+    # the flag is TRUE whenever the euclidean intersection is
+    # non-empty — even if no candidate is reachable within the bound)
+    got = got.withColumn("prefilter_in_buffer", F.lit(True))
+    return (points.select("point_id").join(got, "point_id", "left")
+            .select("point_id", "prefilter_dist",
+                    F.coalesce("prefilter_in_buffer", F.lit(False))
+                    .alias("prefilter_in_buffer")))
+
+
 def network_access_weighted(points: DataFrame, edges_weighted: DataFrame,
                             entrances: DataFrame,
                             buffer_m: float = C.BUFFER_M,

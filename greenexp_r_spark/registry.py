@@ -211,9 +211,74 @@ FROM snapped s LEFT JOIN nd ON s.node_id = nd.node_id
 
 
 def _oracle_network(d: Dialect) -> str:
-    return _oracle_network_generic(
-        d, world.road_edges_sql(d), world.park_entrances_sql(d),
-        C.NET_MAX_DIST)
+    """The full-OD oracle extended with the euclidean-prefilter loop
+    columns: a PER-PARK labeled recursive Dijkstra bounded at
+    PREFILTER_MAX_DIST (the same documented bound the engine
+    applies), candidates by boundary-inclusive integer d²."""
+    from .operators.network import PREFILTER_MAX_DIST
+    last = C.ROAD_N - 1
+    si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
+    sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
+    r2 = int(C.BUFFER_M) ** 2
+    return f"""
+WITH RECURSIVE
+points AS ({world.points_sql(d)}),
+parks AS ({world.parks_sql(d)}),
+road_edges AS ({world.road_edges_sql(d)}),
+park_entrances AS ({world.park_entrances_sql(d)}),
+edges2 AS (
+  SELECT src, dst, length_m FROM road_edges
+  UNION ALL
+  SELECT dst AS src, src AS dst, length_m FROM road_edges
+),
+reach(node_id, net_dist) AS (
+  SELECT entrance_node AS node_id, CAST(0.0 AS DOUBLE) AS net_dist
+  FROM park_entrances
+  UNION
+  SELECT e.dst, r.net_dist + e.length_m
+  FROM reach r JOIN edges2 e ON e.src = r.node_id
+  WHERE r.net_dist + e.length_m <= {float(C.NET_MAX_DIST)}
+),
+nd AS (SELECT node_id, MIN(net_dist) AS net_dist FROM reach GROUP BY node_id),
+preach(park_id, node_id, net_dist) AS (
+  SELECT park_id, entrance_node AS node_id, CAST(0.0 AS DOUBLE)
+  FROM park_entrances
+  UNION
+  SELECT r.park_id, e.dst, r.net_dist + e.length_m
+  FROM preach r JOIN edges2 e ON e.src = r.node_id
+  WHERE r.net_dist + e.length_m <= {float(PREFILTER_MAX_DIST)}
+),
+pnd AS (SELECT park_id, node_id, MIN(net_dist) AS net_dist
+        FROM preach GROUP BY park_id, node_id),
+snapped AS (
+  SELECT point_id, ({sj}) * {C.ROAD_N} + ({si}) AS node_id FROM points
+),
+cand AS (
+  SELECT p.point_id, pk.park_id
+  FROM points p JOIN parks pk
+    ON (CAST(p.x AS BIGINT) - CAST(pk.cx AS BIGINT))
+       * (CAST(p.x AS BIGINT) - CAST(pk.cx AS BIGINT))
+       + (CAST(p.y AS BIGINT) - CAST(pk.cy AS BIGINT))
+       * (CAST(p.y AS BIGINT) - CAST(pk.cy AS BIGINT)) <= {r2}
+  WHERE pk.area_m2 > {C.MIN_GREENSPACE_M2}
+),
+pref AS (
+  SELECT c.point_id, MIN(pnd.net_dist) AS prefilter_dist
+  FROM cand c
+  JOIN snapped s ON s.point_id = c.point_id
+  LEFT JOIN pnd ON pnd.park_id = c.park_id AND pnd.node_id = s.node_id
+  GROUP BY c.point_id
+)
+SELECT s.point_id,
+       nd.net_dist AS network_dist,
+       (nd.net_dist IS NOT NULL AND nd.net_dist < {float(C.BUFFER_M)})
+           AS reachable_in_buffer,
+       pref.prefilter_dist,
+       (pref.point_id IS NOT NULL) AS prefilter_in_buffer
+FROM snapped s
+LEFT JOIN nd ON s.node_id = nd.node_id
+LEFT JOIN pref ON s.point_id = pref.point_id
+"""
 
 
 def _oracle_network_weighted(d: Dialect) -> str:
@@ -388,9 +453,20 @@ _LATTICE_EDGES = 4 * C.ROAD_N * (C.ROAD_N - 1)
 
 
 def _q_network(spark, sf):
-    return network.network_access(
-        world.points_df(spark, sf), world.road_edges_df(spark),
+    """Full-OD bounded search PLUS the euclidean-prefilter loop
+    variant (accessibility.R:326-350, VERDICT r04 ask #7) as extra
+    columns — one entry, two flag semantics, hash-distinguished (the
+    fixtures contain rows where they differ: prefilter_in_buffer is
+    euclid<=300 boundary-inclusive; reachable_in_buffer is
+    network<300 strict)."""
+    pts = world.points_df(spark, sf)
+    full = network.network_access(
+        pts, world.road_edges_df(spark),
         world.park_entrances_df(spark), n_edges_hint=_LATTICE_EDGES)
+    pref = network.network_access_prefilter(
+        pts, world.road_edges_df(spark), world.parks_df(spark),
+        world.park_entrances_df(spark))
+    return full.join(pref, "point_id")
 
 
 def _q_network_weighted(spark, sf):

@@ -312,3 +312,29 @@ def test_probe_guard_failing_open_never_changes_routing(spark,
             .sort_values("node_id").reset_index(drop=True)
     assert (got["node_id"].values == want["node_id"].values).all()
     assert (got["net_dist"].values == want["net_dist"].values).all()
+
+
+def test_prefilter_variant_distinguishes_from_full_od(spark):
+    """accessibility.R:326-350 loop semantics (VERDICT r04 ask #7):
+    the euclidean-prefilter columns must genuinely differ from the
+    full-OD ones on the world fixture — the flag is the euclidean
+    test (boundary-inclusive), the distance is the min over the
+    euclidean candidate set only."""
+    from greenexp_r_spark.registry import build_registry
+    got = build_registry()["q_accessibility_network"].spark(
+        spark, SF).toPandas()
+    # (a) the two flags disagree somewhere
+    assert (got["prefilter_in_buffer"]
+            != got["reachable_in_buffer"]).any()
+    # (b) the loop can report distances beyond the buffer (the
+    # network cost to a euclidean candidate is unbounded by it)
+    assert ((got["prefilter_in_buffer"])
+            & (got["prefilter_dist"] > C.BUFFER_M)).any()
+    # (c) the documented PREFILTER_MAX_DIST bound never truncates on
+    # the connected lattice: every flagged row has a distance
+    assert not (got["prefilter_in_buffer"]
+                & got["prefilter_dist"].isna()).any()
+    # (d) restricted-set min can only exceed-or-equal the full-OD min
+    both = got.dropna(subset=["network_dist", "prefilter_dist"])
+    assert (both["prefilter_dist"] >= both["network_dist"]).all()
+    assert len(both) > 0
