@@ -478,11 +478,20 @@ def network_access_prefilter(points: DataFrame, edges: DataFrame,
         pd.concat(rows, ignore_index=True) if rows else
         pd.DataFrame({"park_id": [], "node_id": [], "net_dist": []}),
         "park_id long, node_id long, net_dist double")
-    # euclidean candidates: broadcast park dim, exact integer d²
+    # euclidean candidates through the broadcast cell→park index
+    # (equi-join on cell_id + exact integer d² refine — the north_rule
+    # join shape, no nested loop even at 10^12 points)
     from ..functions.geo import dist2_long
+    from .pages_ops import cell_membership_index
     r2 = int(buffer_m) ** 2
-    cand = points.select("point_id", "x", "y").join(
-        F.broadcast(qualifying),
+    idx = cell_membership_index(
+        qualifying.withColumn("radius", F.lit(float(buffer_m))))
+    pts_c = points.select(
+        "point_id", "x", "y",
+        (F.floor(F.col("x") / C.CELL_SIZE).cast("long") * C.CELL_SHIFT
+         + F.floor(F.col("y") / C.CELL_SIZE).cast("long"))
+        .alias("cell_id"))
+    cand = pts_c.join(F.broadcast(idx), "cell_id").where(
         dist2_long(F.col("x"), F.col("y"), F.col("cx"), F.col("cy"))
         <= F.lit(r2))
     snapped = points.select(
