@@ -1,0 +1,525 @@
+"""Baseline sequential JPEG codec (ITU-T T.81) — pure numpy, written
+from the published spec like the sibling LZW/PNG codecs (no codec
+library exists in this container to wrap or to cross-check against).
+
+Scope: 8-bit baseline DCT, Huffman entropy coding with the Annex K
+example tables, 4:4:4 sampling (every component h=v=1), grayscale or
+3-component YCbCr (JFIF color transform).  Progressive, arithmetic
+coding, subsampled chroma and 12-bit precision are out of scope and
+rejected with clear errors.
+
+Pipeline (encoder): level shift → 8×8 block FDCT → uniform
+quantization → zigzag → DC differential + AC run-length → Huffman →
+byte stuffing.  The decoder reverses it exactly; roundtrip error with
+the flat quantization table is bounded by DCT float rounding (±2),
+property-tested in tests/test_jpeg_codec.py.
+
+Used by operators/multimodal.decode_image_real(want_pixels=True) to
+recover actual JPEG pixels, upgrading the r4 'JPEG is header-only'
+limit.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# ----------------------------------------------------- Annex K tables
+
+# K.1 — luminance quantization (quality ~50), zigzag-independent
+# (stored in natural row-major order here)
+QUANT_LUM = np.array([
+    [16, 11, 10, 16, 24, 40, 51, 61],
+    [12, 12, 14, 19, 26, 58, 60, 55],
+    [14, 13, 16, 24, 40, 57, 69, 56],
+    [14, 17, 22, 29, 51, 87, 80, 62],
+    [18, 22, 37, 56, 68, 109, 103, 77],
+    [24, 35, 55, 64, 81, 104, 113, 92],
+    [49, 64, 78, 87, 103, 121, 120, 101],
+    [72, 92, 95, 98, 112, 100, 103, 99]], dtype=np.int32)
+
+QUANT_FLAT = np.ones((8, 8), dtype=np.int32)
+
+# K.3 — typical Huffman tables: (BITS counts per code length 1..16,
+# HUFFVAL symbol list).  Published example tables from the spec.
+DC_BITS = [0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0]
+DC_VALS = list(range(12))
+
+AC_BITS = [0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D]
+AC_VALS = [
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12,
+    0x21, 0x31, 0x41, 0x06, 0x13, 0x51, 0x61, 0x07,
+    0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0,
+    0x24, 0x33, 0x62, 0x72, 0x82, 0x09, 0x0A, 0x16,
+    0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39,
+    0x3A, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49,
+    0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69,
+    0x6A, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+    0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98,
+    0x99, 0x9A, 0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7,
+    0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5,
+    0xC6, 0xC7, 0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4,
+    0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA,
+    0xF1, 0xF2, 0xF3, 0xF4, 0xF5, 0xF6, 0xF7, 0xF8,
+    0xF9, 0xFA]
+
+# zigzag scan order (T.81 Figure 5): index i of the zigzag sequence →
+# (row, col) in the 8×8 block
+_ZZ = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63],
+    dtype=np.int64)
+
+
+def _dct_matrix() -> np.ndarray:
+    """Orthonormal 8-point DCT-II matrix (A.3.3)."""
+    k = np.arange(8)
+    m = np.cos((2 * k[None, :] + 1) * k[:, None] * np.pi / 16)
+    m[0] *= 1 / np.sqrt(2)
+    return m * 0.5
+
+
+_DCT = _dct_matrix()
+
+
+def fdct_blocks(blocks: np.ndarray) -> np.ndarray:
+    """(n, 8, 8) spatial → (n, 8, 8) DCT coefficients."""
+    return _DCT @ blocks @ _DCT.T
+
+
+def idct_blocks(coef: np.ndarray) -> np.ndarray:
+    return _DCT.T @ coef @ _DCT
+
+
+def _build_huffman(bits: list, vals: list):
+    """→ (symbol → (code, length)) encode map, canonical order (C.2)."""
+    codes, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            codes[vals[k]] = (code, length)
+            code += 1
+            k += 1
+        code <<= 1
+    return codes
+
+
+def _build_decode(bits: list, vals: list):
+    """→ {(length, code): symbol} decode map (F.2.2.3 equivalent)."""
+    out, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            out[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DC_ENC = _build_huffman(DC_BITS, DC_VALS)
+_AC_ENC = _build_huffman(AC_BITS, AC_VALS)
+
+
+class _BitWriter:
+    def __init__(self):
+        self.out = bytearray()
+        self.acc = 0
+        self.n = 0
+
+    def write(self, code: int, length: int) -> None:
+        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
+        self.n += length
+        while self.n >= 8:
+            self.n -= 8
+            b = (self.acc >> self.n) & 0xFF
+            self.out.append(b)
+            if b == 0xFF:                 # byte stuffing (F.1.2.3)
+                self.out.append(0x00)
+
+    def flush(self) -> bytes:
+        if self.n:
+            pad = 8 - self.n
+            self.write((1 << pad) - 1, pad)   # pad with 1-bits
+        return bytes(self.out)
+
+
+class _BitReader:
+    def __init__(self, data: bytes):
+        self.data = data
+        self.pos = 0
+        self.acc = 0
+        self.n = 0
+
+    def _fill(self) -> None:
+        if self.pos >= len(self.data):
+            raise ValueError("truncated JPEG entropy stream")
+        b = self.data[self.pos]
+        self.pos += 1
+        if b == 0xFF:
+            if self.pos >= len(self.data):
+                raise ValueError("truncated JPEG entropy stream")
+            nxt = self.data[self.pos]
+            if nxt == 0x00:
+                self.pos += 1             # unstuff
+            else:
+                # a real marker inside the scan (e.g. premature EOI)
+                raise ValueError(
+                    f"marker 0xFF{nxt:02X} inside entropy data")
+        self.acc = (self.acc << 8) | b
+        self.n += 8
+
+    def bit(self) -> int:
+        if self.n == 0:
+            self._fill()
+        self.n -= 1
+        return (self.acc >> self.n) & 1
+
+    def bits(self, k: int) -> int:
+        v = 0
+        for _ in range(k):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _category(v: int) -> int:
+    """Magnitude category SSSS (F.1.2.1.2)."""
+    return int(abs(v)).bit_length()
+
+
+def _amp_bits(v: int, ssss: int) -> int:
+    """Amplitude bits: v if positive, v - 1 + 2^ssss if negative."""
+    return v if v >= 0 else v + (1 << ssss) - 1
+
+
+def _extend(bits_val: int, ssss: int) -> int:
+    """F.2.2.1 EXTEND."""
+    if ssss == 0:
+        return 0
+    return bits_val if bits_val >= (1 << (ssss - 1)) \
+        else bits_val - (1 << ssss) + 1
+
+
+def _encode_component(w: _BitWriter, plane: np.ndarray,
+                      quant: np.ndarray) -> None:
+    h, wd = plane.shape
+    bh, bw = -(-h // 8), -(-wd // 8)
+    pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
+    pad[:h, :wd] = plane
+    pad[h:, :wd] = plane[-1:, :]                  # edge replication
+    pad[:, wd:] = pad[:, wd - 1:wd]
+    blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+              .reshape(-1, 8, 8) - 128.0)
+    coef = fdct_blocks(blocks)
+    q = np.round(coef / quant[None]).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, _ZZ]
+    prev_dc = 0
+    for b in range(len(zz)):
+        dc = int(zz[b, 0])
+        diff = dc - prev_dc
+        prev_dc = dc
+        ssss = _category(diff)
+        code, ln = _DC_ENC[ssss]
+        w.write(code, ln)
+        if ssss:
+            w.write(_amp_bits(diff, ssss), ssss)
+        run = 0
+        nz = np.nonzero(zz[b, 1:])[0]
+        last = nz[-1] + 1 if len(nz) else 0
+        for i in range(1, last + 1):
+            v = int(zz[b, i])
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = _AC_ENC[0xF0]          # ZRL
+                w.write(code, ln)
+                run -= 16
+            ssss = _category(v)
+            code, ln = _AC_ENC[(run << 4) | ssss]
+            w.write(code, ln)
+            w.write(_amp_bits(v, ssss), ssss)
+            run = 0
+        if last < 63:
+            code, ln = _AC_ENC[0x00]              # EOB
+            w.write(code, ln)
+
+
+def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
+    """JFIF color transform, (h, w, 3) float."""
+    r, g, b = rgb[..., 0], rgb[..., 1], rgb[..., 2]
+    y = 0.299 * r + 0.587 * g + 0.114 * b
+    cb = -0.168736 * r - 0.331264 * g + 0.5 * b + 128.0
+    cr = 0.5 * r - 0.418688 * g - 0.081312 * b + 128.0
+    return np.stack([y, cb, cr], axis=-1)
+
+
+def ycbcr_to_rgb(ycc: np.ndarray) -> np.ndarray:
+    y, cb, cr = ycc[..., 0], ycc[..., 1] - 128.0, ycc[..., 2] - 128.0
+    r = y + 1.402 * cr
+    g = y - 0.344136 * cb - 0.714136 * cr
+    b = y + 1.772 * cb
+    return np.stack([r, g, b], axis=-1)
+
+
+def _dqt_segment(quant: np.ndarray, table_id: int = 0) -> bytes:
+    zz = quant.reshape(-1)[_ZZ].astype(np.uint8)
+    return (b"\xFF\xDB" + struct.pack(">H", 2 + 1 + 64)
+            + bytes([table_id]) + zz.tobytes())
+
+
+def _dht_segment(cls: int, table_id: int, bits: list, vals: list) -> bytes:
+    payload = bytes([(cls << 4) | table_id]) + bytes(bits) + bytes(vals)
+    return b"\xFF\xC4" + struct.pack(">H", 2 + len(payload)) + payload
+
+
+def encode_baseline(pixels: np.ndarray,
+                    quant: np.ndarray | None = None) -> bytes:
+    """Encode (h, w) grayscale or (h, w, 3) RGB uint8 to a complete
+    baseline JFIF stream (real FDCT + Huffman entropy data)."""
+    a = np.asarray(pixels)
+    if a.dtype != np.uint8:
+        raise ValueError("pixels must be uint8")
+    quant = QUANT_LUM if quant is None else np.asarray(quant,
+                                                      dtype=np.int32)
+    if quant.shape != (8, 8) or quant.min() < 1 or quant.max() > 255:
+        raise ValueError("quant table must be 8x8 in [1, 255]")
+    gray = a.ndim == 2
+    if not gray and (a.ndim != 3 or a.shape[2] != 3):
+        raise ValueError("expected (h, w) gray or (h, w, 3) rgb")
+    h, wd = a.shape[:2]
+    planes = [a.astype(np.float64)] if gray else \
+        [rgb_to_ycbcr(a.astype(np.float64))[..., i] for i in range(3)]
+    nc = len(planes)
+
+    out = [b"\xFF\xD8"]
+    jfif = b"JFIF\x00\x01\x01\x00" + struct.pack(">HH", 1, 1) + b"\x00\x00"
+    out.append(b"\xFF\xE0" + struct.pack(">H", 2 + len(jfif)) + jfif)
+    out.append(_dqt_segment(quant, 0))
+    sof = struct.pack(">BHHB", 8, h, wd, nc)
+    for c in range(nc):
+        sof += struct.pack(">BBB", c + 1, 0x11, 0)      # 4:4:4, Q0
+    out.append(b"\xFF\xC0" + struct.pack(">H", 2 + len(sof)) + sof)
+    out.append(_dht_segment(0, 0, DC_BITS, DC_VALS))
+    out.append(_dht_segment(1, 0, AC_BITS, AC_VALS))
+    sos = struct.pack(">B", nc)
+    for c in range(nc):
+        sos += struct.pack(">BB", c + 1, 0x00)
+    sos += b"\x00\x3F\x00"
+    out.append(b"\xFF\xDA" + struct.pack(">H", 2 + len(sos)) + sos)
+    # non-interleaved would need one scan per component; baseline
+    # interleaved 4:4:4 MCUs = one block per component in turn.
+    # With h=v=1 for all components the MCU walk equals the per-
+    # component block walk, but DC prediction is per component —
+    # encode interleaved properly:
+    w = _BitWriter()
+    if nc == 1:
+        _encode_component(w, planes[0], quant)
+    else:
+        bh, bw = -(-h // 8), -(-wd // 8)
+        padded = []
+        for p in planes:
+            pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
+            pad[:h, :wd] = p
+            pad[h:, :wd] = p[-1:, :]
+            pad[:, wd:] = pad[:, wd - 1:wd]
+            blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
+                      .reshape(-1, 8, 8) - 128.0)
+            zz = np.round(fdct_blocks(blocks) / quant[None]) \
+                .astype(np.int64).reshape(-1, 64)[:, _ZZ]
+            padded.append(zz)
+        prev = [0] * nc
+        for b in range(bh * bw):
+            for c in range(nc):
+                zz = padded[c][b]
+                dc = int(zz[0])
+                diff = dc - prev[c]
+                prev[c] = dc
+                ssss = _category(diff)
+                code, ln = _DC_ENC[ssss]
+                w.write(code, ln)
+                if ssss:
+                    w.write(_amp_bits(diff, ssss), ssss)
+                run = 0
+                nz = np.nonzero(zz[1:])[0]
+                last = nz[-1] + 1 if len(nz) else 0
+                for i in range(1, last + 1):
+                    v = int(zz[i])
+                    if v == 0:
+                        run += 1
+                        continue
+                    while run >= 16:
+                        code, ln = _AC_ENC[0xF0]
+                        w.write(code, ln)
+                        run -= 16
+                    s = _category(v)
+                    code, ln = _AC_ENC[(run << 4) | s]
+                    w.write(code, ln)
+                    w.write(_amp_bits(v, s), s)
+                    run = 0
+                if last < 63:
+                    code, ln = _AC_ENC[0x00]
+                    w.write(code, ln)
+    out.append(w.flush())
+    out.append(b"\xFF\xD9")
+    return b"".join(out)
+
+
+def _decode_block(r: _BitReader, dec_dc: dict, dec_ac: dict,
+                  prev_dc: int) -> tuple[np.ndarray, int]:
+    zz = np.zeros(64, dtype=np.int64)
+
+    def read_symbol(table: dict) -> int:
+        code, length = 0, 0
+        while length < 16:
+            code = (code << 1) | r.bit()
+            length += 1
+            if (length, code) in table:
+                return table[(length, code)]
+        raise ValueError("invalid Huffman code in scan")
+
+    ssss = read_symbol(dec_dc)
+    diff = _extend(r.bits(ssss), ssss) if ssss else 0
+    dc = prev_dc + diff
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = read_symbol(dec_ac)
+        run, ssss = rs >> 4, rs & 0x0F
+        if ssss == 0:
+            if run == 15:                  # ZRL
+                k += 16
+                continue
+            break                          # EOB
+        k += run
+        if k > 63:
+            raise ValueError("AC run past end of block")
+        zz[k] = _extend(r.bits(ssss), ssss)
+        k += 1
+    return zz, dc
+
+
+def decode_baseline(buf: bytes) -> np.ndarray:
+    """Decode a baseline JFIF stream produced by any conforming
+    encoder (4:4:4, 8-bit, Huffman) → (h, w) uint8 grayscale or
+    (h, w, 3) uint8 RGB."""
+    if buf[:2] != b"\xFF\xD8":
+        raise ValueError("bad JPEG SOI")
+    pos = 2
+    quants: dict[int, np.ndarray] = {}
+    huff_dc: dict[int, dict] = {}
+    huff_ac: dict[int, dict] = {}
+    frame = None
+    comps = []
+    restart_interval = 0
+    while pos + 1 < len(buf):
+        if buf[pos] != 0xFF:
+            raise ValueError(f"expected marker at {pos}")
+        marker = buf[pos + 1]
+        if marker == 0xFF:
+            pos += 1
+            continue
+        if marker in (0xD8, 0x01) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            raise ValueError("EOI before scan")
+        (seg_len,) = struct.unpack_from(">H", buf, pos + 2)
+        seg = buf[pos + 4:pos + 2 + seg_len]
+        if marker == 0xDB:                         # DQT
+            p = 0
+            while p < len(seg):
+                pq, tq = seg[p] >> 4, seg[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant tables unsupported")
+                tbl = np.zeros(64, dtype=np.int32)
+                tbl[_ZZ] = np.frombuffer(seg[p + 1:p + 65],
+                                         dtype=np.uint8)
+                quants[tq] = tbl.reshape(8, 8)
+                p += 65
+        elif marker == 0xC4:                       # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1:p + 17])
+                n = sum(bits)
+                vals = list(seg[p + 17:p + 17 + n])
+                tab = _build_decode(bits, vals)
+                (huff_dc if cls == 0 else huff_ac)[tid] = tab
+                p += 17 + n
+        elif marker == 0xC0 or marker == 0xC1:     # SOF0/1 (baseline)
+            prec, h, wd, nc = struct.unpack_from(">BHHB", seg, 0)
+            if prec != 8:
+                raise ValueError("only 8-bit precision supported")
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = struct.unpack_from(">BBB", seg, 6 + 3 * c)
+                if hv != 0x11:
+                    raise ValueError(
+                        "subsampled JPEG unsupported (4:4:4 only)")
+                comps.append({"id": cid, "tq": tq})
+            frame = (h, wd, nc)
+        elif marker in (0xC2, 0xC3) or 0xC5 <= marker <= 0xCF:
+            raise ValueError("only baseline sequential supported")
+        elif marker == 0xDD:                       # DRI
+            (restart_interval,) = struct.unpack_from(">H", seg, 0)
+        elif marker == 0xDA:                       # SOS
+            if frame is None:
+                raise ValueError("SOS before SOF")
+            ns = seg[0]
+            scan_tabs = []
+            for c in range(ns):
+                cid, tt = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan_tabs.append((cid, tt >> 4, tt & 0x0F))
+            entropy_start = pos + 2 + seg_len
+            return _decode_scan(buf, entropy_start, frame, comps,
+                                scan_tabs, quants, huff_dc, huff_ac,
+                                restart_interval)
+        pos += 2 + seg_len
+    raise ValueError("no scan found")
+
+
+def _decode_scan(buf, start, frame, comps, scan_tabs, quants,
+                 huff_dc, huff_ac, restart_interval):
+    h, wd, nc = frame
+    if len(scan_tabs) != nc:
+        raise ValueError("non-interleaved multi-scan unsupported")
+    bh, bw = -(-h // 8), -(-wd // 8)
+    r = _BitReader(buf[start:])
+    planes = [np.zeros((bh * 8, bw * 8)) for _ in range(nc)]
+    prev = [0] * nc
+    mcu = 0
+    for bj in range(bh):
+        for bi in range(bw):
+            if restart_interval and mcu and mcu % restart_interval == 0:
+                # byte-align and consume the RSTn marker
+                r.n = 0
+                while r.pos + 1 < len(r.data) and \
+                        r.data[r.pos] == 0xFF and \
+                        0xD0 <= r.data[r.pos + 1] <= 0xD7:
+                    r.pos += 2
+                prev = [0] * nc
+            for c in range(nc):
+                _, dc_id, ac_id = scan_tabs[c]
+                zz, prev[c] = _decode_block(
+                    r, huff_dc[dc_id], huff_ac[ac_id], prev[c])
+                q = quants[comps[c]["tq"]]
+                coef = np.zeros(64)
+                coef[_ZZ] = zz * q.reshape(-1)[_ZZ]
+                blk = idct_blocks(coef.reshape(8, 8)) + 128.0
+                planes[c][bj * 8:(bj + 1) * 8,
+                          bi * 8:(bi + 1) * 8] = blk
+            mcu += 1
+    planes = [p[:h, :wd] for p in planes]
+    if nc == 1:
+        return np.clip(np.round(planes[0]), 0, 255).astype(np.uint8)
+    ycc = np.stack(planes, axis=-1)
+    rgb = ycbcr_to_rgb(ycc)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)

@@ -15,9 +15,13 @@ q_multimodal_meta round-trips every document's payload through
 encode→decode and hash-checks the decoded metadata (and the PNG
 pixel sum) against a SQL oracle computing the same values from the
 generation rule — so the codec path, not the formula, produces the
-gated numbers.  Entropy-coded JPEG pixel data is NOT decoded (a real
-Huffman/DCT pipeline needs a codec library); JPEG coverage is
-header-exact, and that limit is explicit here.
+gated numbers.  JPEG payloads are REAL entropy-coded baseline JFIF
+streams (kernels/jpeg.py: FDCT + quantization + Annex-K Huffman, r5),
+and `decode_image_real(..., want_pixels=True)` runs the full
+Huffman+IDCT pixel decode; the gate hash-checks JPEG header metadata
+only (px_sum NULL) because lossy DCT output is float-rounding-near,
+not bit-equal, to the source — the JPEG pixel path is bounded-error
+property-tested in tests/test_jpeg_codec.py instead.
 
 Scale notes: mapInPandas streams Arrow batches; nothing is collected;
 binary payloads never shuffle (metadata extraction is a narrow map,
@@ -192,12 +196,20 @@ def _parse_jpeg(buf: bytes) -> dict:
 def decode_image_real(payload: bytes, want_pixels: bool = False) -> dict:
     """Parse a genuine image payload's metadata from its bytes:
     PNG (IHDR; plus full IDAT pixel decode when `want_pixels`) or
-    baseline JPEG (marker walk to SOFn).  Returns {width, height,
-    fmt, bit_depth, n_components, px_sum}."""
+    baseline JPEG (marker walk to SOFn; with `want_pixels`, the full
+    Huffman+IDCT decode via kernels/jpeg.py — px_sum is the decoded
+    pixel sum, which for lossy JPEG is within DCT rounding of the
+    source, not bit-equal to it).  Returns {width, height, fmt,
+    bit_depth, n_components, px_sum}."""
     if payload[:8] == _PNG_SIG:
         return _parse_png(bytes(payload), want_pixels)
     if payload[:2] == b"\xFF\xD8":
-        return _parse_jpeg(bytes(payload))
+        meta = _parse_jpeg(bytes(payload))
+        if want_pixels:
+            from ..kernels import jpeg as JC
+            px = JC.decode_baseline(bytes(payload))
+            meta["px_sum"] = int(px.astype("int64").sum())
+        return meta
     raise ValueError("unrecognized image format "
                      f"(magic {bytes(payload[:4])!r})")
 
@@ -217,11 +229,15 @@ def synthesize_image(text: str) -> bytes:
     import numpy as np
     n = len(text) + 26                 # html payload length
     w, h = image_dims(n)
+    arr = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
     if n % 2 == 0:
-        arr = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
         px = arr[np.arange(h * w) % len(arr)].reshape(h, w)
         return encode_png(px)
-    return encode_jpeg(w, h, n_components=3)
+    # real entropy-coded baseline JFIF (kernels/jpeg.py): 3-channel
+    # RGB from the text bytes, flat quantization
+    from ..kernels import jpeg as JC
+    px = arr[np.arange(h * w * 3) % len(arr)].reshape(h, w, 3)
+    return JC.encode_baseline(px, quant=JC.QUANT_FLAT)
 
 
 THUMB_BLOCKS = 4          # resize target: 4×4 block means
