@@ -725,6 +725,50 @@ def isochrone_hulls(points_sample: DataFrame, edges: DataFrame,
     return nodes.groupBy("point_id").applyInPandas(hull, schema)
 
 
+def isochrone_summary(points_sample: DataFrame, edges: DataFrame,
+                      max_dist: float = C.BUFFER_M,
+                      n_edges_hint: int | None = None) -> DataFrame:
+    """A12 node count + total network distance + P5 convex-hull area
+    in ONE isochrone computation (ndvi_calc.R:204-236) — the r5
+    slot-consolidation of q_isochrone_nodes + q_isochrone_hull: both
+    shapes shared isochrone_nodes_auto, so one applyInPandas pass now
+    emits every per-source summary column.
+    Output: (point_id, n_nodes, total_dist, hull_area_m2).
+
+    Exactness: net_dist values are multiples of the lattice hop
+    (100 m), so the per-group float sum is exact under any order —
+    the oracle's SUM(net_dist) matches bit-for-bit."""
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    from ..kernels import geom as G
+
+    iso = isochrone_nodes_auto(points_sample, edges, max_dist,
+                               n_edges_hint=n_edges_hint)
+    nodes = iso.select(
+        "point_id", "net_dist",
+        (F.col("node_id") % C.ROAD_N).cast("double").alias("nx"),
+        F.floor(F.col("node_id") / C.ROAD_N).cast("double").alias("ny"))
+
+    schema = StructType([
+        StructField("point_id", LongType()),
+        StructField("n_nodes", LongType()),
+        StructField("total_dist", DoubleType()),
+        StructField("hull_area_m2", DoubleType()),
+    ])
+
+    def summarize(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pts = pdf[["nx", "ny"]].to_numpy() * C.ROAD_SPACING
+        h = G.convex_hull(pts)
+        area = abs(G.polygon_area(h)) if len(h) >= 3 else 0.0
+        return pd.DataFrame({"point_id": [key[0]],
+                             "n_nodes": [len(pdf)],
+                             "total_dist": [float(pdf["net_dist"].sum())],
+                             "hull_area_m2": [area]})
+
+    return nodes.groupBy("point_id").applyInPandas(summarize, schema)
+
+
 COMPONENT_DRIVER_EDGE_LIMIT = 5_000_000
 
 

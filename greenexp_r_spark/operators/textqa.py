@@ -129,6 +129,42 @@ def text_qa(docs: DataFrame) -> DataFrame:
         (pred == F.col("lang")).alias("lang_match"))
 
 
+def text_profile(docs: DataFrame) -> DataFrame:
+    """token_profile + text_qa in ONE narrow projection — the r5
+    slot-consolidation (both merged shapes were themselves single-scan
+    projections over documents, so the union of their columns still
+    costs one scan, zero shuffles).  The component operators stay
+    independently callable and are proven equal in
+    tests/test_pipeline_queries.py."""
+    w = T.words(F.col("text"))
+    n_tok = F.size(w).cast("long")
+    n_chars = F.length("text").cast("long")
+    mean_len = ((n_chars - (n_tok - 1)).cast("double") / n_tok.cast("double"))
+    cnt = lambda p: F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(p), F.lit(0))
+    ).cast("long")
+    na, nn, no = cnt(RE_ALPHA), cnt(RE_NUM), cnt(RE_OTHER)
+    stop = _marker_count(w, C.STOPWORDS_EN)
+    ratio = stop.cast("double") / n_tok.cast("double")
+    quality = (ratio * 0.5
+               + F.least(n_tok, F.lit(100)).cast("double") / 200.0)
+    cnt_en = _marker_count(w, C.LANG_MARKERS["en"])
+    cnt_nl = _marker_count(w, C.LANG_MARKERS["nl"])
+    cnt_fr = _marker_count(w, C.LANG_MARKERS["fr"])
+    g = F.greatest(cnt_en, cnt_nl, cnt_fr)
+    pred = (F.when(cnt_en == g, "en")
+            .when(cnt_nl == g, "nl")
+            .otherwise("fr"))
+    return docs.select(
+        "doc_id", "lang", n_tok.alias("n_tokens"),
+        n_chars.alias("n_chars"), mean_len.alias("mean_token_len"),
+        na.alias("n_alpha"), nn.alias("n_num"), no.alias("n_other"),
+        (na + nn + no).alias("n_pieces"), stop.alias("stopword_cnt"),
+        ratio.alias("stopword_ratio"), quality.alias("quality"),
+        pred.alias("predicted_lang"),
+        (pred == F.col("lang")).alias("lang_match"))
+
+
 def domain_stats(pages: DataFrame) -> DataFrame:
     """(domain, n_pages, total_chars, mean_quality): per-domain corpus
     statistics — the grouping every Common-Crawl-style pipeline runs

@@ -186,49 +186,17 @@ FROM ({_oracle_idw_grid(d)}) _gr
 """
 
 
-def _oracle_isochrone(d: Dialect) -> str:
-    last = C.ROAD_N - 1
-    si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
-    sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
-    return f"""
-WITH RECURSIVE
-points AS ({world.points_sql(d)}),
-road_edges AS ({world.road_edges_sql(d)}),
-edges2 AS (
-  SELECT src, dst, length_m FROM road_edges
-  UNION ALL
-  SELECT dst AS src, src AS dst, length_m FROM road_edges
-),
-seeds AS (
-  SELECT point_id, ({sj}) * {C.ROAD_N} + ({si}) AS node_id
-  FROM points WHERE point_id % {ISO_SAMPLE_MOD} = 0
-),
-reach(point_id, node_id, net_dist) AS (
-  SELECT point_id, node_id, CAST(0.0 AS DOUBLE) FROM seeds
-  UNION
-  SELECT r.point_id, e.dst, r.net_dist + e.length_m
-  FROM reach r JOIN edges2 e ON e.src = r.node_id
-  WHERE r.net_dist + e.length_m <= {float(C.BUFFER_M)}
-),
-nd AS (
-  SELECT point_id, node_id, MIN(net_dist) AS net_dist
-  FROM reach GROUP BY point_id, node_id
-)
-SELECT point_id, COUNT(*) AS n_nodes, SUM(net_dist) AS total_dist
-FROM nd GROUP BY point_id
-"""
-
-
-def _oracle_isochrone_hull(d: Dialect) -> str:
-    """Exact SQL convex-hull area (upgrades q_isochrone_hull from
-    rows-only): a node is a hull/boundary point iff it is not strictly
-    inside any triangle of peers (O(n⁴) per isochrone — n ≤ ~25);
-    boundary points are ordered by angle around their centroid (the
-    vertex centroid of a positive-area hull is strictly interior, so
-    angular ties cannot occur; degenerate collinear hulls shoelace to
-    exactly 0) and the shoelace sum is exact because all coordinates
-    are integer lattice meters (cross terms are exact-integer-valued
-    doubles)."""
+def _oracle_isochrone_summary(d: Dialect) -> str:
+    """Merged q_isochrone oracle (node count + total network distance
+    + exact SQL convex-hull area): a node is a hull/boundary point iff
+    it is not strictly inside any triangle of peers (O(n⁴) per
+    isochrone — n ≤ ~25); boundary points are ordered by angle around
+    their centroid (the vertex centroid of a positive-area hull is
+    strictly interior, so angular ties cannot occur; degenerate
+    collinear hulls shoelace to exactly 0) and the shoelace sum is
+    exact because all coordinates are integer lattice meters (cross
+    terms are exact-integer-valued doubles).  total_dist sums
+    multiples of the 100 m hop — exact under any order."""
     last = C.ROAD_N - 1
     si = f"LEAST(GREATEST({d.floori('(x + 50.0) / 100.0')}, 0), {last})"
     sj = f"LEAST(GREATEST({d.floori('(y + 50.0) / 100.0')}, 0), {last})"
@@ -258,7 +226,8 @@ reach(point_id, node_id, net_dist) AS (
   WHERE r.net_dist + e.length_m <= {float(C.BUFFER_M)}
 ),
 nd AS (
-  SELECT point_id, node_id FROM reach GROUP BY point_id, node_id
+  SELECT point_id, node_id, MIN(net_dist) AS net_dist
+  FROM reach GROUP BY point_id, node_id
 ),
 pts AS (
   SELECT point_id,
@@ -293,30 +262,20 @@ sh AS (
 ),
 area AS (SELECT point_id, ABS(SUM(cr)) / 2.0 AS hull_area_m2
          FROM sh GROUP BY point_id),
-cnt AS (SELECT point_id, COUNT(*) AS n_nodes FROM nd GROUP BY point_id)
-SELECT c.point_id, c.n_nodes,
+cnt AS (SELECT point_id, COUNT(*) AS n_nodes, SUM(net_dist) AS total_dist
+        FROM nd GROUP BY point_id)
+SELECT c.point_id, c.n_nodes, c.total_dist,
        COALESCE(a.hull_area_m2, 0.0) AS hull_area_m2
 FROM cnt c LEFT JOIN area a ON c.point_id = a.point_id
 """
 
 
-def _q_isochrone_hull(s, sf):
+def _q_isochrone(s, sf):
     from .registry import _LATTICE_EDGES
-    return network.isochrone_hulls(
+    return network.isochrone_summary(
         world.points_df(s, sf).where(
             F.col("point_id") % ISO_SAMPLE_MOD == 0),
         world.road_edges_df(s), n_edges_hint=_LATTICE_EDGES)
-
-
-def _q_isochrone_nodes(s, sf):
-    from .registry import _LATTICE_EDGES
-    pts = world.points_df(s, sf).where(
-        F.col("point_id") % ISO_SAMPLE_MOD == 0)
-    iso = network.isochrone_nodes_auto(pts, world.road_edges_df(s),
-                                       n_edges_hint=_LATTICE_EDGES)
-    return iso.groupBy("point_id").agg(
-        F.count(F.lit(1)).alias("n_nodes"),
-        F.sum("net_dist").alias("total_dist"))
 
 
 N_SCENES = 24
@@ -710,13 +669,14 @@ def build_geo2_registry() -> dict[str, QSpec]:
             lambda s, sf: streets.street_green_cover_wkb(
                 streets.roads_wkb(world.road_edges_df(s))),
             _oracle_streets(d)),
-        "q_isochrone_nodes": QSpec(_q_isochrone_nodes, _oracle_isochrone(d)),
-        # exact: the oracle derives the hull in SQL (boundary = not
-        # strictly inside any peer triangle, shoelace over the
-        # angle-ordered boundary); the engine-side hull kernel is
-        # additionally brute-force-tested in tests/test_geom_kernels.py
-        "q_isochrone_hull": QSpec(_q_isochrone_hull,
-                                  _oracle_isochrone_hull(d)),
+        # A12 node count + total distance + P5 hull area consolidated
+        # into ONE entry over one isochrone computation (r5; frees a
+        # slot for the pytest-only-operator promotions).  Exact: the
+        # oracle derives the hull in SQL (boundary = not strictly
+        # inside any peer triangle, shoelace over the angle-ordered
+        # boundary); the engine-side hull kernel is additionally
+        # brute-force-tested in tests/test_geom_kernels.py
+        "q_isochrone": QSpec(_q_isochrone, _oracle_isochrone_summary(d)),
         # exact polygon-clip overlay (also grid-verified in
         # tests/test_overlay.py): the real mapInPandas clip kernel on
         # the Spark side, vertex-enumeration replay on DuckDB, exact

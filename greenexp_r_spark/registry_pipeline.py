@@ -52,34 +52,13 @@ def _q_ann_topk_union(spark, sf):
 # ---------------------------------------------------------------------
 
 
-def _oracle_token_profile(d: Dialect) -> str:
-    """token_stats + token_pieces merged (one scan, matching the
-    consolidated operator) — frees a registry slot inside the driver's
-    50-entry CORRECTNESS window."""
-    w = d.split("text")
-    c = lambda p: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
-    return f"""
-SELECT doc_id,
-       CAST({d.asize(w)} AS BIGINT) AS n_tokens,
-       CAST(length(text) AS BIGINT) AS n_chars,
-       CAST(CAST(length(text) AS BIGINT) - (CAST({d.asize(w)} AS BIGINT) - 1)
-            AS DOUBLE) / CAST({d.asize(w)} AS BIGINT) AS mean_token_len,
-       {c(textqa.RE_ALPHA)} AS n_alpha,
-       {c(textqa.RE_NUM)} AS n_num,
-       {c(textqa.RE_OTHER)} AS n_other,
-       {c(textqa.RE_ALPHA)} + {c(textqa.RE_NUM)} + {c(textqa.RE_OTHER)}
-           AS n_pieces
-FROM documents
-"""
-
-
 def _in_list(items):
     return ", ".join(f"'{m}'" for m in items)
 
 
 def _oracle_quality(d: Dialect) -> str:
     """Component quality CTE body (used by _oracle_corpus_select; the
-    gate-facing merged text lives in _oracle_text_qa)."""
+    gate-facing merged text lives in _oracle_text_profile)."""
     w = d.split("text")
     stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
     return f"""
@@ -122,16 +101,22 @@ FROM (
 """
 
 
-def _oracle_text_qa(d: Dialect) -> str:
-    """quality_score + lang_id merged (one scan)."""
+def _oracle_text_profile(d: Dialect) -> str:
+    """token_profile + text_qa merged (one scan) — the r5
+    slot-consolidation; column set is the union of both shapes."""
     w = d.split("text")
+    c = lambda p: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
     stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
     cnt = {
         lang: f"CAST({d.asize(d.afilter(w, 'w', f'w IN ({_in_list(C.LANG_MARKERS[lang])})'))} AS BIGINT)"
         for lang in ("en", "nl", "fr")
     }
     return f"""
-SELECT doc_id, lang, n_tokens, stopword_cnt,
+SELECT doc_id, lang, n_tokens, n_chars,
+       CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
+           AS mean_token_len,
+       n_alpha, n_num, n_other, n_alpha + n_num + n_other AS n_pieces,
+       stopword_cnt,
        CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)
            AS stopword_ratio,
        (CAST(stopword_cnt AS DOUBLE) / CAST(n_tokens AS DOUBLE)) * 0.5
@@ -143,10 +128,15 @@ SELECT doc_id, lang, n_tokens, stopword_cnt,
              WHEN cnt_nl = g THEN 'nl'
              ELSE 'fr' END) = lang AS lang_match
 FROM (
-  SELECT doc_id, lang, n_tokens, stopword_cnt, cnt_en, cnt_nl, cnt_fr,
+  SELECT doc_id, lang, n_tokens, n_chars, n_alpha, n_num, n_other,
+         stopword_cnt, cnt_en, cnt_nl, cnt_fr,
          GREATEST(cnt_en, cnt_nl, cnt_fr) AS g
   FROM (SELECT doc_id, lang,
                CAST({d.asize(w)} AS BIGINT) AS n_tokens,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               {c(textqa.RE_ALPHA)} AS n_alpha,
+               {c(textqa.RE_NUM)} AS n_num,
+               {c(textqa.RE_OTHER)} AS n_other,
                CAST({d.asize(stop)} AS BIGINT) AS stopword_cnt,
                {cnt['en']} AS cnt_en, {cnt['nl']} AS cnt_nl,
                {cnt['fr']} AS cnt_fr
@@ -739,12 +729,13 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         # tests/test_pipeline_queries.py checks merged ≡ components) —
         # frees registry slots for the pages family inside the
         # driver's 50-entry CORRECTNESS window
-        "q_token_stats": QSpec(
-            lambda s, sf: textqa.token_profile(_docs(s, sf)),
-            _oracle_token_profile(d)),
-        "q_text_qa": QSpec(
-            lambda s, sf: textqa.text_qa(_docs(s, sf)),
-            _oracle_text_qa(d)),
+        # r5: token_profile + text_qa consolidated again into ONE
+        # single-scan projection (q_text_profile) — frees a slot for
+        # the pytest-only-operator promotions; component equality is
+        # pinned in tests/test_pipeline_queries.py
+        "q_text_profile": QSpec(
+            lambda s, sf: textqa.text_profile(_docs(s, sf)),
+            _oracle_text_profile(d)),
         "q_fingerprint": QSpec(
             lambda s, sf: textqa.fingerprint(_docs(s, sf)),
             _oracle_fingerprint(d)),
