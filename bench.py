@@ -45,13 +45,13 @@ HEADLINE = [
     # round-3 exact geometry/network queries (VERDICT r03 ask #8) and
     # the round-4 additions (holes, exact overlay, UTM)
     "q_network_subdivision",
-    "q_greenspace_concave",
+    # concave + holes merged into one kind-tagged entry (r5)
+    "q_greenspace_shapes",
     "q_viewshed_flat",
-    "q_greenspace_holes",
     "q_greenspace_poly_pct",
     "q_crs_utm",
-    # training-data pipeline
-    "q_token_stats",
+    # training-data pipeline (token_stats + text_qa merged, r5)
+    "q_text_profile",
     "q_fingerprint",
     "q_dedup_neardup",
     "q_dedup_groups",
@@ -59,7 +59,6 @@ HEADLINE = [
     "q_ann_topk",
     "q_ann_ivf_kmeans",
     "q_embedding_neardup",
-    "q_text_qa",
     "q_multimodal_thumbnail",
     "q_events_rollup",
 ]

@@ -205,6 +205,20 @@ def greenspace_holes_sql(d: Dialect) -> str:
                            "greenspace_holes_pct")
 
 
+def greenspace_shapes_sql(d: Dialect) -> str:
+    """Concave + holed/multipolygon cell-cover merged into ONE gate
+    entry tagged by `kind` (r5 slot-consolidation).  Each branch keeps
+    its own park layer; the shared text still runs verbatim on both
+    engines, so the entry stays hash-exact by construction."""
+    return f"""
+SELECT 'concave' AS kind, point_id, greenspace_concave_pct AS pct, n_cells
+FROM ({greenspace_concave_sql(d)}) _c
+UNION ALL
+SELECT 'holes' AS kind, point_id, greenspace_holes_pct AS pct, n_cells
+FROM ({greenspace_holes_sql(d)}) _h
+"""
+
+
 def _run_shared_sql(s, sf, sql_text: str):
     # the shared text reads FROM documents (like the DuckDB oracle);
     # expose the driver parquet under that name for the Spark render
@@ -213,14 +227,9 @@ def _run_shared_sql(s, sf, sql_text: str):
     return s.sql(sql_text)
 
 
-def _q_greenspace_concave(s, sf):
+def _q_greenspace_shapes(s, sf):
     from .dialect import SPARK
-    return _run_shared_sql(s, sf, greenspace_concave_sql(SPARK))
-
-
-def _q_greenspace_holes(s, sf):
-    from .dialect import SPARK
-    return _run_shared_sql(s, sf, greenspace_holes_sql(SPARK))
+    return _run_shared_sql(s, sf, greenspace_shapes_sql(SPARK))
 
 
 # -------------------------------------- holed + multipolygon parks
@@ -464,17 +473,14 @@ def build_geo3_registry() -> dict[str, QSpec]:
         # (ndvi_calc.R:146-147)
         "q_network_subdivision": QSpec(_q_subdivision,
                                        _oracle_subdivision(d)),
-        # J4/A5 over genuinely concave polygons (cell-membership form)
-        "q_greenspace_concave": QSpec(_q_greenspace_concave,
-                                      greenspace_concave_sql(d)),
-        # J4/A5/P7 over polygons with interior rings (lakes) and
-        # multipolygon parks — the even-odd parity form needs only
-        # more edge rows (VERDICT r03 'Next round #1'); kernel-side
-        # semantics in kernels/concave.{make_valid_polygon,
-        # points_in_rings,intersection_area_holes}, tested in
-        # tests/test_concave.py
-        "q_greenspace_holes": QSpec(_q_greenspace_holes,
-                                    greenspace_holes_sql(d)),
+        # J4/A5 over genuinely concave polygons plus J4/A5/P7 over
+        # polygons with interior rings (lakes) and multipolygon parks
+        # (even-odd parity form; kernel-side semantics in
+        # kernels/concave.{make_valid_polygon,points_in_rings,
+        # intersection_area_holes}, tested in tests/test_concave.py) —
+        # consolidated into one `kind`-tagged entry (r5)
+        "q_greenspace_shapes": QSpec(_q_greenspace_shapes,
+                                     greenspace_shapes_sql(d)),
         # V4/V8 hash-exact on the flat-DTM world (sin-terrain variant
         # stays rows-only by design)
         "q_viewshed_flat": QSpec(_q_viewshed_flat,

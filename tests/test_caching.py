@@ -67,6 +67,6 @@ def test_entry_queries_release_at_boundary(spark):
     qs["q_dedup_neardup"](spark, SF_TEST).count()
     assert len(caching._live) > 0
     # building ANY next query evicts the previous query's caches
-    qs["q_token_stats"](spark, SF_TEST)
+    qs["q_text_profile"](spark, SF_TEST)
     assert len(caching._live) == 0
     caching.release_caches()

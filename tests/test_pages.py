@@ -156,7 +156,8 @@ def test_cell_stats_salted_equals_broadcast(spark):
 
 
 def test_merged_gate_entries_equal_components(spark):
-    """q_token_stats (token_profile) and q_text_qa consolidations must
+    """The token_profile and text_qa consolidated shapes (now merged
+    again into q_text_profile) must
     equal the component operators column-for-column."""
     docs = spark.read.parquet(f"{SF_TEST}/documents.parquet")
     prof = textqa.token_profile(docs).toPandas().sort_values(

@@ -100,7 +100,9 @@ def test_concave_engine_matches_kernel(spark):
     from greenexp_r_spark import registry_geo3 as G3
     # sample some buffer cells of one point and compare the SQL parity
     # decision against the numpy even-odd kernel for every park
-    pdf = G3._q_greenspace_concave(spark, SF_TEST).toPandas()
+    from greenexp_r_spark.dialect import SPARK as _SPK
+    pdf = G3._run_shared_sql(spark, SF_TEST,
+                             G3.greenspace_concave_sql(_SPK)).toPandas()
     pts = world.points_df(spark, SF_TEST).select("point_id", "x", "y") \
         .toPandas().set_index("point_id")
     rings = [CK.make_valid_general(G3.concave_park_ring(g))
