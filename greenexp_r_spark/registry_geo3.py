@@ -302,6 +302,105 @@ def _holed_bbox_rows() -> list[tuple[int, int, int, int, int]]:
     return rows
 
 
+# --------------------------------------------- geometry-property layer
+#
+# r5: the q_geom_props gate entry promotes the pytest-only P2/P4/P6/
+# P11/P12 operators to hash-exact.  The layer unions the holed/
+# multipolygon parks (WKB MULTIPOLYGON, park_id 0-9) with the concave
+# parks re-encoded as plain WKB POLYGON (park_id 100+g) so both type
+# branches of the decoder are exercised.
+
+CONCAVE_PROPS_OFFSET = 100
+
+
+def props_layer_wkb_df(spark):
+    """(park_id, geom_wkb): every fixture park as one WKB geometry."""
+    from .kernels import geom as G
+    rows = []
+    for g in range(N_HOLED):
+        members = [CK.make_valid_polygon(m) for m in holed_park_rings(g)]
+        rows.append((g, bytearray(G.wkb_multipolygon_rings(members))))
+    for g in range(N_CONCAVE):
+        ring = CK.make_valid_general(concave_park_ring(g))
+        rows.append((CONCAVE_PROPS_OFFSET + g,
+                     bytearray(G.wkb_polygon(ring))))
+    return spark.createDataFrame(rows, "park_id long, geom_wkb binary")
+
+
+def _props_ring_edge_rows() -> list[tuple]:
+    """(park_id, member_i, ring_i, sgn, x1, y1, x2, y2): ordered ring
+    edges of the props layer after the SAME make_valid normalization
+    (all rings CCW); sgn = +1 shell / −1 hole."""
+    rows = []
+
+    def emit(pid, mi, ri, ring):
+        sgn = 1 if ri == 0 else -1
+        for i in range(len(ring)):
+            x1, y1 = ring[i]
+            x2, y2 = ring[(i + 1) % len(ring)]
+            rows.append((pid, mi, ri, sgn,
+                         int(x1), int(y1), int(x2), int(y2)))
+
+    for g in range(N_HOLED):
+        for mi, member in enumerate(holed_park_rings(g)):
+            for ri, ring in enumerate(CK.make_valid_polygon(member)):
+                emit(g, mi, ri, ring)
+    for g in range(N_CONCAVE):
+        emit(CONCAVE_PROPS_OFFSET + g, 0, 0,
+             CK.make_valid_general(concave_park_ring(g)))
+    return rows
+
+
+def _oracle_geom_props(d: Dialect) -> str:
+    """Replays operators/geomprops.geometry_properties from the signed
+    ring edge rows: integer shoelace/moment sums (BIGINT, exact), one
+    final division each for area (÷2) and centroid (÷3·a2) written
+    identically on both engines; bbox from shell edges only; the P4
+    service radius is the speed×time arithmetic of accessibility.R:62-70."""
+    edges = _values_rel(
+        d, _props_ring_edge_rows(), "pe",
+        ["park_id", "member_i", "ring_i", "sgn", "x1", "y1", "x2", "y2"])
+    cross = ("(CAST(x1 AS BIGINT) * y2 - CAST(x2 AS BIGINT) * y1)")
+    return f"""
+WITH agg AS (
+  SELECT park_id,
+         COUNT(DISTINCT member_i) AS n_members,
+         COUNT(DISTINCT CASE WHEN ring_i > 0
+                             THEN member_i * 100 + ring_i END) AS n_holes,
+         CAST(SUM(sgn * {cross}) AS BIGINT) AS a2,
+         CAST(SUM(sgn * (CAST(x1 AS BIGINT) + x2) * {cross}) AS BIGINT)
+             AS sx6,
+         CAST(SUM(sgn * (CAST(y1 AS BIGINT) + y2) * {cross}) AS BIGINT)
+             AS sy6,
+         MIN(CASE WHEN ring_i = 0 THEN LEAST(x1, x2) END) AS bxmin,
+         MIN(CASE WHEN ring_i = 0 THEN LEAST(y1, y2) END) AS bymin,
+         MAX(CASE WHEN ring_i = 0 THEN GREATEST(x1, x2) END) AS bxmax,
+         MAX(CASE WHEN ring_i = 0 THEN GREATEST(y1, y2) END) AS bymax
+  FROM {edges} _e GROUP BY park_id
+)
+SELECT CAST(park_id AS BIGINT) AS park_id,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(n_holes AS BIGINT) AS n_holes,
+       n_members > 1 AS is_multi,
+       n_holes > 0 AS has_holes,
+       CAST(a2 AS DOUBLE) / 2.0 AS area_m2,
+       CAST(sx6 AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) AS centroid_x,
+       CAST(sy6 AS DOUBLE) / (3.0 * CAST(a2 AS DOUBLE)) AS centroid_y,
+       CAST(bxmin AS BIGINT) AS bxmin,
+       CAST(bymin AS BIGINT) AS bymin,
+       CAST(bxmax AS BIGINT) AS bxmax,
+       CAST(bymax AS BIGINT) AS bymax,
+       5.0 * 1000.0 / 60.0 * CAST(5 + park_id % 20 AS DOUBLE)
+           AS service_radius_m
+FROM agg
+"""
+
+
+def _q_geom_props(s, sf):
+    from .operators.geomprops import geometry_properties
+    return geometry_properties(props_layer_wkb_df(s))
+
+
 # ------------------------------------------ network subdivision/smooth
 
 def _oracle_subdivision(d: Dialect) -> str:
@@ -481,6 +580,11 @@ def build_geo3_registry() -> dict[str, QSpec]:
         # consolidated into one `kind`-tagged entry (r5)
         "q_greenspace_shapes": QSpec(_q_greenspace_shapes,
                                      greenspace_shapes_sql(d)),
+        # P2/P4/P6/P11/P12 promoted from pytest-only to hash-exact:
+        # one WKB decode pass emits centroid, area (holes subtract),
+        # bbox, member/hole type flags, and the speed×time service
+        # radius (operators/geomprops.py)
+        "q_geom_props": QSpec(_q_geom_props, _oracle_geom_props(d)),
         # V4/V8 hash-exact on the flat-DTM world (sin-terrain variant
         # stays rows-only by design)
         "q_viewshed_flat": QSpec(_q_viewshed_flat,
