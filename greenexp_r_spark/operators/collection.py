@@ -89,6 +89,63 @@ def collection_mean(scene_tiles: DataFrame) -> DataFrame:
             .applyInPandas(reduce_group, COMPOSITE_SCHEMA))
 
 
+SUMMARY_SCHEMA = StructType([
+    StructField("tile_id", LongType()),
+    StructField("n_valid", LongType()),
+    StructField("n_all_cloudy", LongType()),
+    StructField("n_obs_total", LongType()),
+    StructField("sum_vals", LongType()),
+    StructField("cross_sum", LongType()),
+])
+
+
+def collection_reduce_summary(scene_tiles: DataFrame) -> DataFrame:
+    """Gate shape for S4 (q_collection_reduce): integer checksums of
+    the composite PRODUCED BY collection_mean, so the driver hash
+    verifies the reduce end-to-end.  Per tile:
+
+      n_valid / n_all_cloudy — cells with ≥1 / 0 unmasked scenes,
+      n_obs_total            — Σ per-cell scene counts,
+      sum_vals               — Σ per-cell value sums (recovered
+                               exactly from the published mean:
+                               s = floor(mean·cnt + 0.5); the mean is
+                               one exactly-rounded division of
+                               integers, so mean·cnt is within 1 ulp
+                               of the integer s and the half-up round
+                               recovers it bit-exactly for |s| ≪ 2^51),
+      cross_sum              — Σ s·cnt (nonlinear per-cell product —
+                               sensitive to any cell misalignment a
+                               linear sum would cancel).
+
+    One Arrow pass over composite rows; all outputs BIGINT."""
+
+    comp = collection_mean(scene_tiles)
+
+    def summ(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for tid, mean, cnt in zip(pdf["tile_id"], pdf["mean_x800"],
+                                      pdf["n_scenes"]):
+                m = np.asarray(mean, dtype=float)
+                c = np.asarray(cnt, dtype=np.int64)
+                s = np.where(c > 0,
+                             np.floor(np.nan_to_num(m) * c + 0.5),
+                             0).astype(np.int64)
+                rows.append({
+                    "tile_id": int(tid),
+                    "n_valid": int((c > 0).sum()),
+                    "n_all_cloudy": int((c == 0).sum()),
+                    "n_obs_total": int(c.sum()),
+                    "sum_vals": int(s.sum()),
+                    "cross_sum": int((s * c).sum()),
+                })
+            yield pd.DataFrame(rows)
+
+    return comp.mapInPandas(summ, SUMMARY_SCHEMA)
+
+
 def collection_count_valid(scene_tiles: DataFrame) -> DataFrame:
     """(tile_id, n_cells_all_cloudy, n_obs_total): collection-level
     QA stats — one narrow aggregate, array HOFs avoided in favor of

@@ -206,3 +206,72 @@ def ndvi_bands_zonal_tiles(points: DataFrame, s2_tiles: DataFrame,
             / (F.lit(float(C.BAND_Q)) * F.col("n_cells")))
     return agg.select("point_id", mean.alias("mean_ndvi_bands"),
                       F.col("n_cells"))
+
+
+BLOCK_SCHEMA = StructType([
+    StructField("bi", LongType()),
+    StructField("bj", LongType()),
+    StructField("n_na", LongType()),
+    StructField("block_mean", DoubleType()),
+])
+
+
+def aoi_block_mean(spark, axmin: float, axmax: float,
+                   aymin: float, aymax: float,
+                   fact: int = 32, res: int = C.NDVI_RES) -> DataFrame:
+    """V10 (terra::aggregate fact=k, vgvi_from_sf.R:226-230) composed
+    with the J5 AOI crop (ndvi_calc.R:118): prune the tile table to
+    tiles intersecting the AOI rectangle, then coarsen each surviving
+    tile by block-mean through kernels/geom.aggregate_block_mean,
+    keeping blocks whose center lies inside the AOI.  NA cells fold to
+    0 before the mean (P15, ndvi_calc.R:336) and are counted per block
+    (U5 flavor: the caller can drop blocks with NA coverage).
+
+    Exactness: block sums are integer-exact in float64 and fact² is a
+    power of two, so every block mean is exactly representable — the
+    SQL SUM/1024.0 reproduces it bit-for-bit.
+
+    Scale: the crop is partition pruning on the tile table (tile bbox
+    min/max stats under icetable); the aggregate is embarrassingly
+    per-tile (no halo), one Arrow pass, output fact²× smaller than
+    the input — the standard pyramid-level build."""
+    from collections.abc import Iterator
+
+    from ..kernels import geom as G
+    from ..sources.tiles import ndvi_tiles_df
+
+    assert TILE_CELLS % fact == 0
+    nb = TILE_CELLS // fact
+    span = float(TILE_CELLS * res)
+    bspan = float(fact * res)
+    tiles = ndvi_tiles_df(spark, res).where(
+        (F.col("xmin") < axmax) & (F.col("xmin") + span > axmin)
+        & (F.col("ymin") < aymax) & (F.col("ymin") + span > aymin))
+
+    def blocks(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            out = []
+            for tx, ty, vals in zip(pdf["tx"], pdf["ty"], pdf["values"]):
+                raw = np.asarray(vals, dtype=np.int64)
+                na = raw == NA_SENTINEL
+                v = np.where(na, 0, raw).astype(float)
+                bm = G.aggregate_block_mean(
+                    v, TILE_CELLS, TILE_CELLS, fact).reshape(nb, nb)
+                nna = na.reshape(nb, fact, nb, fact).sum(axis=(1, 3))
+                bi0, bj0 = int(tx) * nb, int(ty) * nb
+                for rj in range(nb):
+                    cy = (bj0 + rj + 0.5) * bspan
+                    if not (aymin <= cy < aymax):
+                        continue
+                    for rix in range(nb):
+                        cx = (bi0 + rix + 0.5) * bspan
+                        if not (axmin <= cx < axmax):
+                            continue
+                        out.append({"bi": bi0 + rix, "bj": bj0 + rj,
+                                    "n_na": int(nna[rj, rix]),
+                                    "block_mean": float(bm[rj, rix])})
+            yield pd.DataFrame(out)
+
+    return tiles.mapInPandas(blocks, BLOCK_SCHEMA)

@@ -280,6 +280,61 @@ def _q_isochrone(s, sf):
 
 N_SCENES = 24
 
+# q_collection_reduce AOI: 4 interior tiles × 6 scenes (S4)
+COLLECTION_SCENES = 6
+COLLECTION_TILES = [33, 34, 43, 44]
+
+
+def _oracle_collection(d: Dialect) -> str:
+    """Replays the S4 temporal reduce closed-form: per (tile, cell,
+    scene) the base NDVI hash field + per-scene radiometric offset,
+    with base-NA and per-(scene,cell) cloud cells masked
+    (sources/tiles.scene_tile_values); integer checksums per tile
+    match operators/collection.collection_reduce_summary."""
+    from .sources import tiles as TL
+    nt = TL.n_tiles(C.NDVI_RES) + 2
+    tc = TL.TILE_CELLS
+    pm = lambda e: f"((({e}) % {C.P31}) + {C.P31}) % {C.P31}"
+    tiles_rel = " , ".join(f"({t})" for t in COLLECTION_TILES)
+    inner = f"SELECT tid FROM (VALUES {tiles_rel}) _t(tid)"
+    cells = d.explode_range(inner, "i", "0", str(tc * tc - 1))
+    scn = d.explode_range(f"SELECT * FROM ({cells}) _c", "s", "0",
+                          str(COLLECTION_SCENES - 1))
+    ci = f"((tid % {nt}) - 1) * {tc} + (i % {tc})"
+    cj = f"(({d.floori(f'tid / {nt}')}) - 1) * {tc} + ({d.floori(f'i / {tc}')})"
+    h = pm(f"({ci}) * {C.NDVI_H_A} + ({cj}) * {C.NDVI_H_B}")
+    hc = pm(f"({ci}) * {C.NDVI_H_A} + ({cj}) * {C.NDVI_H_B}"
+            f" + s * {TL.SCENE_CLOUD_A}")
+    val = (f"(({h}) % {C.NDVI_MOD} - 200)"
+           f" + ((s * {TL.SCENE_OFF_MUL}) % 21 - 10)")
+    valid = (f"(({h}) % {C.NDVI_NA_MOD} <> 0"
+             f" AND ({hc}) % {TL.SCENE_CLOUD_MOD} <> 0)")
+    return f"""
+WITH percell AS (
+  SELECT tid, i,
+         CAST(SUM(CASE WHEN {valid} THEN {val} ELSE 0 END) AS BIGINT)
+             AS s_c,
+         CAST(SUM(CASE WHEN {valid} THEN 1 ELSE 0 END) AS BIGINT) AS c_c
+  FROM ({scn}) _s GROUP BY tid, i
+)
+SELECT CAST(tid AS BIGINT) AS tile_id,
+       CAST(SUM(CASE WHEN c_c > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_valid,
+       CAST(SUM(CASE WHEN c_c = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_all_cloudy,
+       CAST(SUM(c_c) AS BIGINT) AS n_obs_total,
+       CAST(SUM(s_c) AS BIGINT) AS sum_vals,
+       CAST(SUM(s_c * c_c) AS BIGINT) AS cross_sum
+FROM percell GROUP BY tid
+"""
+
+
+def _q_collection_reduce(s, sf):
+    from .operators.collection import collection_reduce_summary
+    from .sources.tiles import scene_tiles_df
+    return collection_reduce_summary(
+        scene_tiles_df(s, COLLECTION_SCENES, tile_ids=COLLECTION_TILES))
+
 
 def _q_scene_selection(s, sf):
     """S2/A11/W3 analog: synthetic imagery catalog → least-cloudy
@@ -649,6 +704,12 @@ def build_geo2_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
         "q_scene_selection": QSpec(_q_scene_selection, _oracle_scene(d)),
+        # S4 promoted from pytest-only to hash-exact: the GEE
+        # ImageCollection.mean() reduce over a 4-tile AOI × 6 scenes,
+        # verified through integer composite checksums (sum_vals is
+        # recovered bit-exactly from the published per-cell mean)
+        "q_collection_reduce": QSpec(_q_collection_reduce,
+                                     _oracle_collection(d)),
         # P1 on a UTM-declared variant (second projected CRS +
         # declaration/dispatch plumbing), quantized-mm exact
         "q_crs_utm": QSpec(_q_crs_utm, _oracle_crs_utm(d)),

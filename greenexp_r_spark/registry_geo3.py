@@ -401,6 +401,51 @@ def _q_geom_props(s, sf):
     return geometry_properties(props_layer_wkb_df(s))
 
 
+# ------------------------------------------- V10 AOI crop + aggregate
+
+AOI_BM = {"xmin": 4000.0, "xmax": 8000.0,
+          "ymin": 3000.0, "ymax": 7000.0, "fact": 32}
+
+
+def _oracle_aoi_blockmean(d: Dialect) -> str:
+    """Replays operators/zonal_tiles.aoi_block_mean: per 32×32 block
+    with center inside the AOI, the NA→0 NDVI integer field's mean
+    (SUM/1024 — the divisor is a power of two and the sum is integer,
+    so the mean is exactly representable) and the NA cell count."""
+    import math
+    a, fact = AOI_BM, AOI_BM["fact"]
+    bspan = fact * C.NDVI_RES
+    half = bspan / 2.0
+    lo = lambda v: math.ceil((v - half) / bspan)
+    hi = lambda v: math.ceil((v - half) / bspan) - 1
+    bi_lo, bi_hi = lo(a["xmin"]), hi(a["xmax"])
+    bj_lo, bj_hi = lo(a["ymin"]), hi(a["ymax"])
+    cells = d.explode_range(
+        d.explode_range(
+            d.explode_range("SELECT 1 AS one", "bi", str(bi_lo),
+                            str(bi_hi)),
+            "bj", str(bj_lo), str(bj_hi)),
+        "u", "0", str(fact * fact - 1))
+    ci = f"bi * {fact} + (u % {fact})"
+    cj = f"bj * {fact} + ({d.floori(f'u / {fact}')})"
+    v = world.ndvi_int_expr(ci, cj)
+    h = world.cell_hash_expr(ci, cj, C.NDVI_H_A, C.NDVI_H_B)
+    return f"""
+SELECT CAST(bi AS BIGINT) AS bi, CAST(bj AS BIGINT) AS bj,
+       CAST(SUM(CASE WHEN {h} % {C.NDVI_NA_MOD} = 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_na,
+       CAST(SUM({v}) AS DOUBLE) / {float(fact * fact)} AS block_mean
+FROM ({cells}) _c GROUP BY bi, bj
+"""
+
+
+def _q_aoi_blockmean(s, sf):
+    from .operators.zonal_tiles import aoi_block_mean
+    a = AOI_BM
+    return aoi_block_mean(s, a["xmin"], a["xmax"], a["ymin"], a["ymax"],
+                          fact=a["fact"])
+
+
 # ------------------------------------------ network subdivision/smooth
 
 def _oracle_subdivision(d: Dialect) -> str:
@@ -585,6 +630,11 @@ def build_geo3_registry() -> dict[str, QSpec]:
         # bbox, member/hole type flags, and the speed×time service
         # radius (operators/geomprops.py)
         "q_geom_props": QSpec(_q_geom_props, _oracle_geom_props(d)),
+        # V10 promoted from pytest-only to hash-exact: AOI crop (J5
+        # tile pruning) + terra::aggregate block-mean, NA→0 (P15)
+        # with per-block NA counts (U5 flavor)
+        "q_aoi_blockmean": QSpec(_q_aoi_blockmean,
+                                 _oracle_aoi_blockmean(d)),
         # V4/V8 hash-exact on the flat-DTM world (sin-terrain variant
         # stays rows-only by design)
         "q_viewshed_flat": QSpec(_q_viewshed_flat,

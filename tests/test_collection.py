@@ -66,3 +66,34 @@ def test_qa_stats(spark):
     n_cells = T.TILE_CELLS ** 2
     assert (qa["n_obs_total"] <= N_SCENES * n_cells).all()
     assert (qa["n_obs_total"] >= (N_SCENES - 1) * n_cells * 0.8).all()
+
+
+def test_reduce_summary_matches_numpy(spark):
+    """q_collection_reduce checksums: s recovered from the published
+    mean must equal the direct integer sums (floor(mean*cnt+0.5))."""
+    sc = T.scene_tiles_df(spark, N_SCENES, res=RES, tile_ids=[0, 3])
+    out = (collection.collection_reduce_summary(sc)
+           .toPandas().set_index("tile_id").sort_index())
+    assert sorted(out.index) == [0, 3]
+    nt = T.n_tiles(RES) + 2
+    for tid in (0, 3):
+        tx, ty = tid % nt - 1, tid // nt - 1
+        vals = np.stack([
+            T.scene_tile_values(s, tx, ty, RES).astype(np.int64)
+            for s in range(N_SCENES)])
+        mask = vals != T.NA_SENTINEL
+        cnt = mask.sum(axis=0)
+        s = np.where(mask, vals, 0).sum(axis=0)
+        row = out.loc[tid]
+        assert row.n_valid == int((cnt > 0).sum())
+        assert row.n_all_cloudy == int((cnt == 0).sum())
+        assert row.n_obs_total == int(cnt.sum())
+        assert row.sum_vals == int(s.sum())
+        assert row.cross_sum == int((s * cnt).sum())
+
+
+def test_scene_tiles_tile_ids_prune(spark):
+    sc = T.scene_tiles_df(spark, 2, res=RES, tile_ids=[1])
+    pdf = sc.toPandas()
+    assert sorted(pdf["tile_id"].unique()) == [1]
+    assert sorted(pdf["scene_id"]) == [0, 1]
