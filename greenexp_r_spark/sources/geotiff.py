@@ -46,6 +46,7 @@ import numpy as np
 
 from .tiles import TILE_CELLS, TILE_SCHEMA
 
+_TAG_SUBFILE_TYPE = 254          # 1 = reduced-resolution (overview)
 _TAG_WIDTH, _TAG_LENGTH = 256, 257
 _TAG_BITS, _TAG_COMPRESSION, _TAG_PHOTOMETRIC = 258, 259, 262
 _TAG_STRIP_OFFSETS, _TAG_ROWS_PER_STRIP, _TAG_STRIP_COUNTS = 273, 278, 279
@@ -256,6 +257,29 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
     fetch one band without touching the others, like a per-band COG
     overview).  All bands share dtype and shape; the reference's
     red+NIR Sentinel-2 read (ndvi_calc.R:315-318) is the 2-band case."""
+    header_size = 16 if bigtiff else 8
+    seg, _ = _build_ifd_segment(arrays, xmin, ymax, res, compress,
+                                tiled, predictor, bigtiff, header_size)
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+    with open(path, "wb") as f:
+        f.write(header + seg)
+
+
+def _build_ifd_segment(arrays: list, xmin: float, ymax: float,
+                       res: float, compress, tiled, predictor: int,
+                       bigtiff: bool, seg_off: int,
+                       subfile_type: int | None = None
+                       ) -> tuple[bytes, int]:
+    """Build one complete image segment (IFD + extra arrays + chunk
+    data) whose internal offsets are absolute for a segment starting
+    at file offset `seg_off`.  The next-IFD pointer is written as 0;
+    its position within the segment is returned so multi-IFD writers
+    (write_cog) can patch the chain.  `subfile_type` adds
+    NewSubfileType (tag 254) — 1 marks a reduced-resolution overview
+    per the COG layout."""
     arrays = [np.asarray(a) for a in arrays]
     if not arrays:
         raise ValueError("need at least one band")
@@ -307,16 +331,15 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
     # LONG8 offset/count arrays, 8-byte inline rule.
     n_entries = (12 if tiled is not None else 11) \
         + (1 if predictor == 2 else 0) \
-        + (2 if n_bands > 1 else 0)
+        + (2 if n_bands > 1 else 0) \
+        + (1 if subfile_type is not None else 0)
     if bigtiff:
-        header_size = 16
         ifd_size = 8 + n_entries * 20 + 8
         inline_cap, off_type, off_fmt = 8, 16, "Q"
     else:
-        header_size = 8
         ifd_size = 2 + n_entries * 12 + 4
         inline_cap, off_type, off_fmt = 4, 4, "I"
-    extra_off = header_size + ifd_size
+    extra_off = seg_off + ifd_size
     extras = []
 
     def extra(payload: bytes) -> int:
@@ -371,6 +394,8 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
             struct.pack(f"<{n_chunks}{off_fmt}",
                         *[len(c) for c in chunks]))
 
+    if subfile_type is not None:
+        e(_TAG_SUBFILE_TYPE, 4, 1, subfile_type)
     e(_TAG_WIDTH, 3, 1, ncol)
     e(_TAG_LENGTH, 3, 1, nrow)
     e(_TAG_BITS, 3, bits_ct, bits_val)
@@ -401,21 +426,101 @@ def write_geotiff_multi(path: str, arrays: list, xmin: float,
     assert len(entries) == n_entries, (len(entries), n_entries)
 
     if bigtiff:
-        out = [struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16),
-               struct.pack("<Q", n_entries)]
+        out = [struct.pack("<Q", n_entries)]
         for tag, typ, count, value in entries:
             out.append(struct.pack("<HHQQ", tag, typ, count, value))
-        out.append(struct.pack("<Q", 0))      # no next IFD
+        next_pos = 8 + n_entries * 20
+        out.append(struct.pack("<Q", 0))      # next-IFD ptr (patchable)
     else:
-        out = [struct.pack("<2sHI", b"II", 42, 8),
-               struct.pack("<H", n_entries)]
+        out = [struct.pack("<H", n_entries)]
         for tag, typ, count, value in entries:
             out.append(struct.pack("<HHII", tag, typ, count, value))
-        out.append(struct.pack("<I", 0))      # no next IFD
+        next_pos = 2 + n_entries * 12
+        out.append(struct.pack("<I", 0))      # next-IFD ptr (patchable)
     out.extend(extras)
     out.extend(chunks)
+    return b"".join(out), next_pos
+
+
+def downsample2(a: np.ndarray) -> np.ndarray:
+    """One overview level: 2×2 block mean with ragged edges averaged
+    over the available cells (edge-replication padding makes the
+    padded 2×2 mean equal the ragged mean exactly).  Integer dtypes
+    round half-up back to the source dtype (the GDAL 'average'
+    resampler convention); float dtypes stay exact means."""
+    a = np.asarray(a)
+    nr, nc = a.shape
+    if nr % 2:
+        a = np.vstack([a, a[-1:, :]])
+    if nc % 2:
+        a = np.hstack([a, a[:, -1:]])
+    m = a.reshape(a.shape[0] // 2, 2, a.shape[1] // 2, 2) \
+         .astype(np.float64).mean(axis=(1, 3))
+    if np.issubdtype(np.asarray(a).dtype, np.integer):
+        return np.floor(m + 0.5).astype(a.dtype)
+    return m.astype(a.dtype)
+
+
+def build_overviews(a: np.ndarray, min_side: int = 256) -> list:
+    """Overview pyramid: halve until both sides fit within min_side
+    (the COG convention — readers stop when a level fits one tile)."""
+    out, cur = [], np.asarray(a)
+    while max(cur.shape) > min_side:
+        cur = downsample2(cur)
+        out.append(cur)
+    return out
+
+
+def write_cog(path: str, arrays, xmin: float, ymax: float, res: float,
+              compress: bool | str = "deflate", tiled: int | None = 256,
+              predictor: int = 1, bigtiff: bool = False,
+              min_side: int = 256) -> None:
+    """Write a Cloud-Optimized GeoTIFF: the full-resolution image plus
+    a reduced-resolution overview pyramid as chained IFDs, overviews
+    flagged NewSubfileType=1 — the layout that lets a ranged reader
+    serve any zoom level without scanning full-res data
+    (ndvi_calc.R:308-315 reads such COGs via /vsicurl).  `arrays` may
+    be one 2-D array or a list of bands; every level doubles `res`.
+    Readers: parse_geotiff_chain / read_cog_level."""
+    if isinstance(arrays, np.ndarray):
+        arrays = [arrays]
+    arrays = [np.asarray(a) for a in arrays]
+    levels = [arrays]
+    n_levels = len(build_overviews(arrays[0], min_side))
+    cur = arrays
+    for _ in range(n_levels):
+        cur = [downsample2(b) for b in cur]
+        levels.append(cur)
+
+    header_size = 16 if bigtiff else 8
+    segs, next_positions = [], []
+    off = header_size
+    for lvl, bands in enumerate(levels):
+        seg, np_pos = _build_ifd_segment(
+            bands, xmin, ymax, res * (2 ** lvl), compress, tiled,
+            predictor, bigtiff, off,
+            subfile_type=None if lvl == 0 else 1)
+        next_positions.append(off + np_pos)
+        segs.append(seg)
+        off += len(seg)
+
+    if bigtiff:
+        header = struct.pack("<2sHHHQ", b"II", 43, 8, 0, 16)
+        ptr_fmt, ptr_len = "<Q", 8
+    else:
+        header = struct.pack("<2sHI", b"II", 42, 8)
+        ptr_fmt, ptr_len = "<I", 4
+    buf = bytearray(header + b"".join(segs))
+    seg_starts = []
+    o = header_size
+    for seg in segs:
+        seg_starts.append(o)
+        o += len(seg)
+    for i in range(len(segs) - 1):
+        buf[next_positions[i]:next_positions[i] + ptr_len] = \
+            struct.pack(ptr_fmt, seg_starts[i + 1])
     with open(path, "wb") as f:
-        f.write(b"".join(out))
+        f.write(bytes(buf))
 
 
 def parse_geotiff(buf: bytes):
@@ -431,30 +536,70 @@ _TYPE_SIZES = {3: 2, 4: 4, 12: 8, 16: 8}       # SHORT, LONG, DOUBLE, LONG8
 _TYPE_FMTS = {3: "H", 4: "I", 12: "d", 16: "Q"}
 
 
-def parse_geotiff_bands(buf: bytes):
-    """→ (list of (nrow, ncol) band arrays, xmin, ymax, res).
-    Accepts classic TIFF (magic 42, 4-byte offsets) AND BigTIFF
-    (magic 43, 8-byte offsets — required past 4 GB; TIFF-6 BigTIFF
-    spec: 20-byte IFD entries, LONG8 type 16, 8-byte inline rule).
-    Multi-band files must be PlanarConfiguration=2 (band-major
-    strips/tiles); all bands share dtype."""
+def _tiff_layout(buf: bytes):
+    """→ (first_ifd_off, entry_fmt, entry_size, body_off, inline_cap,
+    inline_pack, ptr_fmt) for classic TIFF or BigTIFF."""
     if buf[:4] == b"II\x2a\x00":
         (ifd_off,) = struct.unpack_from("<I", buf, 4)
-        (n,) = struct.unpack_from("<H", buf, ifd_off)
-        entry_fmt, entry_size, body_off = "<HHII", 12, 2
-        inline_cap = 4
-        inline_pack = "<I"
-    elif buf[:4] == b"II\x2b\x00":
+        return ifd_off, "<HHII", 12, 2, 4, "<I", "<I"
+    if buf[:4] == b"II\x2b\x00":
         osize, pad = struct.unpack_from("<HH", buf, 4)
         if osize != 8 or pad != 0:
             raise ValueError("malformed BigTIFF header")
         (ifd_off,) = struct.unpack_from("<Q", buf, 8)
-        (n,) = struct.unpack_from("<Q", buf, ifd_off)
-        entry_fmt, entry_size, body_off = "<HHQQ", 20, 8
-        inline_cap = 8
-        inline_pack = "<Q"
+        return ifd_off, "<HHQQ", 20, 8, 8, "<Q", "<Q"
+    raise ValueError("not a little-endian TIFF/BigTIFF")
+
+
+def parse_geotiff_bands(buf: bytes):
+    """→ (list of (nrow, ncol) band arrays, xmin, ymax, res) for the
+    FIRST (full-resolution) IFD.  Accepts classic TIFF (magic 42,
+    4-byte offsets) AND BigTIFF (magic 43, 8-byte offsets — required
+    past 4 GB; TIFF-6 BigTIFF spec: 20-byte IFD entries, LONG8 type
+    16, 8-byte inline rule).  Multi-band files must be
+    PlanarConfiguration=2 (band-major strips/tiles); all bands share
+    dtype.  Overview IFDs (write_cog) are reached via
+    parse_geotiff_chain."""
+    ifd_off, *layout = _tiff_layout(buf)
+    bands, xmin, ymax, res, _next, _sub = _parse_ifd(buf, ifd_off,
+                                                     *layout)
+    return bands, xmin, ymax, res
+
+
+def parse_geotiff_chain(buf: bytes) -> list[dict]:
+    """Walk the IFD chain: one dict per image
+    {bands, xmin, ymax, res, subfile_type} — index 0 is full
+    resolution, subsequent entries are overviews (subfile_type=1)."""
+    ifd_off, *layout = _tiff_layout(buf)
+    out = []
+    while ifd_off:
+        bands, xmin, ymax, res, ifd_off, sub = _parse_ifd(
+            buf, ifd_off, *layout)
+        out.append({"bands": bands, "xmin": xmin, "ymax": ymax,
+                    "res": res, "subfile_type": sub})
+    return out
+
+
+def read_cog_level(buf: bytes, target_res: float):
+    """The COG resolution knob: return (bands, xmin, ymax, res) of the
+    COARSEST level whose res ≤ target_res (cheapest read that still
+    meets the requested detail); the full-resolution image if every
+    overview is coarser than the target."""
+    chain = parse_geotiff_chain(buf)
+    ok = [im for im in chain if im["res"] <= target_res]
+    pick = max(ok, key=lambda im: im["res"]) if ok else chain[0]
+    return pick["bands"], pick["xmin"], pick["ymax"], pick["res"]
+
+
+def _parse_ifd(buf: bytes, ifd_off: int, entry_fmt: str,
+               entry_size: int, body_off: int, inline_cap: int,
+               inline_pack: str, ptr_fmt: str):
+    if entry_size == 12:
+        (n,) = struct.unpack_from("<H", buf, ifd_off)
     else:
-        raise ValueError("not a little-endian TIFF/BigTIFF")
+        (n,) = struct.unpack_from("<Q", buf, ifd_off)
+    (next_off,) = struct.unpack_from(
+        ptr_fmt, buf, ifd_off + body_off + entry_size * n)
     tags = {}
     for i in range(n):
         tag, typ, count, value = struct.unpack_from(
@@ -557,7 +702,8 @@ def parse_geotiff_bands(buf: bytes):
     tie = doubles(_TAG_TIEPOINT)
     xmin = tie[3] - tie[0] * sx
     ymax = tie[4] + tie[1] * sy
-    return bands, float(xmin), float(ymax), float(sx)
+    return (bands, float(xmin), float(ymax), float(sx),
+            int(next_off), scalar(_TAG_SUBFILE_TYPE, 0))
 
 
 def tiles_from_array(values: np.ndarray, xmin: float, ymax: float,

@@ -464,3 +464,73 @@ def test_ingest_offset_raster_zonal_equals_aligned_control(spark,
     want = ndvi_zonal(pts).toPandas() \
         .sort_values("point_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+# ------------------------------------------------------ COG overviews
+
+def test_cog_overview_chain_roundtrip(tmp_path):
+    """write_cog chains reduced-resolution IFDs (NewSubfileType=1);
+    every level decodes and equals the numpy pyramid replay."""
+    rng = np.random.default_rng(11)
+    a = rng.integers(-200, 800, size=(700, 900)).astype(np.int32)
+    p = str(tmp_path / "cog.tif")
+    GT.write_cog(p, a, 1000.0, 9000.0, 10.0, compress="deflate",
+                 tiled=256)
+    buf = open(p, "rb").read()
+    chain = GT.parse_geotiff_chain(buf)
+    assert [im["subfile_type"] for im in chain] == [0, 1, 1]
+    assert np.array_equal(chain[0]["bands"][0], a)
+    lvl = a
+    for im in chain[1:]:
+        lvl = GT.downsample2(lvl)
+        assert np.array_equal(im["bands"][0], lvl)
+        assert im["xmin"] == 1000.0 and im["ymax"] == 9000.0
+    assert [im["res"] for im in chain] == [10.0, 20.0, 40.0]
+    # the single-IFD reader still sees exactly the full-res image
+    bands, xmin, ymax, res = GT.parse_geotiff_bands(buf)
+    assert np.array_equal(bands[0], a) and res == 10.0
+
+
+def test_cog_level_selection(tmp_path):
+    a = np.arange(512 * 512, dtype=np.int32).reshape(512, 512) % 1000
+    p = str(tmp_path / "cog.tif")
+    GT.write_cog(p, a, 0.0, 5120.0, 10.0, compress="lzw", tiled=256)
+    buf = open(p, "rb").read()
+    # coarsest level with res <= target
+    _, _, _, r = GT.read_cog_level(buf, 25.0)
+    assert r == 20.0
+    _, _, _, r = GT.read_cog_level(buf, 1000.0)
+    assert r == 20.0          # pyramid stops once <= 256 px
+    _, _, _, r = GT.read_cog_level(buf, 10.0)
+    assert r == 10.0
+    _, _, _, r = GT.read_cog_level(buf, 1.0)   # finer than base: base
+    assert r == 10.0
+
+
+def test_cog_multiband_bigtiff(tmp_path):
+    rng = np.random.default_rng(5)
+    a = rng.integers(0, 255, size=(300, 300)).astype(np.uint8)
+    p = str(tmp_path / "cogb.tif")
+    GT.write_cog(p, [a, a[::-1]], 0.0, 3000.0, 10.0, bigtiff=True,
+                 compress="deflate", tiled=None)
+    chain = GT.parse_geotiff_chain(open(p, "rb").read())
+    assert len(chain) == 2 and len(chain[0]["bands"]) == 2
+    assert np.array_equal(chain[0]["bands"][1], a[::-1])
+    assert np.array_equal(chain[1]["bands"][0], GT.downsample2(a))
+    assert np.array_equal(chain[1]["bands"][1],
+                          GT.downsample2(a[::-1]))
+
+
+def test_downsample2_ragged_edges():
+    a = np.array([[1, 2, 3],
+                  [4, 5, 6],
+                  [7, 8, 9]], dtype=np.int32)
+    d = GT.downsample2(a)
+    # ragged means: corner blocks average available cells only
+    assert d.shape == (2, 2)
+    assert d[0, 0] == 3                 # (1+2+4+5)/4
+    assert d[0, 1] == np.floor((3 + 6) / 2 + 0.5)
+    assert d[1, 0] == np.floor((7 + 8) / 2 + 0.5)
+    assert d[1, 1] == 9
+    f = GT.downsample2(a.astype(np.float64))
+    assert f[0, 1] == 4.5 and f[1, 1] == 9.0
