@@ -534,3 +534,85 @@ def test_downsample2_ragged_edges():
     assert d[1, 1] == 9
     f = GT.downsample2(a.astype(np.float64))
     assert f[0, 1] == 4.5 and f[1, 1] == 9.0
+
+
+# -------------------------------------------------- ranged COG reads
+
+def test_cog_ranged_window_equals_full_decode(tmp_path):
+    """read_window fetches only intersecting chunks and matches the
+    full decode's slice; byte traffic is a small fraction of the
+    file (the COG object-storage promise)."""
+    rng = np.random.default_rng(3)
+    a = rng.integers(0, 1000, size=(1500, 1024)).astype(np.int32)
+    p = str(tmp_path / "cog.tif")
+    GT.write_cog(p, a, 0.0, 15000.0, 10.0, compress="deflate",
+                 tiled=256)
+    import os
+    fsize = os.path.getsize(p)
+    with GT.FileRangeFetcher(p) as fetch:
+        r = GT.CogReader(fetch)
+        win, wx, wy, res = r.read_window(2005.0, 9000.0,
+                                         4490.0, 11990.0)
+        assert fetch.bytes_read < 0.25 * fsize
+    assert res == 10.0
+    # snapped pixel window: cols floor(200.5)..ceil(449), rows ...
+    c0, c1 = 200, 449
+    r0 = int(np.floor((15000.0 - 11990.0) / 10))   # 301
+    r1 = int(np.ceil((15000.0 - 9000.0) / 10))     # 600
+    assert wx == c0 * 10.0 and wy == 15000.0 - r0 * 10.0
+    assert np.array_equal(win, a[r0:r1, c0:c1])
+
+
+def test_cog_ranged_overview_and_bands(tmp_path):
+    rng = np.random.default_rng(7)
+    b0 = rng.integers(0, 255, size=(600, 600)).astype(np.uint8)
+    b1 = rng.integers(0, 255, size=(600, 600)).astype(np.uint8)
+    p = str(tmp_path / "cogm.tif")
+    GT.write_cog(p, [b0, b1], 0.0, 6000.0, 10.0, compress="lzw",
+                 tiled=128, predictor=2)
+    with GT.FileRangeFetcher(p) as fetch:
+        r = GT.CogReader(fetch)
+        assert [lv["subfile_type"] for lv in r.levels] == [0, 1, 1]
+        # overview level picked by target_res, band 1
+        win, wx, wy, res = r.read_window(0.0, 0.0, 6000.0, 6000.0,
+                                         target_res=25.0, band=1)
+        assert res == 20.0
+    assert np.array_equal(win, GT.downsample2(b1))
+    # base-level band 1 window
+    with GT.FileRangeFetcher(p) as fetch:
+        win2, _, _, res2 = GT.CogReader(fetch).read_window(
+            1280.0, 1280.0, 2560.0, 2560.0, band=1)
+    assert res2 == 10.0
+    assert np.array_equal(win2, b1[344:472, 128:256])
+
+
+def test_cog_reader_requires_tiles(tmp_path):
+    a = np.zeros((100, 100), dtype=np.int32)
+    p = str(tmp_path / "strips.tif")
+    GT.write_cog(p, a, 0.0, 1000.0, 10.0, tiled=None)
+    with GT.FileRangeFetcher(p) as fetch:
+        with pytest.raises(ValueError, match="tiled"):
+            GT.CogReader(fetch)
+
+
+def test_ingest_cog_window_tiles(spark, tmp_path):
+    """Distributed AOI ingest range-reads only AOI chunks and yields
+    the same TILE_SCHEMA rows as chopping the array directly."""
+    rng = np.random.default_rng(9)
+    a = rng.integers(-50, 400, size=(1024, 1024)).astype(np.int32)
+    p = str(tmp_path / "cogw.tif")
+    res, span = 10.0, 256 * 10.0
+    GT.write_cog(p, a, 0.0, 10240.0, res, compress="deflate",
+                 tiled=256)
+    got = GT.ingest_cog_window_tiles(
+        spark, [p], span, span, 3 * span, 3 * span).toPandas() \
+        .sort_values("tile_id").reset_index(drop=True)
+    want = sorted(GT.tiles_from_array(a, 0.0, 10240.0, res),
+                  key=lambda r: r["tile_id"])
+    want = [w for w in want
+            if span <= w["xmin"] < 3 * span
+            and span <= w["ymin"] < 3 * span]
+    assert list(got["tile_id"]) == [w["tile_id"] for w in want]
+    for i, w in enumerate(want):
+        assert np.array_equal(np.asarray(got["values"][i]),
+                              w["values"])
