@@ -165,6 +165,103 @@ def text_profile(docs: DataFrame) -> DataFrame:
         (pred == F.col("lang")).alias("lang_match"))
 
 
+def repetition_stats(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition filters (Rae et al. 2021 §A1.1) over
+    word n-grams — the rules a Common-Crawl pipeline applies before
+    training:
+
+      * ``dup_word_frac``     — fraction of tokens that are repeats of
+        an earlier token: (n_tokens − n_distinct) / n_tokens.
+      * ``top_bigram_frac``   — fraction of characters covered by
+        occurrences of the MOST FREQUENT word 2-gram (Gopher's
+        "top n-gram character fraction"; overlaps not deduplicated,
+        matching the published implementations).  Tie-break: highest
+        count, then lexicographically smallest bigram.
+      * ``dup_trigram_frac``  — characters covered by word 3-grams
+        occurring ≥2 times, over total characters (Gopher's
+        "duplicated n-gram character fraction"; coverage summed per
+        occurrence, so >1 is possible on degenerate text — kept raw).
+      * ``gopher_keep``       — the composite filter verdict.
+
+    All fractions are BIGINT counts divided once at the end
+    (cross-engine exactness doctrine).  Plan shape: one narrow scan →
+    position explode → three hash aggregates re-joined on doc_id
+    (map-side partials; shuffle O(total tokens) — the same shape as
+    the dedup shingle pipeline, no all-pairs anywhere).
+    """
+    from pyspark.sql import Window
+
+    w = T.words(F.col("text"))
+    base = docs.select(
+        "doc_id", w.alias("warr"),
+        F.size(w).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"))
+    e = base.withColumn(
+        "pos", F.explode(F.sequence(F.lit(1), F.col("n_tokens"))))
+    word = F.element_at(F.col("warr"), F.col("pos").cast("int"))
+    nxt = F.element_at(F.col("warr"), (F.col("pos") + 1).cast("int"))
+    nxt2 = F.element_at(F.col("warr"), (F.col("pos") + 2).cast("int"))
+    ex = e.select(
+        "doc_id", "n_tokens", "n_chars", "pos", word.alias("word"),
+        F.when(F.col("pos") <= F.col("n_tokens") - 1,
+               F.concat_ws(" ", word, nxt)).alias("gram2"),
+        F.when(F.col("pos") <= F.col("n_tokens") - 2,
+               F.concat_ws(" ", word, nxt, nxt2)).alias("gram3"))
+
+    dup = ex.groupBy("doc_id").agg(
+        F.first("n_tokens").alias("n_tokens"),
+        F.first("n_chars").alias("n_chars"),
+        F.countDistinct("word").alias("n_distinct"))
+
+    big = (ex.where(F.col("gram2").isNotNull())
+           .groupBy("doc_id", "gram2").agg(F.count("*").alias("cnt")))
+    rk = Window.partitionBy("doc_id").orderBy(
+        F.col("cnt").desc(), F.col("gram2").asc())
+    top = (big.withColumn("rn", F.row_number().over(rk))
+           .where(F.col("rn") == 1)
+           .select("doc_id", F.col("gram2").alias("top_bigram"),
+                   F.col("cnt").alias("top_bigram_cnt")))
+
+    tri = (ex.where(F.col("gram3").isNotNull())
+           .groupBy("doc_id", "gram3").agg(F.count("*").alias("cnt"))
+           .where(F.col("cnt") >= 2)
+           .groupBy("doc_id")
+           .agg(F.sum(F.col("cnt") * F.length("gram3"))
+                .alias("dup3_chars")))
+
+    j = (dup.join(top, "doc_id", "left").join(tri, "doc_id", "left")
+         .select("doc_id", "n_tokens", "n_chars", "n_distinct",
+                 F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+                 F.coalesce("top_bigram_cnt", F.lit(0)).cast("long")
+                 .alias("top_bigram_cnt"),
+                 F.coalesce("dup3_chars", F.lit(0)).cast("long")
+                 .alias("dup3_chars")))
+    dupf = ((F.col("n_tokens") - F.col("n_distinct")).cast("double")
+            / F.col("n_tokens"))
+    topf = ((F.col("top_bigram_cnt") * F.length("top_bigram"))
+            .cast("double") / F.col("n_chars"))
+    trif = F.col("dup3_chars").cast("double") / F.col("n_chars")
+    keep = ((F.col("n_tokens") >= GOPHER_MIN_TOKENS)
+            & (F.col("n_tokens") <= GOPHER_MAX_TOKENS)
+            & (dupf <= GOPHER_MAX_DUP_WORD)
+            & (topf <= GOPHER_MAX_TOP_BIGRAM)
+            & (trif <= GOPHER_MAX_DUP_TRIGRAM))
+    return j.select(
+        "doc_id", "n_tokens", dupf.alias("dup_word_frac"),
+        "top_bigram", "top_bigram_cnt", topf.alias("top_bigram_frac"),
+        trif.alias("dup_trigram_frac"), keep.alias("gopher_keep"))
+
+
+# Gopher §A1.1-style thresholds, adapted to the synthetic corpus so
+# both verdicts occur at every SF (the published ones — e.g. top
+# 2-gram fraction ≤0.20 — target real web text).
+GOPHER_MIN_TOKENS = 30
+GOPHER_MAX_TOKENS = 100_000
+GOPHER_MAX_DUP_WORD = 0.85
+GOPHER_MAX_TOP_BIGRAM = 0.08
+GOPHER_MAX_DUP_TRIGRAM = 0.30
+
+
 def domain_stats(pages: DataFrame) -> DataFrame:
     """(domain, n_pages, total_chars, mean_quality): per-domain corpus
     statistics — the grouping every Common-Crawl-style pipeline runs

@@ -161,6 +161,92 @@ GROUP BY doc_id
 """
 
 
+def _oracle_fingerprint_rep(d: Dialect) -> str:
+    """fingerprint + Gopher repetition stats (textqa.repetition_stats)
+    merged on the same position-explode of documents — the r5 slot
+    consolidation keeping the registry at 50.  Every fraction is a
+    BIGINT count divided once, written identically on both sides."""
+    pow_case = "CASE ((pos - 1) % 8) " + " ".join(
+        f"WHEN {k} THEN {p}" for k, p in enumerate(textqa.FP_POWS)) + " END"
+    wh = T.word_hash_sql("word")
+    inner = (f"SELECT doc_id, {d.split('text')} AS warr, "
+             f"CAST({d.asize(d.split('text'))} AS BIGINT) AS n_tokens, "
+             f"CAST(length(text) AS BIGINT) AS n_chars FROM documents")
+    exploded = d.explode_range(inner, "pos", "1", "n_tokens")
+    w0 = d.elem("warr", "pos")
+    w1 = d.elem("warr", "pos + 1")
+    w2 = d.elem("warr", "pos + 2")
+    return f"""
+WITH ex AS (
+  SELECT doc_id, n_tokens, n_chars, pos, {w0} AS word,
+         CASE WHEN pos <= n_tokens - 1
+              THEN {w0} || ' ' || {w1} END AS gram2,
+         CASE WHEN pos <= n_tokens - 2
+              THEN {w0} || ' ' || {w1} || ' ' || {w2} END AS gram3
+  FROM ({exploded}) _e
+),
+fp AS (
+  SELECT doc_id, CAST(SUM((CAST({wh} AS BIGINT) * ({pow_case}))
+                          % {C.P31}) % {C.P31} AS BIGINT) AS fingerprint
+  FROM ex GROUP BY doc_id
+),
+dup AS (
+  SELECT doc_id, MAX(n_tokens) AS n_tokens, MAX(n_chars) AS n_chars,
+         CAST(COUNT(DISTINCT word) AS BIGINT) AS n_distinct
+  FROM ex GROUP BY doc_id
+),
+big AS (
+  SELECT doc_id, gram2, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ex WHERE gram2 IS NOT NULL GROUP BY doc_id, gram2
+),
+top AS (
+  SELECT doc_id, gram2 AS top_bigram, cnt AS top_bigram_cnt
+  FROM (SELECT doc_id, gram2, cnt,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY cnt DESC, gram2 ASC) AS rn
+        FROM big) _r
+  WHERE rn = 1
+),
+tri AS (
+  SELECT doc_id,
+         CAST(SUM(cnt * length(gram3)) AS BIGINT) AS dup3_chars
+  FROM (SELECT doc_id, gram3, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM ex WHERE gram3 IS NOT NULL GROUP BY doc_id, gram3) _g
+  WHERE cnt >= 2 GROUP BY doc_id
+)
+SELECT dup.doc_id, fp.fingerprint, dup.n_tokens,
+       CAST(dup.n_tokens - dup.n_distinct AS DOUBLE) / dup.n_tokens
+           AS dup_word_frac,
+       COALESCE(top.top_bigram, '') AS top_bigram,
+       CAST(COALESCE(top.top_bigram_cnt, 0) AS BIGINT)
+           AS top_bigram_cnt,
+       CAST(COALESCE(top.top_bigram_cnt, 0)
+            * length(COALESCE(top.top_bigram, '')) AS DOUBLE)
+           / dup.n_chars AS top_bigram_frac,
+       CAST(COALESCE(tri.dup3_chars, 0) AS DOUBLE) / dup.n_chars
+           AS dup_trigram_frac,
+       (dup.n_tokens >= {textqa.GOPHER_MIN_TOKENS}
+        AND dup.n_tokens <= {textqa.GOPHER_MAX_TOKENS}
+        AND CAST(dup.n_tokens - dup.n_distinct AS DOUBLE) / dup.n_tokens
+            <= {textqa.GOPHER_MAX_DUP_WORD}
+        AND CAST(COALESCE(top.top_bigram_cnt, 0)
+                 * length(COALESCE(top.top_bigram, '')) AS DOUBLE)
+            / dup.n_chars <= {textqa.GOPHER_MAX_TOP_BIGRAM}
+        AND CAST(COALESCE(tri.dup3_chars, 0) AS DOUBLE) / dup.n_chars
+            <= {textqa.GOPHER_MAX_DUP_TRIGRAM}) AS gopher_keep
+FROM dup
+JOIN fp ON fp.doc_id = dup.doc_id
+LEFT JOIN top ON top.doc_id = dup.doc_id
+LEFT JOIN tri ON tri.doc_id = dup.doc_id
+"""
+
+
+def _q_fingerprint_rep(s, sf):
+    docs = _docs(s, sf)
+    return textqa.fingerprint(docs).join(
+        textqa.repetition_stats(docs), "doc_id")
+
+
 # ---------------------------------------------------------------------
 # dedup oracles
 # ---------------------------------------------------------------------
@@ -736,9 +822,13 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_text_profile": QSpec(
             lambda s, sf: textqa.text_profile(_docs(s, sf)),
             _oracle_text_profile(d)),
+        # r5: fingerprint consolidated with the Gopher repetition
+        # filters (textqa.repetition_stats) — both are position-explode
+        # aggregates over the same documents scan; the standalone
+        # fingerprint oracle remains for tests
         "q_fingerprint": QSpec(
-            lambda s, sf: textqa.fingerprint(_docs(s, sf)),
-            _oracle_fingerprint(d)),
+            _q_fingerprint_rep,
+            _oracle_fingerprint_rep(d)),
         "q_dedup_exact": QSpec(
             lambda s, sf: dedup.exact_duplicates(
                 dedup.augmented_corpus(_docs(s, sf))),
