@@ -59,7 +59,8 @@ HEADLINE = [
     "q_ann_topk",
     "q_ann_ivf_kmeans",
     "q_embedding_neardup",
-    "q_multimodal_thumbnail",
+    "q_multimodal_meta",
+    "q_line_dedup",
     "q_events_rollup",
 ]
 

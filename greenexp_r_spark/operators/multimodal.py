@@ -294,6 +294,54 @@ def thumbnail_stats(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", "text").mapInPandas(batches, schema)
 
 
+def meta_thumbnail(docs: DataFrame) -> DataFrame:
+    """decode_meta + thumbnail_stats in ONE mapInPandas pass — the r5
+    slot consolidation (both are per-document decode paths over the
+    same documents scan, so the merged shape visits each payload once
+    and emits the union of both column sets; one fewer scan AND one
+    fewer registry slot).  The component operators stay independently
+    callable and are proven equal in tests/test_multimodal.py."""
+    import numpy as np
+    from pyspark.sql.types import DoubleType
+
+    k = THUMB_BLOCKS
+    bnames = [f"b{i}{j}" for i in range(k) for j in range(k)]
+    fields = list(META_SCHEMA.fields)
+    fields += [StructField("w0", LongType()),
+               StructField("h0", LongType())]
+    fields += [StructField(b, DoubleType()) for b in bnames]
+    schema = StructType(fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                img = synthesize_image(text)
+                meta = decode_image_real(img, want_pixels=img[:8]
+                                         == _PNG_SIG)
+                arr = np.frombuffer(text.encode("ascii"),
+                                    dtype=np.uint8)
+                n = len(arr) + 26          # html-wrapped payload len
+                w0, h0 = thumb_dims(n)
+                px = arr[np.arange(h0 * w0) % len(arr)].astype(np.int64)
+                sums = px.reshape(k, h0 // k, k, w0 // k).sum(axis=(1, 3))
+                cells = (h0 // k) * (w0 // k)
+                row = {"doc_id": did, "n_bytes": n, "w0": w0, "h0": h0}
+                for key in ("width", "height", "fmt", "bit_depth",
+                            "n_components", "px_sum"):
+                    row[key] = meta[key]
+                for i in range(k):
+                    for j in range(k):
+                        row[f"b{i}{j}"] = sums[i, j] / cells
+                rows.append(row)
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    return docs.select("doc_id", "text").mapInPandas(batches, schema)
+
+
 def frame_samples(docs: DataFrame) -> DataFrame:
     """Frame-sampling plumbing: the page payload is treated as a fake
     video of FRAME_BYTES-byte frames; every FRAME_SAMPLE_EVERY-th

@@ -53,6 +53,54 @@ def scrub_pii(df: DataFrame, col: str = "text") -> DataFrame:
             .withColumn("has_pii", total > 0))
 
 
+# ------------------------------------------------- gate augmentation
+# The synthetic corpus is PII-free (tests/test_pii.py asserts zero
+# corpus rates), so the correctness gate proves detector/redactor
+# parity on a deterministically AUGMENTED text instead: doc_id-keyed
+# residues inject an email into every 7th document, an IPv4 into
+# every 11th and a phone into every 13th (doc_id % 13 == 3) — the
+# dedup.augmented_corpus precedent.  The SQL oracle rebuilds the
+# identical string, so the driver's value hash compares Java-regex
+# (Spark) and RE2 (DuckDB) behavior on identical inputs, including
+# the byte-identical scrubbed text.
+
+
+def augmented_text(doc_id: Column | None = None,
+                   text: Column | None = None) -> Column:
+    doc_id = F.col("doc_id") if doc_id is None else doc_id
+    text = F.col("text") if text is None else text
+    email = F.when(doc_id % 7 == 0, F.concat(
+        F.lit(" mail user"), doc_id.cast("string"), F.lit("@ex"),
+        (doc_id % 5).cast("string"), F.lit(".org"))).otherwise("")
+    ip = F.when(doc_id % 11 == 0, F.concat(
+        F.lit(" from 10."), (doc_id % 256).cast("string"),
+        F.lit(".0."), (doc_id % 250).cast("string"))).otherwise("")
+    phone = F.when(doc_id % 13 == 3, F.concat(
+        F.lit(" call +31 20 55"), (doc_id % 100).cast("string"),
+        F.lit(" 4321"))).otherwise("")
+    return F.concat(text, email, ip, phone)
+
+
+def gate_columns(doc_id: Column | None = None,
+                 text: Column | None = None) -> list:
+    """The five PII columns of the q_text_profile gate shape —
+    (n_email, n_ip, n_phone, has_pii, text_scrubbed) — chained as
+    pure Column expressions over the augmented text, with the same
+    stage semantics as scrub_pii (each count sees the prior
+    redactions).  Pure JVM regexp: composes into any single-scan
+    projection at zero extra cost."""
+    cur = augmented_text(doc_id, text)
+    cols, raw = [], []
+    for name, pat, tok in _RULES:
+        c = _count(cur, pat)
+        raw.append(c)
+        cols.append(c.alias(f"n_{name}"))
+        cur = F.regexp_replace(cur, pat, tok)
+    cols.append(((raw[0] + raw[1] + raw[2]) > 0).alias("has_pii"))
+    cols.append(cur.alias("text_scrubbed"))
+    return cols
+
+
 def pii_stats(df: DataFrame, col: str = "text") -> DataFrame:
     """Corpus-level PII rates: one aggregate over the scrubbed frame
     (docs scanned once; shuffle carries six partial sums)."""

@@ -129,13 +129,18 @@ def text_qa(docs: DataFrame) -> DataFrame:
         (pred == F.col("lang")).alias("lang_match"))
 
 
-def text_profile(docs: DataFrame) -> DataFrame:
+def text_profile(docs: DataFrame, extra=()) -> DataFrame:
     """token_profile + text_qa in ONE narrow projection — the r5
     slot-consolidation (both merged shapes were themselves single-scan
     projections over documents, so the union of their columns still
     costs one scan, zero shuffles).  The component operators stay
     independently callable and are proven equal in
-    tests/test_pipeline_queries.py."""
+    tests/test_pipeline_queries.py.
+
+    ``extra``: additional Column expressions appended to the
+    projection (still the same single scan) — the gate uses it to
+    fold the PII columns (operators/pii.gate_columns) into this
+    slot."""
     w = T.words(F.col("text"))
     n_tok = F.size(w).cast("long")
     n_chars = F.length("text").cast("long")
@@ -162,7 +167,7 @@ def text_profile(docs: DataFrame) -> DataFrame:
         (na + nn + no).alias("n_pieces"), stop.alias("stopword_cnt"),
         ratio.alias("stopword_ratio"), quality.alias("quality"),
         pred.alias("predicted_lang"),
-        (pred == F.col("lang")).alias("lang_match"))
+        (pred == F.col("lang")).alias("lang_match"), *extra)
 
 
 def repetition_stats(docs: DataFrame) -> DataFrame:

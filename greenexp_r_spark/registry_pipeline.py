@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from . import constants as C
 from .dialect import DUCK, Dialect
 from .functions import text as T
-from .operators import dedup, multimodal, similarity, textqa
+from .operators import dedup, multimodal, pii, similarity, textqa
 from .registry import QSpec
 
 
@@ -101,9 +101,45 @@ FROM (
 """
 
 
+def _pii_aug_sql() -> str:
+    """DuckDB rendering of pii.augmented_text — byte-identical to the
+    Spark Column expression."""
+    return (
+        "text"
+        " || CASE WHEN doc_id % 7 = 0 THEN"
+        " ' mail user' || CAST(doc_id AS VARCHAR) || '@ex'"
+        " || CAST(doc_id % 5 AS VARCHAR) || '.org' ELSE '' END"
+        " || CASE WHEN doc_id % 11 = 0 THEN"
+        " ' from 10.' || CAST(doc_id % 256 AS VARCHAR) || '.0.'"
+        " || CAST(doc_id % 250 AS VARCHAR) ELSE '' END"
+        " || CASE WHEN doc_id % 13 = 3 THEN"
+        " ' call +31 20 55' || CAST(doc_id % 100 AS VARCHAR)"
+        " || ' 4321' ELSE '' END")
+
+
+def _pii_stage_ctes() -> str:
+    """CTE chain p1→p3 staging the PII counts/redactions exactly like
+    pii.scrub_pii (each count sees the prior redactions); assumes a
+    preceding CTE `p0(.., pii0)`.  DuckDB regexp_replace needs the
+    'g' flag to match Spark's replace-all."""
+    stages = []
+    prev = "p0"
+    for i, (name, pat, tok) in enumerate(pii._RULES, start=1):
+        stages.append(
+            f"p{i} AS (SELECT *,"
+            f" CAST(len(regexp_extract_all(pii{i - 1}, '{pat}'))"
+            f" AS BIGINT) AS n_{name},"
+            f" regexp_replace(pii{i - 1}, '{pat}', '{tok}', 'g')"
+            f" AS pii{i} FROM p{i - 1})")
+        prev = f"p{i}"
+    return ",\n".join(stages)
+
+
 def _oracle_text_profile(d: Dialect) -> str:
     """token_profile + text_qa merged (one scan) — the r5
-    slot-consolidation; column set is the union of both shapes."""
+    slot-consolidation; column set is the union of both shapes.
+    r5 late: + the PII columns (operators/pii.py) staged over the
+    deterministically augmented text."""
     w = d.split("text")
     c = lambda p: f"CAST(len(regexp_extract_all(text, '{p}')) AS BIGINT)"
     stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
@@ -112,6 +148,9 @@ def _oracle_text_profile(d: Dialect) -> str:
         for lang in ("en", "nl", "fr")
     }
     return f"""
+WITH p0 AS (SELECT doc_id AS pii_id, {_pii_aug_sql()} AS pii0
+            FROM documents),
+{_pii_stage_ctes()}
 SELECT doc_id, lang, n_tokens, n_chars,
        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
            AS mean_token_len,
@@ -126,7 +165,10 @@ SELECT doc_id, lang, n_tokens, n_chars,
             ELSE 'fr' END AS predicted_lang,
        (CASE WHEN cnt_en = g THEN 'en'
              WHEN cnt_nl = g THEN 'nl'
-             ELSE 'fr' END) = lang AS lang_match
+             ELSE 'fr' END) = lang AS lang_match,
+       n_email, n_ip, n_phone,
+       (n_email + n_ip + n_phone) > 0 AS has_pii,
+       pii3 AS text_scrubbed
 FROM (
   SELECT doc_id, lang, n_tokens, n_chars, n_alpha, n_num, n_other,
          stopword_cnt, cnt_en, cnt_nl, cnt_fr,
@@ -142,6 +184,7 @@ FROM (
                {cnt['fr']} AS cnt_fr
         FROM documents) _c
 ) _g
+JOIN p3 ON p3.pii_id = _g.doc_id
 """
 
 
@@ -695,6 +738,11 @@ FROM events GROUP BY event_type
 """
 
 
+def _line_dedup_q(spark, sf):
+    from .operators import lines as L
+    return L.line_dedup(L.with_boiler_lines(_docs(spark, sf)))
+
+
 def _q_events_stream_hourly(spark, sf):
     """STREAMING surface inside the gate (VERDICT r04 ask #9): the
     hourly rollup executed as an actual Structured Streaming query —
@@ -802,6 +850,60 @@ FROM dims LEFT JOIN px ON dims.doc_id = px.doc_id
 """
 
 
+def _oracle_meta_thumbnail(d: Dialect) -> str:
+    """Merged oracle for the consolidated q_multimodal_meta: the
+    real-codec metadata round-trip JOINed (doc_id, 1:1) with the
+    thumbnail block means — each side is the pre-merge oracle
+    verbatim, so the consolidation cannot drift the semantics."""
+    return f"""
+WITH m AS ({_oracle_multimodal(d)}),
+t AS ({_oracle_thumbnail(d)})
+SELECT m.*, t.w0, t.h0,
+       {", ".join(f"t.b{i}{j}" for i in range(multimodal.THUMB_BLOCKS)
+                  for j in range(multimodal.THUMB_BLOCKS))}
+FROM m JOIN t ON t.doc_id = m.doc_id
+"""
+
+
+# ---------------------------------------------------------------------
+# line dedup (boilerplate removal)
+# ---------------------------------------------------------------------
+
+
+def _oracle_line_dedup(d: Dialect) -> str:
+    from .operators import lines as L
+    aug = ("'nav home about contact' || chr(10) || text || chr(10)"
+           " || CASE WHEN doc_id % 2 = 0 THEN 'copyright example footer'"
+           " ELSE 'footer fid ' || CAST(doc_id AS VARCHAR) END"
+           " || CASE WHEN doc_id % 5 = 0 THEN"
+           " chr(10) || 'subscribe newsletter now' ELSE '' END")
+    inner = (f"SELECT doc_id, {d.split('ltext', 'chr(10)')} AS larr, "
+             f"CAST({d.asize(d.split('ltext', 'chr(10)'))} AS BIGINT)"
+             f" AS n_lines "
+             f"FROM (SELECT doc_id, {aug} AS ltext FROM documents) _a")
+    exploded = d.explode_range(inner, "pos", "1", "n_lines")
+    return f"""
+WITH lines AS (
+  SELECT doc_id, n_lines, pos, {d.elem('larr', 'pos')} AS line
+  FROM ({exploded}) _e
+),
+boiler AS (
+  SELECT line FROM (
+    SELECT line, COUNT(DISTINCT doc_id) AS df FROM lines GROUP BY line
+  ) _f WHERE df > {L.BOILER_MIN_DF}
+),
+kept AS (
+  SELECT * FROM lines WHERE line NOT IN (SELECT line FROM boiler)
+)
+SELECT doc_id,
+       string_agg(line, chr(10) ORDER BY pos) AS clean_text,
+       MAX(n_lines) AS n_lines,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       CAST(MAX(n_lines) - COUNT(*) AS BIGINT) AS n_removed
+FROM kept GROUP BY doc_id
+"""
+
+
 # ---------------------------------------------------------------------
 # assembly
 # ---------------------------------------------------------------------
@@ -819,8 +921,14 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         # single-scan projection (q_text_profile) — frees a slot for
         # the pytest-only-operator promotions; component equality is
         # pinned in tests/test_pipeline_queries.py
+        # r5 late: + PII detect/redact columns (operators/pii.py) —
+        # still one scan; the augmented-text trick makes the counts
+        # nontrivial on the PII-free synthetic corpus and the
+        # text_scrubbed string is a byte-identity proof of the
+        # Java-regex ≡ RE2 redaction
         "q_text_profile": QSpec(
-            lambda s, sf: textqa.text_profile(_docs(s, sf)),
+            lambda s, sf: textqa.text_profile(
+                _docs(s, sf), extra=pii.gate_columns()),
             _oracle_text_profile(d)),
         # r5: fingerprint consolidated with the Gopher repetition
         # filters (textqa.repetition_stats) — both are position-explode
@@ -855,6 +963,13 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_corpus_select": QSpec(
             lambda s, sf: dedup.corpus_select(_docs(s, sf)),
             _oracle_corpus_select(d)),
+        # r5 late: CCNet/C4-style boilerplate line removal — corpus
+        # line frequencies → broadcast anti-join → order-preserving
+        # reassembly (operators/lines.py; slot freed by the
+        # multimodal meta+thumbnail consolidation)
+        "q_line_dedup": QSpec(
+            lambda s, sf: _line_dedup_q(s, sf),
+            _oracle_line_dedup(d)),
         # brute (Arrow/numpy matmul, the declared 100 TB baseline) and
         # static-IVF paths consolidated into ONE union entry tagged by
         # `variant` — same schema, same scan — to keep the registry
@@ -886,14 +1001,13 @@ def build_pipeline_registry() -> dict[str, QSpec]:
                                  _oracle_events_rollup(d)),
         "q_events_stream_hourly": QSpec(_q_events_stream_hourly,
                                         _oracle_events_hourly(d)),
+        # r5 late: meta + thumbnail consolidated into ONE decode pass
+        # (multimodal.meta_thumbnail — each payload visited once; the
+        # oracle joins the two pre-merge oracles verbatim), freeing
+        # the slot q_line_dedup takes below
         "q_multimodal_meta": QSpec(
-            lambda s, sf: multimodal.decode_meta(_docs(s, sf)),
-            _oracle_multimodal(d)),
-        # resize / feature-extract plumbing: fake decode → 4×4
-        # block-mean thumbnail (exact oracle over the same byte grid)
-        "q_multimodal_thumbnail": QSpec(
-            lambda s, sf: multimodal.thumbnail_stats(_docs(s, sf)),
-            _oracle_thumbnail(d)),
+            lambda s, sf: multimodal.meta_thumbnail(_docs(s, sf)),
+            _oracle_meta_thumbnail(d)),
         # video frame-sampling plumbing: every 2nd 256-byte frame
         "q_multimodal_frames": QSpec(
             lambda s, sf: multimodal.frame_samples(_docs(s, sf)),

@@ -52,6 +52,28 @@ def test_redaction_order_ip_before_phone(spark):
     assert "<PHONE>" not in got[1]["text_scrubbed"]
 
 
+def test_gate_columns_match_scrub_pii(spark, sf_dir):
+    # the q_text_profile gate shape (chained Column expressions over
+    # the augmented text) must equal running scrub_pii on the same
+    # augmented column via withColumn stages
+    from pyspark.sql import functions as F
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    gate = docs.select("doc_id", *pii.gate_columns()).collect()
+    ref = {r["doc_id"]: r.asDict() for r in pii.scrub_pii(
+        docs.withColumn("aug", pii.augmented_text()), col="aug"
+    ).select("doc_id", "n_email", "n_ip", "n_phone", "has_pii",
+             F.col("aug_scrubbed").alias("text_scrubbed")).collect()}
+    assert len(gate) == len(ref)
+    hit = 0
+    for r in gate:
+        w = ref[r["doc_id"]]
+        for k in ("n_email", "n_ip", "n_phone", "has_pii",
+                  "text_scrubbed"):
+            assert r[k] == w[k], (r["doc_id"], k)
+        hit += int(r["has_pii"])
+    assert hit > 0  # augmentation makes the gate counts nontrivial
+
+
 def test_corpus_stats_and_clean_documents(spark, sf_dir):
     df = spark.createDataFrame(FIX, "doc_id long, text string")
     s = pii.pii_stats(df).collect()[0]
