@@ -32,8 +32,8 @@ HEADLINE = [
     "q_exposure_combined",
     "q_availability_ndvi",
     "q_landcover_fractions",
-    "q_greenspace_pct",
-    "q_canopy_pct",
+    # greenspace+canopy merged into one kind-tagged union (r5-late)
+    "q_cover_pct",
     "q_accessibility_euclidean",
     "q_knn_parks",
     "q_accessibility_network",
@@ -61,6 +61,7 @@ HEADLINE = [
     "q_embedding_neardup",
     "q_multimodal_meta",
     "q_line_dedup",
+    "q_decontaminate",
     "q_events_rollup",
 ]
 
@@ -117,8 +118,8 @@ def _timed_burn(pool_cls, burn, k, _t) -> float:
 EXPOSURE = {
     "q_exposure_pages",
     "q_exposure_combined",
-    "q_availability_ndvi", "q_landcover_fractions", "q_greenspace_pct",
-    "q_canopy_pct", "q_accessibility_euclidean", "q_knn_parks",
+    "q_availability_ndvi", "q_landcover_fractions", "q_cover_pct",
+    "q_accessibility_euclidean", "q_knn_parks",
     "q_accessibility_network", "q_vgvi", "q_viewshed",
 }
 
@@ -192,7 +193,9 @@ def main() -> None:
 
     exposure_sec = sum(times[q] for q in HEADLINE if q in EXPOSURE)
     # points processed per exposure query (visibility runs a 1/10 sample)
+    # q_cover_pct is two consolidated per-point families in one query
     processed = sum(n_points // 10 if q in ("q_vgvi", "q_viewshed")
+                    else 2 * n_points if q == "q_cover_pct"
                     else n_points for q in HEADLINE if q in EXPOSURE)
 
     # two-cluster-size evidence (VERDICT r03 ask #8: one bench JSON

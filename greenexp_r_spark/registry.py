@@ -426,14 +426,42 @@ def _q_landcover(spark, sf):
     return availability.landcover_fractions(world.points_df(spark, sf))
 
 
-def _q_greenspace_pct(spark, sf):
-    return availability.greenspace_pct(
-        world.points_df(spark, sf), world.parks_df(spark))
+def _q_cover_pct(spark, sf):
+    """greenspace + canopy disc-cover consolidated into one
+    kind-tagged union (r5-late slot math — the q_greenspace_shapes
+    precedent): both sides are the same _disc_cover_pct plan against
+    different dimension layers, so the union costs the two original
+    queries with zero new shuffles; the freed slot funds
+    q_decontaminate."""
+    pts = world.points_df(spark, sf)
+    g = availability.greenspace_pct(pts, world.parks_df(spark))
+    c = availability.canopy_pct(pts, world.trees_df(spark))
+    return (g.select("point_id", F.lit("greenspace").alias("kind"),
+                     F.col("greenspace_pct").alias("cover_pct"),
+                     "n_cells")
+            .unionByName(
+                c.select("point_id", F.lit("canopy").alias("kind"),
+                         F.col("canopy_pct").alias("cover_pct"),
+                         "n_cells")))
 
 
-def _q_canopy_pct(spark, sf):
-    return availability.canopy_pct(
-        world.points_df(spark, sf), world.trees_df(spark))
+def _oracle_cover_pct(d) -> str:
+    gs = _oracle_disc_cover(d, "parks", "parks", "cx", "cy", "radius",
+                            res=C.LC_RES, bucket=500,
+                            out_name="greenspace_pct")
+    cn = _oracle_disc_cover(d, "trees", "trees", "x", "y",
+                            "canopy_radius_m", res=10, bucket=50,
+                            out_name="canopy_pct")
+    return f"""
+WITH gs AS ({gs}),
+cn AS ({cn})
+SELECT point_id, 'greenspace' AS kind, greenspace_pct AS cover_pct,
+       n_cells
+FROM gs
+UNION ALL
+SELECT point_id, 'canopy' AS kind, canopy_pct AS cover_pct, n_cells
+FROM cn
+"""
 
 
 def _q_euclid(spark, sf):
@@ -531,16 +559,9 @@ def _geo_registry() -> dict[str, QSpec]:
         "q_exposure_combined": QSpec(_q_combined, _oracle_combined(d)),
         "q_availability_ndvi": QSpec(_q_ndvi, _oracle_ndvi(d)),
         "q_landcover_fractions": QSpec(_q_landcover, _oracle_landcover(d)),
-        "q_greenspace_pct": QSpec(
-            _q_greenspace_pct,
-            _oracle_disc_cover(d, "parks", "parks", "cx", "cy", "radius",
-                               res=C.LC_RES, bucket=500,
-                               out_name="greenspace_pct")),
-        "q_canopy_pct": QSpec(
-            _q_canopy_pct,
-            _oracle_disc_cover(d, "trees", "trees", "x", "y",
-                               "canopy_radius_m", res=10, bucket=50,
-                               out_name="canopy_pct")),
+        # greenspace + canopy cover merged into one kind-tagged union
+        # (r5-late slot math; both are the same _disc_cover_pct plan)
+        "q_cover_pct": QSpec(_q_cover_pct, _oracle_cover_pct(d)),
         "q_accessibility_euclidean": QSpec(_q_euclid, _oracle_euclid(d)),
         # same semantics through the cell-index plan (J2 scale path);
         # shares the broadcast-path oracle because results are equal

@@ -743,6 +743,53 @@ def _line_dedup_q(spark, sf):
     return L.line_dedup(L.with_boiler_lines(_docs(spark, sf)))
 
 
+def _decontam_q(spark, sf):
+    from .operators import decontam
+    return decontam.decontaminate(_docs(spark, sf))
+
+
+def _oracle_decontam(d: Dialect) -> str:
+    """decontam.decontaminate mirrored: same word hashes, same rolling
+    5-gram combine, benchmark = 30-word prefixes of doc_id%31==7.
+    Short documents are guarded by a FILTER (not arithmetic) because
+    Spark sequence(1,0) descends while generate_series(1,0) is empty."""
+    from .operators import decontam as DC
+    n = DC.NGRAM_N
+    ngh = DC.ngram_hash_sql(d, "arr", "pos", n)
+    split = d.split("text")
+
+    def grams(src: str) -> str:
+        guarded = (f"SELECT doc_id, arr, {d.asize('arr')} - {n - 1}"
+                   f" AS n_pos FROM ({src}) _s"
+                   f" WHERE {d.asize('arr')} - {n - 1} >= 1")
+        return (f"SELECT doc_id, {ngh} AS ngh"
+                f" FROM ({d.explode_range(guarded, 'pos', '1', 'n_pos')})"
+                f" _e")
+
+    bench_src = (f"SELECT doc_id, list_slice({split}, 1,"
+                 f" {DC.BENCH_WORDS}) AS arr FROM documents"
+                 f" WHERE doc_id % {DC.BENCH_MOD} = {DC.BENCH_RESIDUE}")
+    corp_src = f"SELECT doc_id, {split} AS arr FROM documents"
+    return f"""
+WITH bset AS (SELECT DISTINCT ngh FROM ({grams(bench_src)}) _b),
+cngh AS ({grams(corp_src)}),
+agg AS (
+  SELECT doc_id, COUNT(DISTINCT ngh) AS n_ngrams,
+         COUNT(DISTINCT CASE WHEN ngh IN (SELECT ngh FROM bset)
+                             THEN ngh END) AS n_contaminated
+  FROM cngh GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(COALESCE(n_ngrams, 0) AS BIGINT) AS n_ngrams,
+       CAST(COALESCE(n_contaminated, 0) AS BIGINT) AS n_contaminated,
+       CASE WHEN COALESCE(n_ngrams, 0) = 0 THEN 0.0
+            ELSE CAST(COALESCE(n_contaminated, 0) AS DOUBLE)
+                 / COALESCE(n_ngrams, 0) END AS overlap_frac,
+       COALESCE(n_contaminated, 0) > 0 AS contaminated
+FROM documents d LEFT JOIN agg ON agg.doc_id = d.doc_id
+"""
+
+
 def _q_events_stream_hourly(spark, sf):
     """STREAMING surface inside the gate (VERDICT r04 ask #9): the
     hourly rollup executed as an actual Structured Streaming query —
@@ -970,6 +1017,14 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_line_dedup": QSpec(
             lambda s, sf: _line_dedup_q(s, sf),
             _oracle_line_dedup(d)),
+        # r5 late: benchmark decontamination (GPT-3 appendix C shape)
+        # — hashed word-5-gram overlap against a broadcast benchmark
+        # set synthesized from every 31st document's 30-word prefix
+        # (operators/decontam.py; slot freed by the greenspace+canopy
+        # cover consolidation in registry.py)
+        "q_decontaminate": QSpec(
+            lambda s, sf: _decontam_q(s, sf),
+            _oracle_decontam(d)),
         # brute (Arrow/numpy matmul, the declared 100 TB baseline) and
         # static-IVF paths consolidated into ONE union entry tagged by
         # `variant` — same schema, same scan — to keep the registry

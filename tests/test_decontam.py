@@ -76,10 +76,14 @@ def test_gate_fixture_nontrivial(spark, sf_dir):
         F.col("doc_id") % decontam.BENCH_MOD
         == decontam.BENCH_RESIDUE).count()
     assert n_bench > 0
-    # every benchmark doc self-contaminates at overlap 1.0
-    bench_rows = out[out.doc_id % decontam.BENCH_MOD
-                     == decontam.BENCH_RESIDUE]
-    assert (bench_rows.overlap_frac == 1.0).all()
+    # every benchmark doc with >= n words self-contaminates through
+    # its own 30-word prompt prefix (overlap 1.0 only if the doc is
+    # no longer than the prompt)
+    bench_rows = out[(out.doc_id % decontam.BENCH_MOD
+                      == decontam.BENCH_RESIDUE)
+                     & (out.n_ngrams > 0)]
+    assert (bench_rows.contaminated).all()
+    assert (bench_rows.overlap_frac > 0.0).all()
     # and the flag must be a strict subset of the corpus, not all of it
     n_flagged = int(out.contaminated.sum())
     assert n_bench <= n_flagged < len(out)

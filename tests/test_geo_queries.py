@@ -13,8 +13,7 @@ from . import oracle_harness
 FAST = [
     "q_availability_ndvi",
     "q_landcover_fractions",
-    "q_greenspace_pct",
-    "q_canopy_pct",
+    "q_cover_pct",
     "q_accessibility_euclidean",
     "q_knn_parks",
 ]
