@@ -245,6 +245,24 @@ FRAME_BYTES = 256         # fake video: 256-byte frames
 FRAME_SAMPLE_EVERY = 2    # sample every 2nd frame
 FRAME_MS = 40             # 25 fps
 
+# codec work is ~2 ms/document (JPEG FDCT+Huffman dominates); cap a
+# partition at this many documents so one task stays a few seconds
+DOCS_PER_PARTITION = 2000
+
+
+def _codec_partitions(df: DataFrame, n_hint: int | None = None) -> int:
+    """Document-volume-derived partition target for the codec-bound
+    mapInPandas operators (the visibility._obs_partitions doctrine —
+    VERDICT r04 ask #6).  The small documents parquet arrives as ONE
+    scan partition, which would run the per-image codec on a single
+    core (measured 14.6 s for 5 k docs); the target floors at the
+    session parallelism and grows with the document count so a 100×
+    corpus gets 100× partitions, not bigger ones."""
+    sc = df.sparkSession.sparkContext
+    n = n_hint if n_hint is not None else df.count()
+    base = max(4, 2 * sc.defaultParallelism)
+    return max(min(base, max(int(n), 1)), -(-int(n) // DOCS_PER_PARTITION))
+
 
 def thumb_dims(n_bytes: int) -> tuple[int, int]:
     """Deterministic fake source dims, divisible by THUMB_BLOCKS so
@@ -291,7 +309,9 @@ def thumbnail_stats(docs: DataFrame) -> DataFrame:
                 rows.append(row)
             yield pd.DataFrame(rows)
 
-    return docs.select("doc_id", "text").mapInPandas(batches, schema)
+    sel = docs.select("doc_id", "text")
+    return sel.repartition(_codec_partitions(sel)) \
+              .mapInPandas(batches, schema)
 
 
 def meta_thumbnail(docs: DataFrame) -> DataFrame:
@@ -339,7 +359,9 @@ def meta_thumbnail(docs: DataFrame) -> DataFrame:
             yield pd.DataFrame(
                 rows, columns=[f.name for f in schema.fields])
 
-    return docs.select("doc_id", "text").mapInPandas(batches, schema)
+    sel = docs.select("doc_id", "text")
+    return sel.repartition(_codec_partitions(sel)) \
+              .mapInPandas(batches, schema)
 
 
 def frame_samples(docs: DataFrame) -> DataFrame:
@@ -377,7 +399,8 @@ def frame_samples(docs: DataFrame) -> DataFrame:
                     out["checksum"].append(int(frame.sum()))
             yield pd.DataFrame(out)
 
-    return pages.mapInPandas(batches, schema)
+    return pages.repartition(_codec_partitions(pages)) \
+                .mapInPandas(batches, schema)
 
 
 def decode_meta(docs: DataFrame) -> DataFrame:
@@ -407,4 +430,5 @@ def decode_meta(docs: DataFrame) -> DataFrame:
                     out[k].append(meta[k])
             yield pd.DataFrame(out)
 
-    return pages.mapInPandas(batches, META_SCHEMA)
+    return pages.repartition(_codec_partitions(pages)) \
+                .mapInPandas(batches, META_SCHEMA)

@@ -89,3 +89,22 @@ def test_meta_thumbnail_equals_components(spark, sf_dir):
     pd.testing.assert_frame_equal(merged[meta.columns.tolist()], meta)
     pd.testing.assert_frame_equal(
         merged[thumb.columns.tolist()], thumb)
+
+
+def test_codec_partitions_track_document_volume(spark):
+    """The codec-bound mapInPandas operators must not run on the
+    single scan partition a small parquet arrives as (measured: the
+    per-image codec took 14.6 s single-core at sf0.1), and the target
+    must grow with the corpus, not stay fixed at 2x cores."""
+    df = spark.range(1)
+    base = max(4, 2 * spark.sparkContext.defaultParallelism)
+    assert multimodal._codec_partitions(df, n_hint=1) == 1
+    assert multimodal._codec_partitions(df, n_hint=100) == min(base, 100)
+    n = 10_000_000
+    assert multimodal._codec_partitions(df, n_hint=n) == max(
+        base, -(-n // multimodal.DOCS_PER_PARTITION))
+    docs = spark.createDataFrame(
+        [(i, "text body here") for i in range(50)],
+        "doc_id long, text string")
+    out = multimodal.meta_thumbnail(docs)
+    assert out.rdd.getNumPartitions() == min(base, 50)
