@@ -57,7 +57,7 @@ HEADLINE = [
     "q_dedup_groups",
     "q_corpus_select",
     "q_ann_topk",
-    "q_ann_ivf_kmeans",
+    "q_seq_pack",
     "q_embedding_neardup",
     "q_multimodal_meta",
     "q_line_dedup",

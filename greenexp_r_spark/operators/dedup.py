@@ -263,21 +263,28 @@ def corpus_select(docs: DataFrame) -> DataFrame:
     """End-to-end training-corpus selection composing the pipeline:
     keep documents that (a) pass the quality threshold, (b) have a
     confirmed language ID, and (c) are either unclustered or the
-    canonical keeper (min doc_id) of their dedup group.
-    Output: (doc_id, quality, predicted_lang) for the kept set —
-    the one-query version of a filter+dedup data pipeline."""
-    from . import textqa
+    canonical keeper (min doc_id) of their dedup group; plus the
+    deterministic mixture-sampling draw (operators/sampling.py, r5
+    late) — rate from the source-domain hash, keep/drop from the
+    doc_id hash — as columns (production filters on `sampled`).
+    Output: (doc_id, quality, predicted_lang, sample_rate_pm,
+    sampled) for the kept set — the one-query version of a
+    filter+dedup+mixture data pipeline."""
+    from . import sampling, textqa
 
     q = textqa.quality_score(docs).select("doc_id", "quality")
     lid = textqa.lang_id(docs).select("doc_id", "predicted_lang",
                                       "lang_match")
+    smp = docs.select("doc_id", *sampling.sample_cols())
     groups = dedup_groups(augmented_corpus(docs))
     drop = (groups.where(F.col("doc_id") != F.col("group_id"))
             .select("doc_id").distinct())
     return (q.join(lid, "doc_id")
             .where((F.col("quality") > 0.3) & F.col("lang_match"))
             .join(drop, "doc_id", "left_anti")
-            .select("doc_id", "quality", "predicted_lang"))
+            .join(smp, "doc_id")
+            .select("doc_id", "quality", "predicted_lang",
+                    "sample_rate_pm", "sampled"))
 
 
 def simhash_signatures(corpus: DataFrame,

@@ -35,8 +35,10 @@ def _q_dedup_neardup_union(spark, sf):
 
 
 def _q_ann_topk_union(spark, sf):
-    """Brute + IVF top-k over ONE embeddings scan, tagged by variant
-    (cached so the two paths share the quantized corpus read)."""
+    """Brute + IVF + k-means-trained-IVF top-k over ONE embeddings
+    scan, tagged by variant (cached so the paths share the quantized
+    corpus read).  The kmeans variant joined the union r5-late,
+    freeing its slot for q_seq_pack."""
     emb = _emb(spark, sf)
     brute = similarity.brute_force_topk_numpy(emb).select(
         F.lit("brute").alias("variant"), "query_id", "rank",
@@ -44,7 +46,10 @@ def _q_ann_topk_union(spark, sf):
     ivf = similarity.ivf_topk(emb).select(
         F.lit("ivf").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    return brute.unionByName(ivf)
+    km = similarity.ivf_topk_trained(emb).select(
+        F.lit("kmeans").alias("variant"), "query_id", "rank",
+        "neighbor_id", "cos_sim")
+    return brute.unionByName(ivf).unionByName(km)
 
 
 # ---------------------------------------------------------------------
@@ -411,15 +416,21 @@ FROM lab l JOIN sz s ON l.group_id = s.group_id
 
 
 def _oracle_corpus_select(d: Dialect) -> str:
+    from .operators import sampling
+    rate_sql, sampled_sql = sampling.sample_sql()
     return f"""
 WITH RECURSIVE corpus AS ({dedup.corpus_sql()}),
 {_minhash_ctes(d)},
 {_group_ctes(d)},
 qual AS ({_oracle_quality(d)}),
 lid AS ({_oracle_langid(d)}),
+smp AS (SELECT doc_id, {rate_sql} AS sample_rate_pm,
+               {sampled_sql} AS sampled FROM documents),
 dropped AS (SELECT DISTINCT doc_id FROM lab WHERE doc_id <> group_id)
-SELECT q.doc_id, q.quality, l.predicted_lang
+SELECT q.doc_id, q.quality, l.predicted_lang,
+       s.sample_rate_pm, s.sampled
 FROM qual q JOIN lid l ON q.doc_id = l.doc_id
+JOIN smp s ON s.doc_id = q.doc_id
 WHERE q.quality > 0.3 AND l.lang_match
   AND q.doc_id NOT IN (SELECT doc_id FROM dropped)
 """
@@ -748,6 +759,16 @@ def _decontam_q(spark, sf):
     return decontam.decontaminate(_docs(spark, sf))
 
 
+def _seq_pack_q(spark, sf):
+    from .operators import packing
+    return packing.seq_pack(_docs(spark, sf))
+
+
+def _seq_pack_oracle(d: Dialect) -> str:
+    from .operators import packing
+    return packing.oracle_sql(d)
+
+
 def _oracle_decontam(d: Dialect) -> str:
     """decontam.decontaminate mirrored: same word hashes, same rolling
     5-gram combine, benchmark = 30-word prefixes of doc_id%31==7.
@@ -1040,12 +1061,19 @@ def build_pipeline_registry() -> dict[str, QSpec]:
                 UNION ALL
                 SELECT 'ivf' AS variant, query_id, rank, neighbor_id,
                        cos_sim
-                FROM ({_oracle_ivf_topk(d)}) _i"""),
-        # k-means-trained IVF lists — Lloyd steps are plain aggregates
-        # over exact integers, so the oracle replays the training
-        "q_ann_ivf_kmeans": QSpec(
-            lambda s, sf: similarity.ivf_topk_trained(_emb(s, sf)),
-            _oracle_ivf_kmeans(d)),
+                FROM ({_oracle_ivf_topk(d)}) _i
+                UNION ALL
+                SELECT 'kmeans' AS variant, query_id, rank,
+                       neighbor_id, cos_sim
+                FROM ({_oracle_ivf_kmeans(d)}) _k"""),
+        # r5 late: GPT-style sequence packing — two-phase distributed
+        # prefix sum (bucket totals -> dimension-sized window ->
+        # broadcast -> per-bucket window) vs the flat sequential
+        # global-window oracle (operators/packing.py; slot freed by
+        # merging the kmeans IVF variant into q_ann_topk above)
+        "q_seq_pack": QSpec(
+            lambda s, sf: _seq_pack_q(s, sf),
+            _seq_pack_oracle(d)),
         "q_embedding_neardup": QSpec(
             lambda s, sf: similarity.neardup_pairs(_emb(s, sf)),
             _oracle_neardup(d)),
