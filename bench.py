@@ -62,6 +62,7 @@ HEADLINE = [
     "q_multimodal_meta",
     "q_line_dedup",
     "q_decontaminate",
+    "q_substring_dedup",
     "q_events_rollup",
 ]
 

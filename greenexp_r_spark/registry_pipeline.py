@@ -22,16 +22,24 @@ def _emb(spark, sf):
 
 
 def _q_dedup_neardup_union(spark, sf):
-    """MinHash-LSH + SimHash near-dup pairs over one augmented-corpus
-    build, tagged by method."""
+    """MinHash-LSH + SimHash near-dup pairs + exact-dup groups over
+    one augmented-corpus build, tagged by method.  The exact rows
+    render the (dup_group_min, doc_id, group_size) groups as
+    (doc_a=keeper, doc_b=member, score=group_size) pairs — aligned
+    schema, merged r5-late to free the q_substring_dedup slot."""
     aug = dedup.augmented_corpus(_docs(spark, sf))
+    ex = dedup.exact_duplicates(aug).select(
+        F.lit("exact").alias("method"),
+        F.col("dup_group_min").alias("doc_a"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("group_size").cast("double").alias("score"))
     mh = dedup.minhash_lsh_pairs(aug).select(
         F.lit("minhash").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("score"))
     sh = dedup.simhash_pairs(aug).select(
         F.lit("simhash").alias("method"), "doc_a", "doc_b",
         F.col("hamming").cast("double").alias("score"))
-    return mh.unionByName(sh)
+    return ex.unionByName(mh).unionByName(sh)
 
 
 def _q_ann_topk_union(spark, sf):
@@ -764,6 +772,16 @@ def _seq_pack_q(spark, sf):
     return packing.seq_pack(_docs(spark, sf))
 
 
+def _substrdup_q(spark, sf):
+    from .operators import substrdup
+    return substrdup.substring_dedup(_docs(spark, sf))
+
+
+def _oracle_substrdup(d: Dialect) -> str:
+    from .operators import substrdup
+    return substrdup.oracle_sql(d)
+
+
 def _seq_pack_oracle(d: Dialect) -> str:
     from .operators import packing
     return packing.oracle_sql(d)
@@ -1005,23 +1023,33 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_fingerprint": QSpec(
             _q_fingerprint_rep,
             _oracle_fingerprint_rep(d)),
-        "q_dedup_exact": QSpec(
-            lambda s, sf: dedup.exact_duplicates(
-                dedup.augmented_corpus(_docs(s, sf))),
-            _oracle_exact_dup(d)),
-        # MinHash-LSH and SimHash pair queries consolidated into ONE
+        # Exact, MinHash-LSH and SimHash dedup consolidated into ONE
         # union entry tagged by `method` — same augmented-corpus scan,
-        # aligned (method, doc_a, doc_b, score) schema — freeing the
-        # slot q_crs_utm takes (r03 consolidation precedents)
+        # aligned (method, doc_a, doc_b, score) schema (r03/r5
+        # consolidation precedents; exact joined r5-late, freeing the
+        # q_substring_dedup slot)
         "q_dedup_neardup": QSpec(
             _q_dedup_neardup_union,
-            f"""SELECT 'minhash' AS method, doc_a, doc_b,
+            f"""SELECT 'exact' AS method, dup_group_min AS doc_a,
+                       doc_id AS doc_b, CAST(group_size AS DOUBLE)
+                       AS score
+                FROM ({_oracle_exact_dup(d)}) _e
+                UNION ALL
+                SELECT 'minhash' AS method, doc_a, doc_b,
                        jaccard AS score
                 FROM ({_oracle_minhash_pairs(d)}) _m
                 UNION ALL
                 SELECT 'simhash' AS method, doc_a, doc_b,
                        CAST(hamming AS DOUBLE) AS score
                 FROM ({_oracle_simhash_pairs(d)}) _s"""),
+        # r5 late: exact-substring dedup (Lee et al. 2021) — repeated
+        # >=L-char span detection via two-phase hashed position
+        # L-grams + keep-first window + islands merge
+        # (operators/substrdup.py; slot freed by folding q_dedup_exact
+        # into the union above)
+        "q_substring_dedup": QSpec(
+            lambda s, sf: _substrdup_q(s, sf),
+            _oracle_substrdup(d)),
         # capstones: near-dup clusters → canonical keeper; and the
         # composed filter+dedup corpus-selection pipeline
         "q_dedup_groups": QSpec(
