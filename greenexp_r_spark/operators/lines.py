@@ -16,7 +16,12 @@ Spark-first shape (the 100 TB posture):
   * the boilerplate set (doc-frequency > threshold) is
     DIMENSION-sized by construction — only lines repeated across >K
     documents qualify — so it re-enters as a BROADCAST anti-join
-    against the exploded lines (no corpus-sized shuffle);
+    against the exploded lines (no corpus-sized shuffle).  At the
+    100 TB target, K is set as a corpus fraction, which bounds the
+    set at corpus_docs/K entries; if a deployment's boilerplate tail
+    still outgrows the broadcast budget, drop the explicit hint and
+    let AQE route the anti-join to shuffle on runtime size stats —
+    the plan stays an equi-join either way;
   * reassembly is one groupBy(doc_id) shuffle with order restored
     from the exploded position via array_sort over (pos, line)
     structs — exact, unlike bare collect_list, whose order is
