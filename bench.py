@@ -63,6 +63,7 @@ HEADLINE = [
     "q_line_dedup",
     "q_decontaminate",
     "q_substring_dedup",
+    "q_quality_classifier",
     "q_events_rollup",
 ]
 

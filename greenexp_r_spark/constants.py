@@ -153,6 +153,13 @@ SIMHASH_BIT_PERMS = [
 WORDHASH_P1, WORDHASH_P2 = 131, 7      # wh = ascii(c1)*131 + ascii(c2)*7 + len
 SHINGLE_MUL = 100_003                  # shingle = (wh1*SHINGLE_MUL + wh2) % P31
 
+# ---- hashed-feature quality classifier (operators/classify.py) -----------
+NB_BUCKETS = 4096            # hashing-trick feature space (model is
+                             # dimension-sized by construction: ≤4096 rows)
+NB_SCALE = 1_000_000         # integer posterior scale (micro-units)
+NB_KEEP_PM = 500_000         # keep when mean posterior ≥ 0.5
+NB_STOP_NUM = 5              # label: stopword_cnt*5 ≥ n_tokens ⇔ ≥20% stopwords
+
 # ---- similarity search ---------------------------------------------------
 ANN_K = 3
 ANN_QUERIES = 10                       # first N vec_ids used as queries

@@ -54,6 +54,11 @@ class Dialect:
     def shr(self, x: str, n: str) -> str:
         raise NotImplementedError
 
+    def idiv(self, a: str, b: str) -> str:
+        """Integer division; non-negative operands only (Spark DIV
+        truncates toward zero, DuckDB // floors — equal on >= 0)."""
+        raise NotImplementedError
+
     def ts_micros(self, e: str) -> str:
         """TIMESTAMP from epoch microseconds (integer expression)."""
         raise NotImplementedError
@@ -92,6 +97,9 @@ class SparkDialect(Dialect):
     def shr(self, x, n):
         return f"shiftright({x}, CAST({n} AS INT))"
 
+    def idiv(self, a, b):
+        return f"(({a}) DIV ({b}))"
+
     def ts_micros(self, e):
         return f"timestamp_micros(CAST({e} AS BIGINT))"
 
@@ -126,6 +134,9 @@ class DuckDialect(Dialect):
 
     def shr(self, x, n):
         return f"(CAST({x} AS BIGINT) >> CAST({n} AS INT))"
+
+    def idiv(self, a, b):
+        return f"(({a}) // ({b}))"
 
     def ts_micros(self, e):
         return f"make_timestamp(CAST({e} AS BIGINT))"

@@ -203,15 +203,7 @@ def minhash_lsh_pairs(corpus: DataFrame,
     from ..plans.caching import tracked_persist
     sh = tracked_persist((shingler or shingle_arrays)(corpus))
     sig = minhash_signatures_from_arrays(sh)
-    n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
-    band_arr = F.array(*[
-        F.struct(F.col(f"mh{2 * b}").alias("h1"),
-                 F.col(f"mh{2 * b + 1}").alias("h2"))
-        for b in range(n_bands)])
-    bands = sig.select(
-        "doc_id", F.posexplode(band_arr).alias("band", "hs")
-    ).select("doc_id", "band", F.col("hs.h1").alias("h1"),
-             F.col("hs.h2").alias("h2"))
+    bands = _band_keys(sig)
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "h1", "h2")
     r = bands.select(F.col("doc_id").alias("doc_b"), "band", "h1", "h2")
     cand = (l.join(r, ["band", "h1", "h2"])
@@ -222,6 +214,61 @@ def minhash_lsh_pairs(corpus: DataFrame,
                              F.col("sh_arr").alias("sa")), "doc_a")
              .join(sh.select(F.col("doc_id").alias("doc_b"),
                              F.col("sh_arr").alias("sb")), "doc_b"))
+    n_inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
+    jac = (n_inter.cast("double")
+           / (F.size("sa") + F.size("sb") - n_inter).cast("double"))
+    return (verif.select("doc_a", "doc_b", jac.alias("jaccard"))
+            .where(F.col("jaccard") >= jaccard_threshold))
+
+
+def _band_keys(sig: DataFrame) -> DataFrame:
+    """(doc_id, band, h1, h2) — one row per LSH band of a signature."""
+    n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
+    band_arr = F.array(*[
+        F.struct(F.col(f"mh{2 * b}").alias("h1"),
+                 F.col(f"mh{2 * b + 1}").alias("h2"))
+        for b in range(n_bands)])
+    return sig.select(
+        "doc_id", F.posexplode(band_arr).alias("band", "hs")
+    ).select("doc_id", "band", F.col("hs.h1").alias("h1"),
+             F.col("hs.h2").alias("h2"))
+
+
+def incremental_pairs(base: DataFrame, new: DataFrame,
+                      jaccard_threshold: float = C.JACCARD_THRESHOLD
+                      ) -> DataFrame:
+    """Incremental (cross-corpus) near-dedup: match a NEW crawl batch
+    against an EXISTING kept corpus — the dump-over-dump dedup step of
+    CC-style pipelines (each new dump is deduped against all previous
+    dumps' keep-set, not just itself).
+
+    Genuinely a TWO-TABLE plan, not a filtered self-join: each side
+    computes its own row-local signatures, the band equi-join crosses
+    base×new only (no base×base or new×new candidates ever
+    materialize), and the verify joins fetch shingle arrays from
+    their own side.  At scale the base side's signatures are the
+    precomputed artifact of earlier runs — only `new` pays the
+    signature scan per increment.  Output: (doc_a = base keeper,
+    doc_b = new doc, jaccard ≥ threshold).
+
+    The gate entry (q_dedup_neardup method='incremental') proves the
+    two-table banding ≡ the cross-split slice of the self-join
+    semantics via the shared DuckDB oracle.
+    """
+    from ..plans.caching import tracked_persist
+    sh_b = tracked_persist(shingle_arrays(base))
+    sh_n = tracked_persist(shingle_arrays(new))
+    l = _band_keys(minhash_signatures_from_arrays(sh_b)) \
+        .withColumnRenamed("doc_id", "doc_a")
+    r = _band_keys(minhash_signatures_from_arrays(sh_n)) \
+        .withColumnRenamed("doc_id", "doc_b")
+    cand = (l.join(r, ["band", "h1", "h2"])
+            .select("doc_a", "doc_b").distinct())
+    verif = (cand
+             .join(sh_b.select(F.col("doc_id").alias("doc_a"),
+                               F.col("sh_arr").alias("sa")), "doc_a")
+             .join(sh_n.select(F.col("doc_id").alias("doc_b"),
+                               F.col("sh_arr").alias("sb")), "doc_b"))
     n_inter = F.size(F.array_intersect(F.col("sa"), F.col("sb")))
     jac = (n_inter.cast("double")
            / (F.size("sa") + F.size("sb") - n_inter).cast("double"))

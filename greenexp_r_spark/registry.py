@@ -470,8 +470,20 @@ def _q_euclid(spark, sf):
 
 
 def _q_knn(spark, sf):
-    return accessibility.knn_parks(
-        world.points_df(spark, sf), world.parks_df(spark), k=5)
+    """Broadcast-ranking kNN (W2) + the cell-index scale path (J2)
+    consolidated into ONE variant-tagged union — the two algorithms
+    must produce identical rankings (they share the oracle), so the
+    merge keeps both code paths hash-gated while freeing a registry
+    slot for q_quality_classifier (r5-late; q_ann_topk precedent)."""
+    from .operators.knn_cells import knn_parks_cells
+    pts, parks = world.points_df(spark, sf), world.parks_df(spark)
+    b = accessibility.knn_parks(pts, parks, k=5).select(
+        F.lit("brute").alias("variant"), "point_id", "rank",
+        "park_id", "dist_m")
+    c = knn_parks_cells(pts, parks).select(
+        F.lit("cells").alias("variant"), "point_id", "rank",
+        "park_id", "dist_m")
+    return b.unionByName(c)
 
 
 # the fixture lattice's directed-edge count — known HERE (the registry
@@ -567,7 +579,11 @@ def _geo_registry() -> dict[str, QSpec]:
         # shares the broadcast-path oracle because results are equal
         "q_accessibility_cells": QSpec(
             _q_euclid_cells, _oracle_euclid(d)),
-        "q_knn_parks": QSpec(_q_knn, _oracle_knn(d)),
+        "q_knn_parks": QSpec(_q_knn, f"""
+SELECT v.variant, k.point_id, k.rank, k.park_id, k.dist_m
+FROM ({_oracle_knn(d)}) k
+CROSS JOIN (VALUES ('brute'), ('cells')) v(variant)
+"""),
         "q_accessibility_network": QSpec(_q_network, _oracle_network(d)),
         "q_accessibility_weighted": QSpec(
             _q_network_weighted, _oracle_network_weighted(d)),

@@ -601,18 +601,13 @@ def _q_viewshed_flat(s, sf):
 
 # ------------------------------------------------------------- wiring
 
-def _q_knn_cells(s, sf):
-    from .operators.knn_cells import knn_parks_cells
-    return knn_parks_cells(world.points_df(s, sf), world.parks_df(s))
-
-
 def build_geo3_registry() -> dict[str, QSpec]:
-    from .registry import _oracle_knn
     d = DUCK
     return {
-        # J2 k=5 through the cell index (scale path), same oracle as
-        # the broadcast ranking because results are equal
-        "q_knn_parks_cells": QSpec(_q_knn_cells, _oracle_knn(d)),
+        # J2 k=5 through the cell index (scale path) moved r5-late
+        # into registry.py's q_knn_parks variant union (same oracle —
+        # the two algorithms are hash-provably equal), freeing this
+        # slot for q_quality_classifier
         # J6-prep: to_spatial_subdivision + to_spatial_smooth
         # (ndvi_calc.R:146-147)
         "q_network_subdivision": QSpec(_q_subdivision,

@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 from . import constants as C
 from .dialect import DUCK, Dialect
 from .functions import text as T
-from .operators import dedup, multimodal, pii, similarity, textqa
+from .operators import classify, dedup, multimodal, pii, similarity, textqa
 from .registry import QSpec
 
 
@@ -39,7 +39,16 @@ def _q_dedup_neardup_union(spark, sf):
     sh = dedup.simhash_pairs(aug).select(
         F.lit("simhash").alias("method"), "doc_a", "doc_b",
         F.col("hamming").cast("double").alias("score"))
-    return ex.unionByName(mh).unionByName(sh)
+    # incremental (cross-corpus) dedup: the synthetic dup rows
+    # (doc_id >= 1M) play the NEW crawl batch, the originals the
+    # EXISTING keep-set — a genuine two-table band join whose result
+    # must equal the cross-split slice of the self-join semantics
+    inc = dedup.incremental_pairs(
+        aug.where(F.col("doc_id") < 1_000_000),
+        aug.where(F.col("doc_id") >= 1_000_000)).select(
+        F.lit("incremental").alias("method"), "doc_a", "doc_b",
+        F.col("jaccard").alias("score"))
+    return ex.unionByName(mh).unionByName(sh).unionByName(inc)
 
 
 def _q_ann_topk_union(spark, sf):
@@ -111,6 +120,53 @@ FROM (
                {cnt['nl']} AS cnt_nl, {cnt['fr']} AS cnt_fr
         FROM documents) _c
 ) _g
+"""
+
+
+def _oracle_classifier(d: Dialect) -> str:
+    """Replays the whole train→apply pipeline of
+    classify.quality_classifier: distinct hashed-word buckets,
+    integer stopword label, Laplace-posterior weights in micro-units
+    (integer division), broadcast-apply sum.  All-integer math —
+    bit-exact across engines (the Lloyd-kmeans-in-SQL precedent)."""
+    w = d.split("text")
+    stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
+    inner = f"SELECT doc_id, {w} AS warr FROM documents"
+    exploded = d.explode_range(inner, "pos", "1", d.asize("warr"))
+    wh = T.word_hash_sql(d.elem("warr", "pos"))
+    w_pm = d.idiv(f"CAST({C.NB_SCALE} AS BIGINT) * (n_pos + 1)",
+                  "n_all + 2")
+    score = d.idiv("evidence_pm", "n_feat")
+    return f"""
+WITH feats AS (
+  SELECT DISTINCT doc_id,
+         CAST({wh} AS BIGINT) % {C.NB_BUCKETS} AS bucket
+  FROM ({exploded}) _t
+),
+labels AS (
+  SELECT doc_id,
+         CAST({d.asize(stop)} AS BIGINT) * {C.NB_STOP_NUM}
+           >= CAST({d.asize(w)} AS BIGINT) AS pos
+  FROM documents
+),
+counts AS (
+  SELECT bucket,
+         CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         COUNT(*) AS n_all
+  FROM feats JOIN labels USING (doc_id)
+  GROUP BY bucket
+),
+weights AS (SELECT bucket, {w_pm} AS weight_pm FROM counts),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_feat,
+         CAST(SUM(weight_pm) AS BIGINT) AS evidence_pm
+  FROM feats JOIN weights USING (bucket)
+  GROUP BY doc_id
+)
+SELECT doc_id, n_feat, evidence_pm,
+       {score} AS score_pm,
+       {score} >= {C.NB_KEEP_PM} AS clf_keep
+FROM agg
 """
 
 
@@ -1041,7 +1097,21 @@ def build_pipeline_registry() -> dict[str, QSpec]:
                 UNION ALL
                 SELECT 'simhash' AS method, doc_a, doc_b,
                        CAST(hamming AS DOUBLE) AS score
-                FROM ({_oracle_simhash_pairs(d)}) _s"""),
+                FROM ({_oracle_simhash_pairs(d)}) _s
+                UNION ALL
+                SELECT 'incremental' AS method, doc_a, doc_b,
+                       jaccard AS score
+                FROM ({_oracle_minhash_pairs(d)}) _inc
+                WHERE doc_a < 1000000 AND doc_b >= 1000000"""),
+        # r5 late: trained hashed-feature quality classifier (the
+        # CCNet/GPT-3 fastText-filter step) — Bernoulli-NB evidence
+        # scorer, one-pass count training, dimension-sized model
+        # (≤NB_BUCKETS rows) broadcast-applied; integer micro-unit
+        # posteriors so the whole train→apply pipeline is SQL-exact
+        # (slot freed by merging q_knn_parks_cells into q_knn_parks)
+        "q_quality_classifier": QSpec(
+            lambda s, sf: classify.quality_classifier(_docs(s, sf)),
+            _oracle_classifier(d)),
         # r5 late: exact-substring dedup (Lee et al. 2021) — repeated
         # >=L-char span detection via two-phase hashed position
         # L-grams + keep-first window + islands merge
