@@ -160,6 +160,18 @@ NB_SCALE = 1_000_000         # integer posterior scale (micro-units)
 NB_KEEP_PM = 500_000         # keep when mean posterior ≥ 0.5
 NB_STOP_NUM = 5              # label: stopword_cnt*5 ≥ n_tokens ⇔ ≥20% stopwords
 
+# ---- hashed bigram LM quality bucketing (operators/lmscore.py) -----------
+LM_BUCKETS = 65_536          # hashed bigram/prefix keyspace (model tables
+                             # are dimension-sized by construction)
+LM_STOP_NUM = 10             # in-domain slice: ≥10% stopwords (the NB 20%
+                             # rule keeps only ~0.4% of this corpus — too
+                             # thin to train on)
+LM_SMOOTH = 100              # Laplace denominator add (vocab-scale)
+LM_HEAD_PM = 23_000          # fixed bucket cutoffs in micro-units — the
+LM_TAIL_PM = 21_000          # analog of CCNet's precomputed percentiles
+                             # (chosen from the synthetic corpus's score
+                             # quartiles, as CCNet fixes them per language)
+
 # ---- similarity search ---------------------------------------------------
 ANN_K = 3
 ANN_QUERIES = 10                       # first N vec_ids used as queries

@@ -51,6 +51,16 @@ def _q_dedup_neardup_union(spark, sf):
     return ex.unionByName(mh).unionByName(sh).unionByName(inc)
 
 
+def _q_quality_classifier(spark, sf):
+    """NB evidence scorer + hashed-bigram LM buckets, joined on
+    doc_id — the two model-based quality signals of a CCNet-style
+    pipeline over one documents table."""
+    from .operators import lmscore
+    docs = _docs(spark, sf)
+    return classify.quality_classifier(docs) \
+        .join(lmscore.lm_buckets(docs), "doc_id")
+
+
 def _q_ann_topk_union(spark, sf):
     """Brute + IVF + k-means-trained-IVF top-k over ONE embeddings
     scan, tagged by variant (cached so the paths share the quantized
@@ -167,6 +177,74 @@ SELECT doc_id, n_feat, evidence_pm,
        {score} AS score_pm,
        {score} >= {C.NB_KEEP_PM} AS clf_keep
 FROM agg
+"""
+
+
+def _lm_ctes(d: Dialect) -> str:
+    """CTE chain ending in lm(doc_id, n_bigrams, lm_score_pm,
+    ppl_bucket) — replays lmscore.lm_buckets: hashed-bigram counts
+    from the in-domain (stopword-dense) slice, Laplace-smoothed
+    integer conditionals, mean per document, fixed bucket cutoffs.
+    All-integer math (the word-hash is CAST to BIGINT before the
+    shingle multiply — DuckDB ascii() is INT32 and wh*SHINGLE_MUL
+    overflows it, the substrdup Horner-chain lesson)."""
+    w = d.split("text")
+    stop = d.afilter(w, "w", f"w IN ({_in_list(C.STOPWORDS_EN)})")
+    label = (f"CAST({d.asize(stop)} AS BIGINT) * {C.LM_STOP_NUM}"
+             f" >= CAST({d.asize(w)} AS BIGINT)")
+
+    def bg_rows(where: str) -> str:
+        inner = (f"SELECT doc_id, {w} AS warr FROM documents"
+                 f" WHERE {d.asize(w)} >= 2{where}")
+        exploded = d.explode_range(inner, "p", "1",
+                                   f"{d.asize('warr')} - 1")
+        wh1 = f"CAST({T.word_hash_sql(d.elem('warr', 'p'))} AS BIGINT)"
+        wh2 = f"CAST({T.word_hash_sql(d.elem('warr', 'p + 1'))} AS BIGINT)"
+        bg = f"{T.shingle_hash_sql(wh1, wh2)} % {C.LM_BUCKETS}"
+        return (f"SELECT doc_id, {bg} AS bg,"
+                f" {wh1} % {C.LM_BUCKETS} AS pre"
+                f" FROM ({exploded}) _bgr")
+
+    cond = d.idiv(
+        f"CAST({C.NB_SCALE} AS BIGINT) * (COALESCE(cnt_bg, 0) + 1)",
+        f"COALESCE(cnt_pre, 0) + {C.LM_SMOOTH}")
+    return f"""
+bg_dom AS ({bg_rows(f" AND ({label})")}),
+lm_bg AS (SELECT bg, COUNT(*) AS cnt_bg FROM bg_dom GROUP BY bg),
+lm_pre AS (SELECT pre, COUNT(*) AS cnt_pre FROM bg_dom GROUP BY pre),
+bg_all AS ({bg_rows("")}),
+lm_scored AS (
+  SELECT doc_id, COUNT(*) AS n_bigrams,
+         CAST(SUM({cond}) AS BIGINT) AS sum_pm
+  FROM bg_all
+  LEFT JOIN lm_bg USING (bg)
+  LEFT JOIN lm_pre USING (pre)
+  GROUP BY doc_id
+),
+lm AS (
+  SELECT d.doc_id,
+         COALESCE(s.n_bigrams, 0) AS n_bigrams,
+         COALESCE({d.idiv('s.sum_pm', 's.n_bigrams')}, -1)
+           AS lm_score_pm,
+         CASE WHEN COALESCE({d.idiv('s.sum_pm', 's.n_bigrams')}, -1)
+                   >= {C.LM_HEAD_PM} THEN 'head'
+              WHEN COALESCE({d.idiv('s.sum_pm', 's.n_bigrams')}, -1)
+                   >= {C.LM_TAIL_PM} THEN 'middle'
+              ELSE 'tail' END AS ppl_bucket
+  FROM documents d LEFT JOIN lm_scored s ON d.doc_id = s.doc_id
+)"""
+
+
+def _oracle_classifier_lm(d: Dialect) -> str:
+    """q_quality_classifier oracle: the NB classifier oracle joined
+    with the LM-bucket CTEs on doc_id (merged-entry precedent:
+    multimodal meta+thumbnail)."""
+    return f"""
+WITH clf AS ({_oracle_classifier(d)}),
+{_lm_ctes(d).lstrip()}
+SELECT c.doc_id, c.n_feat, c.evidence_pm, c.score_pm, c.clf_keep,
+       l.n_bigrams, l.lm_score_pm, l.ppl_bucket
+FROM clf c JOIN lm l ON c.doc_id = l.doc_id
 """
 
 
@@ -1109,9 +1187,12 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         # (≤NB_BUCKETS rows) broadcast-applied; integer micro-unit
         # posteriors so the whole train→apply pipeline is SQL-exact
         # (slot freed by merging q_knn_parks_cells into q_knn_parks)
+        # + the hashed-bigram LM quality buckets (operators/lmscore.py,
+        # the CCNet KenLM step) joined on doc_id — model-based quality
+        # scoring as ONE entry, both models trained in-query
         "q_quality_classifier": QSpec(
-            lambda s, sf: classify.quality_classifier(_docs(s, sf)),
-            _oracle_classifier(d)),
+            _q_quality_classifier,
+            _oracle_classifier_lm(d)),
         # r5 late: exact-substring dedup (Lee et al. 2021) — repeated
         # >=L-char span detection via two-phase hashed position
         # L-grams + keep-first window + islands merge
