@@ -51,6 +51,65 @@ def latest_snapshot(pages: DataFrame) -> DataFrame:
     return g.select("url", "s.warc_ts", "s.html", "s.text", "s.lang")
 
 
+def snapshot_delta(pages: DataFrame, cutoff_us: int) -> DataFrame:
+    """CDC between two crawl snapshots of the append-only pages table:
+    the as-of-`cutoff_us` snapshot vs the current one, per url —
+    the dump-over-dump diff a CC-style pipeline runs to process only
+    what changed (the Iceberg incremental-read analog, computed from
+    the raw capture log).
+
+    ONE url-keyed aggregate computes BOTH snapshots via a conditional
+    struct max (no self-join, no second scan): old = max struct among
+    captures ≤ cutoff, new = max struct overall.  Status:
+      'added'           first captured after the cutoff
+      'unchanged'       no capture after the cutoff
+      'recrawled_same'  re-captured after the cutoff, same payload
+      'changed'         re-captured after the cutoff, new payload
+    100 TB posture: the only shuffle is the url-keyed agg the snapshot
+    query already pays; at production scale the old side would be the
+    previous run's materialized snapshot and this degenerates to the
+    same single aggregate over the new increment.
+    """
+    cut = F.timestamp_micros(F.lit(cutoff_us))
+    old_s = F.max(F.when(F.col("warc_ts") <= cut,
+                         F.struct("warc_ts", "text"))).alias("o")
+    new_s = F.max(F.struct("warc_ts", "text")).alias("n")
+    g = pages.groupBy("url").agg(old_s, new_s)
+    status = (F.when(F.col("o").isNull(), "added")
+              .when(F.col("n.warc_ts") == F.col("o.warc_ts"),
+                    "unchanged")
+              .when(F.col("n.text") == F.col("o.text"),
+                    "recrawled_same")
+              .otherwise("changed"))
+    return g.select(
+        "url", F.col("o.warc_ts").alias("old_ts"),
+        F.col("n.warc_ts").alias("new_ts"), status.alias("status"))
+
+
+def snapshot_delta_sql(d, cutoff_us: int) -> str:
+    """Shared-SQL rendering of :func:`snapshot_delta` (assumes a
+    preceding `pages` CTE) — conditional MAX + two equi-joins back to
+    the capture log (engines without struct-max ordering)."""
+    return f"""
+agg AS (
+  SELECT url,
+         MAX(CASE WHEN warc_ts <= {d.ts_micros(cutoff_us)}
+                  THEN warc_ts END) AS old_ts,
+         MAX(warc_ts) AS new_ts
+  FROM pages GROUP BY url
+),
+delta AS (
+  SELECT a.url, a.old_ts, a.new_ts,
+         CASE WHEN a.old_ts IS NULL THEN 'added'
+              WHEN a.new_ts = a.old_ts THEN 'unchanged'
+              WHEN pn.text = po.text THEN 'recrawled_same'
+              ELSE 'changed' END AS status
+  FROM agg a
+  LEFT JOIN pages po ON po.url = a.url AND po.warc_ts = a.old_ts
+  JOIN pages pn ON pn.url = a.url AND pn.warc_ts = a.new_ts
+)"""
+
+
 def extract_text(pages: DataFrame) -> DataFrame:
     """Re-extract the text from the html payload (byte-identical
     invariant): decode UTF-8, strip the fixed wrapper.  Emits the
@@ -91,10 +150,36 @@ def latest_extracted_snapshot(pages: DataFrame) -> DataFrame:
 
 
 def pages_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Gate shape: latest capture per url with text re-extracted from
-    html — hash-exact equality against the oracle proves the per-row
-    byte-identical-text invariant end-to-end."""
+    """Exposure-path shape: latest capture per url with text
+    re-extracted from html (no delta columns — the exposure join
+    prunes them anyway, but keeping this entry narrow keeps the
+    north-star plan's agg state minimal)."""
     return latest_extracted_snapshot(P.pages_df(spark, sf_dir))
+
+
+def pages_snapshot_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gate shape (q_pages_snapshot): the extraction-first snapshot
+    PLUS the as-of-cutoff CDC columns (old_ts, status) from the SAME
+    single url-keyed aggregate — snapshot_delta's conditional struct
+    max rides alongside the snapshot struct, so the gate proves both
+    the byte-identical-text invariant and the dump-over-dump delta
+    semantics for one shuffle."""
+    ext = extract_text(P.pages_df(spark, sf_dir))
+    cut = F.timestamp_micros(F.lit(C.SNAP_CUTOFF_US))
+    new_s = F.max(F.struct("warc_ts", "text", "lang", "n_chars")) \
+        .alias("s")
+    old_s = F.max(F.when(F.col("warc_ts") <= cut,
+                         F.struct("warc_ts", "text"))).alias("o")
+    g = ext.groupBy("url").agg(new_s, old_s)
+    status = (F.when(F.col("o").isNull(), "added")
+              .when(F.col("s.warc_ts") == F.col("o.warc_ts"),
+                    "unchanged")
+              .when(F.col("s.text") == F.col("o.text"),
+                    "recrawled_same")
+              .otherwise("changed"))
+    return g.select("url", "s.warc_ts", "s.text", "s.lang",
+                    "s.n_chars", F.col("o.warc_ts").alias("old_ts"),
+                    status.alias("status"))
 
 
 def exposure_over_pages(spark: SparkSession, sf_dir: str,
