@@ -267,13 +267,16 @@ GOPHER_MAX_TOP_BIGRAM = 0.08
 GOPHER_MAX_DUP_TRIGRAM = 0.30
 
 
-def domain_stats(pages: DataFrame) -> DataFrame:
-    """(domain, n_pages, total_chars, mean_quality): per-domain corpus
-    statistics — the grouping every Common-Crawl-style pipeline runs
-    for domain-level filtering (spam domains, boilerplate farms).
-    Domain = host part of the url (regexp, JVM-side); quality reuses
-    the quality_score heuristic.  One hash aggregate; shuffle carries
-    per-domain partials only."""
+def domain_stats(pages: DataFrame,
+                 blocklist: DataFrame | None = None) -> DataFrame:
+    """(domain, n_pages, total_chars, mean_quality[, blocked]):
+    per-domain corpus statistics — the grouping every
+    Common-Crawl-style pipeline runs for domain-level filtering (spam
+    domains, boilerplate farms).  Domain = host part of the url
+    (regexp, JVM-side); quality reuses the quality_score heuristic.
+    One hash aggregate; shuffle carries per-domain partials only.
+    With `blocklist` (a domain dim table, see domain_blocklist) a
+    broadcast left join adds the UT1-style `blocked` flag."""
     host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
     q = quality_score(pages.select(F.col("point_id").alias("doc_id"),
                                    "text"))
@@ -289,8 +292,26 @@ def domain_stats(pages: DataFrame) -> DataFrame:
               F.sum("q_micro").alias("q_sum")))
     mean_q = (F.col("q_sum").cast("double")
               / (F.lit(1_000_000.0) * F.col("n_pages")))
-    return g.select("domain", "n_pages", "total_chars",
-                    mean_q.alias("mean_quality"))
+    out = g.select("domain", "n_pages", "total_chars",
+                   mean_q.alias("mean_quality"))
+    if blocklist is not None:
+        out = (out.join(F.broadcast(
+                   blocklist.withColumn("blocked", F.lit(True))),
+                   "domain", "left")
+               .withColumn("blocked",
+                           F.coalesce("blocked", F.lit(False))))
+    return out
+
+
+def domain_blocklist(pages: DataFrame) -> DataFrame:
+    """UT1-style domain blocklist as a genuine dimension TABLE: the
+    distinct hosts whose portable hash lands in a residue class (the
+    deterministic stand-in for the curated adult/spam host list every
+    CC pipeline filters against).  Dimension-sized by construction
+    (≤ distinct hosts) → broadcast anti/semi-joins downstream."""
+    host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
+    hosts = pages.select(host.alias("domain")).distinct()
+    return hosts.where(T.word_hash(F.col("domain")) % 17 == 3)
 
 
 def fingerprint(docs: DataFrame) -> DataFrame:

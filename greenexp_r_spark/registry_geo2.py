@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from . import constants as C
 from . import world
 from .dialect import DUCK, Dialect
+from .functions import text as T
 from .operators import idw, network, overlay, streets
 from .registry import QSpec
 
@@ -398,8 +399,13 @@ FROM v GROUP BY point_id
 
 
 def _q_domain_stats(s, sf):
+    """Per-domain stats + the UT1-style blocklist flag (r5-late):
+    the blocklist is a genuine dim TABLE broadcast-left-joined on the
+    Spark side; the oracle computes the same membership inline."""
     from .operators import textqa
-    return textqa.domain_stats(world.points_df(s, sf))
+    pts = world.points_df(s, sf)
+    return textqa.domain_stats(pts,
+                               blocklist=textqa.domain_blocklist(pts))
 
 
 def _oracle_domain_stats(d: Dialect) -> str:
@@ -412,12 +418,15 @@ j AS (
          CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
   FROM points p JOIN qual q ON p.point_id = q.doc_id
 )
-SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
-       COUNT(*) AS n_pages,
+SELECT domain, COUNT(*) AS n_pages,
        CAST(SUM(n_chars) AS BIGINT) AS total_chars,
        CAST(SUM(q_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
-           AS mean_quality
-FROM j GROUP BY regexp_extract(url, '^https?://([^/]+)/', 1)
+           AS mean_quality,
+       ({T.word_hash_sql('domain')}) % 17 = 3 AS blocked
+FROM (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+             n_chars, q_micro
+      FROM j) _d
+GROUP BY domain
 """
 
 
