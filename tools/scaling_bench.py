@@ -47,13 +47,28 @@ def control_burn():
         a = (a * 2654435761 + 12345) % 2147483647
     return time.time() - t0
 
+def parallel_burn_ratio():
+    # 8 concurrent copies of the same burn (numpy releases the GIL,
+    # so threads land on real cores): on a healthy host each copy
+    # costs ~1x the single burn; in a bandwidth-starved phase the
+    # ratio climbs toward 8x.  This catches the phase the
+    # single-thread control CANNOT see (observed: identical code/
+    # input at local[8] measuring 61s in one phase and 110s in
+    # another while every single-thread control stayed nominal).
+    from concurrent.futures import ThreadPoolExecutor
+    t1 = control_burn()
+    t0 = time.time()
+    with ThreadPoolExecutor(8) as ex:
+        list(ex.map(lambda _: control_burn(), range(8)))
+    return (time.time() - t0) / max(t1, 1e-9)
+
 cpus = int(sys.argv[1]); n = int(sys.argv[2])
 sample_mod = int(sys.argv[3]) if len(sys.argv) > 3 else 10
 # certify the host BEFORE any JVM exists: a burn taken after session
 # warmup is polluted by background JIT/GC threads and flags healthy
 # hosts as stalled (observed: before≈1.2-1.7s vs after≈0.31s on the
 # same trial)
-c0 = control_burn()
+c0 = control_burn(); p0 = parallel_burn_ratio()
 spark = build_session(app=f"scale-{{cpus}}", master=f"local[{{cpus}}]",
                       shuffle_partitions=cpus * 2)
 spark.sparkContext.setLogLevel("ERROR")
@@ -76,12 +91,14 @@ acc = accessibility.euclidean_access(pts, parks)
 rows = avail.join(acc, "point_id").count()
 vg = visibility.vgvi_points(pts, sample_mod=sample_mod).count()
 dt = time.time() - t0
-c1 = control_burn()
+c1 = control_burn(); p1 = parallel_burn_ratio()
 print(json.dumps({{"cpus": cpus, "n_points": n, "rows": rows,
                    "vgvi_rows": vg, "seconds": round(dt, 2),
                    "points_per_sec": round(n / dt, 1),
                    "control_before": round(c0, 2),
-                   "control_after": round(c1, 2)}}))
+                   "control_after": round(c1, 2),
+                   "par_ratio_before": round(p0, 2),
+                   "par_ratio_after": round(p1, 2)}}))
 spark.stop()
 """
 
@@ -89,6 +106,10 @@ spark.stop()
 CONTROL_OK = 0.65   # accept a trial only if the 1-thread control burn
                     # (nominal ~0.3s) stays under this before AND after
                     # — certifies the host wasn't in a stall phase
+PAR_OK = 2.5        # ... AND 8 concurrent burns each cost <= 2.5x the
+                    # single burn (healthy ~1.1-1.5x): certifies the
+                    # multi-core bandwidth phase the 1-thread control
+                    # cannot see
 
 
 def run(cpus: int, n: int, repo: str, sample_mod: int = 10) -> dict:
@@ -112,7 +133,9 @@ def best_of(trials: int, cpus: int, n: int, repo: str,
         r = run(cpus, n, repo, sample_mod)
         results.append(r)
         if (r.get("control_before", 9) <= CONTROL_OK
-                and r.get("control_after", 9) <= CONTROL_OK):
+                and r.get("control_after", 9) <= CONTROL_OK
+                and r.get("par_ratio_before", 9) <= PAR_OK
+                and r.get("par_ratio_after", 9) <= PAR_OK):
             clean.append(r)
         if len(clean) >= 2:
             break
