@@ -19,6 +19,12 @@ P31 = 2_147_483_647          # Mersenne prime 2^31-1, the mixing modulus
 X_MUL, X_ADD = 2_654_435_761, 12_345
 Y_MUL, Y_ADD = 1_099_087_573, 54_321
 
+# ---- pages snapshot-delta cutoff (operators/pages_ops.py) ---------------
+# ~23 days into 2024: first captures land at (doc_id*7919+101)%YEAR_S,
+# so a cutoff inside that early window exercises added AND unchanged
+# AND recrawled_same at every test scale (verified sf0.001/0.01/0.1)
+SNAP_CUTOFF_US = (1_704_067_200 + 2_000_000) * 1_000_000
+
 # ---- buffers (reference default: ndvi_calc.R buffer_distance arg) -------
 BUFFER_M = 300               # the README's canonical 300 m buffer
 

@@ -46,11 +46,18 @@ def _geo_cte(d: Dialect) -> str:
 
 
 def _oracle_pages_snapshot(d: Dialect) -> str:
+    """Snapshot + CDC columns: the delta CTEs (conditional MAX as-of
+    the day-23 cutoff + text-equality status) join the snap CTE on
+    url.  The engine computes both from ONE aggregate; the oracle's
+    status compares the STORED text where the engine compares the
+    EXTRACTED text — byte-identical by construction, and the same
+    query's hash over the text column proves exactly that."""
     return f"""
-WITH {_snap_ctes(d)}
-SELECT url, warc_ts, text, lang,
-       CAST(length(text) AS BIGINT) AS n_chars
-FROM snap
+WITH {_snap_ctes(d)},{pages_ops.snapshot_delta_sql(d, C.SNAP_CUTOFF_US)}
+SELECT s.url, s.warc_ts, s.text, s.lang,
+       CAST(length(s.text) AS BIGINT) AS n_chars,
+       dl.old_ts, dl.status
+FROM snap s JOIN delta dl ON s.url = dl.url
 """
 
 
@@ -116,9 +123,11 @@ GROUP BY cell_i, cell_j
 def build_pages_registry() -> dict[str, QSpec]:
     d = DUCK
     return {
-        # hash-exact text column = per-row byte-identity of extraction
+        # hash-exact text column = per-row byte-identity of extraction;
+        # + the as-of-cutoff CDC columns (old_ts, status) from the SAME
+        # single aggregate (r5: snapshot_delta gate-consolidated here)
         "q_pages_snapshot": QSpec(
-            pages_ops.pages_snapshot, _oracle_pages_snapshot(d)),
+            pages_ops.pages_snapshot_delta, _oracle_pages_snapshot(d)),
         # the north-star exposure join keyed by url
         "q_exposure_pages": QSpec(
             pages_ops.exposure_over_pages, _oracle_exposure_pages(d)),

@@ -5,6 +5,7 @@ import datetime as dt
 
 from pyspark.sql import functions as F
 
+from greenexp_r_spark import constants as C
 from greenexp_r_spark.dialect import DUCK
 from greenexp_r_spark.operators import pages_ops
 from greenexp_r_spark.sources import pages as P
@@ -12,11 +13,12 @@ from greenexp_r_spark.sources import pages as P
 from . import oracle_harness
 from .conftest import SF_TEST
 
-# ~23 days into 2024: first captures land at s0 = (doc_id*7919+101)
-# % YEAR_S, which for small test corpora only reaches ~46 days in, so
-# a cutoff inside that window is what exercises all three statuses
-# (a mid-year cutoff sees every url already crawled → no 'added')
-CUTOFF_US = (P.EPOCH_2024_S + 2_000_000) * 1_000_000
+# ~23 days into 2024 (constants.SNAP_CUTOFF_US): first captures land
+# at s0 = (doc_id*7919+101) % YEAR_S, which for small test corpora
+# only reaches ~46 days in, so a cutoff inside that window exercises
+# all three statuses (a mid-year cutoff sees every url already
+# crawled → no 'added')
+CUTOFF_US = C.SNAP_CUTOFF_US
 
 
 def _delta_sql(cutoff_us: int) -> str:
