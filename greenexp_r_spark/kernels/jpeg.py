@@ -207,8 +207,9 @@ def _extend(bits_val: int, ssss: int) -> int:
         else bits_val - (1 << ssss) + 1
 
 
-def _encode_component(w: _BitWriter, plane: np.ndarray,
-                      quant: np.ndarray) -> None:
+def _zz_blocks(plane: np.ndarray, quant: np.ndarray) -> np.ndarray:
+    """Plane → (n_blocks, 64) zig-zag quantized coefficients: pad to
+    8×8 multiples with edge replication, level-shift, FDCT, quantize."""
     h, wd = plane.shape
     bh, bw = -(-h // 8), -(-wd // 8)
     pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
@@ -219,37 +220,49 @@ def _encode_component(w: _BitWriter, plane: np.ndarray,
               .reshape(-1, 8, 8) - 128.0)
     coef = fdct_blocks(blocks)
     q = np.round(coef / quant[None]).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, _ZZ]
+    return q.reshape(-1, 64)[:, _ZZ]
+
+
+def _encode_block(w: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
+    """Huffman-encode one zig-zag block (DC diff + AC run-length with
+    ZRL/EOB); returns the new DC predictor.  The single entropy-coding
+    loop shared by the grayscale and interleaved-color paths."""
+    dc = int(zz[0])
+    diff = dc - prev_dc
+    ssss = _category(diff)
+    code, ln = _DC_ENC[ssss]
+    w.write(code, ln)
+    if ssss:
+        w.write(_amp_bits(diff, ssss), ssss)
+    run = 0
+    nz = np.nonzero(zz[1:])[0]
+    last = nz[-1] + 1 if len(nz) else 0
+    for i in range(1, last + 1):
+        v = int(zz[i])
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = _AC_ENC[0xF0]              # ZRL
+            w.write(code, ln)
+            run -= 16
+        ssss = _category(v)
+        code, ln = _AC_ENC[(run << 4) | ssss]
+        w.write(code, ln)
+        w.write(_amp_bits(v, ssss), ssss)
+        run = 0
+    if last < 63:
+        code, ln = _AC_ENC[0x00]                  # EOB
+        w.write(code, ln)
+    return dc
+
+
+def _encode_component(w: _BitWriter, plane: np.ndarray,
+                      quant: np.ndarray) -> None:
+    zz = _zz_blocks(plane, quant)
     prev_dc = 0
     for b in range(len(zz)):
-        dc = int(zz[b, 0])
-        diff = dc - prev_dc
-        prev_dc = dc
-        ssss = _category(diff)
-        code, ln = _DC_ENC[ssss]
-        w.write(code, ln)
-        if ssss:
-            w.write(_amp_bits(diff, ssss), ssss)
-        run = 0
-        nz = np.nonzero(zz[b, 1:])[0]
-        last = nz[-1] + 1 if len(nz) else 0
-        for i in range(1, last + 1):
-            v = int(zz[b, i])
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = _AC_ENC[0xF0]          # ZRL
-                w.write(code, ln)
-                run -= 16
-            ssss = _category(v)
-            code, ln = _AC_ENC[(run << 4) | ssss]
-            w.write(code, ln)
-            w.write(_amp_bits(v, ssss), ssss)
-            run = 0
-        if last < 63:
-            code, ln = _AC_ENC[0x00]              # EOB
-            w.write(code, ln)
+        prev_dc = _encode_block(w, zz[b], prev_dc)
 
 
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
@@ -323,50 +336,11 @@ def encode_baseline(pixels: np.ndarray,
     if nc == 1:
         _encode_component(w, planes[0], quant)
     else:
-        bh, bw = -(-h // 8), -(-wd // 8)
-        padded = []
-        for p in planes:
-            pad = np.empty((bh * 8, bw * 8), dtype=np.float64)
-            pad[:h, :wd] = p
-            pad[h:, :wd] = p[-1:, :]
-            pad[:, wd:] = pad[:, wd - 1:wd]
-            blocks = (pad.reshape(bh, 8, bw, 8).transpose(0, 2, 1, 3)
-                      .reshape(-1, 8, 8) - 128.0)
-            zz = np.round(fdct_blocks(blocks) / quant[None]) \
-                .astype(np.int64).reshape(-1, 64)[:, _ZZ]
-            padded.append(zz)
+        padded = [_zz_blocks(p, quant) for p in planes]
         prev = [0] * nc
-        for b in range(bh * bw):
+        for b in range(len(padded[0])):
             for c in range(nc):
-                zz = padded[c][b]
-                dc = int(zz[0])
-                diff = dc - prev[c]
-                prev[c] = dc
-                ssss = _category(diff)
-                code, ln = _DC_ENC[ssss]
-                w.write(code, ln)
-                if ssss:
-                    w.write(_amp_bits(diff, ssss), ssss)
-                run = 0
-                nz = np.nonzero(zz[1:])[0]
-                last = nz[-1] + 1 if len(nz) else 0
-                for i in range(1, last + 1):
-                    v = int(zz[i])
-                    if v == 0:
-                        run += 1
-                        continue
-                    while run >= 16:
-                        code, ln = _AC_ENC[0xF0]
-                        w.write(code, ln)
-                        run -= 16
-                    s = _category(v)
-                    code, ln = _AC_ENC[(run << 4) | s]
-                    w.write(code, ln)
-                    w.write(_amp_bits(v, s), s)
-                    run = 0
-                if last < 63:
-                    code, ln = _AC_ENC[0x00]
-                    w.write(code, ln)
+                prev[c] = _encode_block(w, padded[c][b], prev[c])
     out.append(w.flush())
     out.append(b"\xFF\xD9")
     return b"".join(out)

@@ -56,17 +56,6 @@ def doc_features(docs: DataFrame) -> DataFrame:
     ).distinct()
 
 
-def doc_labels(docs: DataFrame) -> DataFrame:
-    """(doc_id, pos) — the automatic noisy label: stopword-dense
-    documents are the 'target domain' class.  Integer-only compare."""
-    w = T.words(F.col("text"))
-    n_tok = F.size(w).cast("long")
-    stop = F.size(F.filter(w, lambda x: x.isin(C.STOPWORDS_EN))) \
-        .cast("long")
-    return docs.select(
-        "doc_id", (stop * C.NB_STOP_NUM >= n_tok).alias("pos"))
-
-
 def _features_labeled(docs: DataFrame) -> DataFrame:
     """(doc_id, pos, bucket) distinct — features AND the per-doc label
     in ONE scan.  The label is functionally dependent on doc_id, so
@@ -104,13 +93,12 @@ def nb_train(docs: DataFrame) -> DataFrame:
     return _weights_from(_features_labeled(docs))
 
 
-def classify(docs: DataFrame, weights: DataFrame) -> DataFrame:
-    """Score documents against a trained weight table.
-
-    Output: (doc_id, n_feat, evidence_pm, score_pm, clf_keep) —
+def _apply(feats: DataFrame, weights: DataFrame) -> DataFrame:
+    """Broadcast-apply a trained weight table to a (doc_id, bucket)
+    feature set: (doc_id, n_feat, evidence_pm, score_pm, clf_keep) —
     score_pm = mean per-feature posterior in micro-units; keep when
-    the mean posterior clears NB_KEEP_PM (0.5)."""
-    feats = doc_features(docs)
+    the mean posterior clears NB_KEEP_PM (0.5).  The single scoring
+    expression shared by classify() and quality_classifier()."""
     j = feats.join(F.broadcast(weights.select("bucket", "weight_pm")),
                    "bucket")
     agg = j.groupBy("doc_id").agg(
@@ -120,6 +108,11 @@ def classify(docs: DataFrame, weights: DataFrame) -> DataFrame:
     return agg.select(
         "doc_id", "n_feat", "evidence_pm", score.alias("score_pm"),
         (score >= C.NB_KEEP_PM).alias("clf_keep"))
+
+
+def classify(docs: DataFrame, weights: DataFrame) -> DataFrame:
+    """Score documents against a trained weight table."""
+    return _apply(doc_features(docs), weights)
 
 
 def quality_classifier(docs: DataFrame) -> DataFrame:
@@ -130,17 +123,7 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     corpus×corpus joins."""
     from ..plans.caching import tracked_persist
     fl = tracked_persist(_features_labeled(docs))
-    weights = _weights_from(fl)
-    feats = fl.select("doc_id", "bucket")
-    j = feats.join(F.broadcast(weights.select("bucket", "weight_pm")),
-                   "bucket")
-    agg = j.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_feat"),
-        F.sum("weight_pm").alias("evidence_pm"))
-    score = F.expr("evidence_pm DIV n_feat")
-    return agg.select(
-        "doc_id", "n_feat", "evidence_pm", score.alias("score_pm"),
-        (score >= C.NB_KEEP_PM).alias("clf_keep"))
+    return _apply(fl.select("doc_id", "bucket"), _weights_from(fl))
 
 
 def nb_log_odds(weights: DataFrame) -> DataFrame:

@@ -81,8 +81,7 @@ def line_dedup(df: DataFrame, col: str = "ltext",
     lines = df.select(
         "doc_id", F.size(arr).cast("long").alias("n_lines"),
         F.posexplode(arr).alias("pos", "line"))
-    boiler = (lines.groupBy("line")
-              .agg(F.countDistinct("doc_id").alias("df"))
+    boiler = (line_frequencies(df, col)
               .where(F.col("df") > min_df)
               .select("line", F.lit(True).alias("_boiler")))
     kept = (lines.join(F.broadcast(boiler), "line", "left_outer")

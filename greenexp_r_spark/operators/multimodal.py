@@ -40,6 +40,8 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.types import (BinaryType, LongType, StringType,
                                StructField, StructType)
 
+from ..sources import pages as P
+
 META_SCHEMA = StructType([
     StructField("doc_id", LongType()),
     StructField("n_bytes", LongType()),
@@ -56,8 +58,8 @@ def pages_with_payload(docs: DataFrame) -> DataFrame:
     """Attach the html binary payload (input_hint pages shape):
     html = b'<html><body>' + text + b'</body></html>'."""
     html = F.encode(
-        F.concat(F.lit("<html><body>"), F.col("text"),
-                 F.lit("</body></html>")), "UTF-8")
+        F.concat(F.lit(P.HTML_PRE), F.col("text"),
+                 F.lit(P.HTML_POST)), "UTF-8")
     return docs.select("doc_id", html.alias("html"))
 
 
@@ -250,6 +252,34 @@ FRAME_MS = 40             # 25 fps
 DOCS_PER_PARTITION = 2000
 
 
+# order-of-magnitude bytes per document row in the source parquet —
+# only the partition-target GROWTH matters, not the exact count
+_EST_DOC_BYTES = 400
+
+
+def _estimate_rows(df: DataFrame) -> int:
+    """Row-count estimate for partition targeting WITHOUT running a
+    Spark job: source parquet bytes / avg doc size (driver-side file
+    listing).  Falls back to an actual count() only when the plan has
+    no file source (e.g. createDataFrame fixtures) — at corpus scale
+    the estimate avoids a full extra pass per codec query (review r5
+    finding: every gate/bench execution paid a count-scan first)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        files = []
+    if files:
+        import os
+        from urllib.parse import urlparse
+        try:
+            tot = sum(os.path.getsize(urlparse(f).path) for f in files)
+            if tot > 0:
+                return max(1, tot // _EST_DOC_BYTES)
+        except OSError:
+            pass
+    return df.count()
+
+
 def _codec_partitions(df: DataFrame, n_hint: int | None = None) -> int:
     """Document-volume-derived partition target for the codec-bound
     mapInPandas operators (the visibility._obs_partitions doctrine —
@@ -259,7 +289,7 @@ def _codec_partitions(df: DataFrame, n_hint: int | None = None) -> int:
     session parallelism and grows with the document count so a 100×
     corpus gets 100× partitions, not bigger ones."""
     sc = df.sparkSession.sparkContext
-    n = n_hint if n_hint is not None else df.count()
+    n = n_hint if n_hint is not None else _estimate_rows(df)
     base = max(4, 2 * sc.defaultParallelism)
     return max(min(base, max(int(n), 1)), -(-int(n) // DOCS_PER_PARTITION))
 
@@ -419,7 +449,10 @@ def decode_meta(docs: DataFrame) -> DataFrame:
                                    "height", "fmt", "bit_depth",
                                    "n_components", "px_sum")}
             for did, html in zip(pdf["doc_id"], pdf["html"]):
-                text = bytes(html).decode("utf-8")[12:-14]
+                # strip the pages wrapper structurally (sources/pages
+                # constants), not by magic byte offsets
+                text = bytes(html).decode("utf-8")[
+                    len(P.HTML_PRE):-len(P.HTML_POST)]
                 img = synthesize_image(text)
                 meta = decode_image_real(img, want_pixels=img[:8]
                                          == _PNG_SIG)

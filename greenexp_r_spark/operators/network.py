@@ -460,13 +460,14 @@ def network_access_prefilter(points: DataFrame, edges: DataFrame,
     # factorizations
     n_lat = C.ROAD_N
     si, sj = src % n_lat, src // n_lat
+    # each lattice edge advances one cell at cost >= min weight →
+    # more than ceil(max_dist/min_w) cells away is unreachable
+    # (weights don't change across entrances: reduce once, not per park)
+    min_w = float(w.min()) if len(w) else 1.0
+    reach_cells = int(np.ceil(max_dist / max(min_w, 1e-9))) + 1
     rows = []
     for pid, node in zip(ent["park_id"], ent["entrance_node"]):
         ei, ej = int(node) % n_lat, int(node) // n_lat
-        # each lattice edge advances one cell at cost >= min weight →
-        # more than ceil(max_dist/min_w) cells away is unreachable
-        min_w = float(w.min()) if len(w) else 1.0
-        reach_cells = int(np.ceil(max_dist / max(min_w, 1e-9))) + 1
         m = ((np.abs(si - ei) <= reach_cells)
              & (np.abs(sj - ej) <= reach_cells))
         ids, ds = dijkstra_buckets(

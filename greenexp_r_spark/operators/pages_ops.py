@@ -89,7 +89,11 @@ def snapshot_delta(pages: DataFrame, cutoff_us: int) -> DataFrame:
 def snapshot_delta_sql(d, cutoff_us: int) -> str:
     """Shared-SQL rendering of :func:`snapshot_delta` (assumes a
     preceding `pages` CTE) — conditional MAX + two equi-joins back to
-    the capture log (engines without struct-max ordering)."""
+    the capture log (engines without struct-max ordering).  The final
+    GROUP BY + MAX(text) collapses equal-timestamp captures to ONE row
+    with the lexicographically-largest payload, matching the engine's
+    struct-max tie-break exactly (struct comparison falls through
+    warc_ts to text)."""
     return f"""
 agg AS (
   SELECT url,
@@ -102,11 +106,12 @@ delta AS (
   SELECT a.url, a.old_ts, a.new_ts,
          CASE WHEN a.old_ts IS NULL THEN 'added'
               WHEN a.new_ts = a.old_ts THEN 'unchanged'
-              WHEN pn.text = po.text THEN 'recrawled_same'
+              WHEN MAX(pn.text) = MAX(po.text) THEN 'recrawled_same'
               ELSE 'changed' END AS status
   FROM agg a
   LEFT JOIN pages po ON po.url = a.url AND po.warc_ts = a.old_ts
   JOIN pages pn ON pn.url = a.url AND pn.warc_ts = a.new_ts
+  GROUP BY a.url, a.old_ts, a.new_ts
 )"""
 
 

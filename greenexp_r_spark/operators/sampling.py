@@ -18,6 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, functions as F
 
 from .. import constants as C
+from ..functions import text as T
 
 # rate_pm = RATE_BASE_PM + (source_hash % RATE_SPREAD_PM), in
 # per-mille: every source keeps 25.0%..94.9% of its documents
@@ -33,10 +34,9 @@ DRAW_ADD = 40503
 
 
 def _source_hash(source: Column) -> Column:
-    p = F.concat(source, F.lit("_"))
-    return (F.ascii(F.substring(p, 1, 1)) * C.WORDHASH_P1
-            + F.ascii(F.substring(p, 2, 1)) * C.WORDHASH_P2
-            + F.length(source)).cast("long")
+    # the repo's shared portable hash (functions/text.py) — one formula,
+    # one place
+    return T.word_hash(source)
 
 
 def sample_cols(doc_id: Column | None = None,
@@ -54,9 +54,7 @@ def sample_cols(doc_id: Column | None = None,
 def sample_sql(doc_id: str = "doc_id", source: str = "source") -> tuple:
     """(rate_sql, sampled_sql) — the DuckDB rendering, byte-identical
     semantics to :func:`sample_cols`."""
-    sh = (f"(ascii(substr({source} || '_', 1, 1)) * {C.WORDHASH_P1}"
-          f" + ascii(substr({source} || '_', 2, 1)) * {C.WORDHASH_P2}"
-          f" + length({source}))")
+    sh = T.word_hash_sql(source)
     rate = f"CAST({RATE_BASE_PM} + {sh} % {RATE_SPREAD_PM} AS BIGINT)"
     draw = f"(({doc_id} * {DRAW_MUL} + {DRAW_ADD}) % 1000)"
     return rate, f"{draw} < ({rate})"

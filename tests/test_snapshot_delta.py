@@ -65,6 +65,43 @@ def test_changed_status_on_mutated_recrawl(spark):
                    "u3": "added", "u4": "unchanged"}
 
 
+def test_equal_timestamp_tiebreak_matches_sql(spark):
+    """Two captures with the SAME warc_ts: the engine's struct max
+    falls through to the lexicographically-largest text; the SQL
+    rendering's GROUP BY + MAX(text) must pick the same row and emit
+    exactly one delta row per url."""
+    import duckdb
+
+    base = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc)
+    later = base + dt.timedelta(days=300)
+    rows = [
+        ("u1", base, b"", "A", "en"), ("u1", base, b"", "B", "en"),
+        ("u1", later, b"", "B", "en"),   # recrawl matches the winner
+        ("u2", base, b"", "A", "en"),
+        ("u2", later, b"", "Z", "en"), ("u2", later, b"", "A", "en"),
+    ]
+    pg = spark.createDataFrame(
+        rows, "url string, warc_ts timestamp, html binary, "
+              "text string, lang string")
+    cutoff = int((base + dt.timedelta(days=180)).timestamp() * 1_000_000)
+    got = sorted(pages_ops.snapshot_delta(pg, cutoff)
+                 .select("url", "status").collect())
+    # u1: old winner 'B', new 'B' → recrawled_same;
+    # u2: old 'A', new winner 'Z' → changed
+    assert [(r.url, r.status) for r in got] == \
+        [("u1", "recrawled_same"), ("u2", "changed")]
+    con = duckdb.connect()
+    vals = ",".join(
+        f"('{u}', TIMESTAMP '{ts:%Y-%m-%d %H:%M:%S}', '{tx}')"
+        for u, ts, _h, tx, _l in rows)
+    sql = (f"WITH pages AS (SELECT * FROM (VALUES {vals})"
+           f" _t(url, warc_ts, text)),"
+           f"{pages_ops.snapshot_delta_sql(DUCK, cutoff)} "
+           f"SELECT url, status FROM delta ORDER BY url")
+    assert con.sql(sql).fetchall() == \
+        [("u1", "recrawled_same"), ("u2", "changed")]
+
+
 def test_single_aggregate_plan(spark):
     """The delta is ONE url-keyed aggregate — no self-join of the
     capture log (the conditional-struct-max shape)."""
