@@ -126,9 +126,36 @@ EXPOSURE = {
 }
 
 
+def _host_probe() -> dict:
+    """Host-phase fingerprint (single burn + 8-thread ratio): the
+    sandbox VM oscillates between clean phases (~0.25 s single burn,
+    ratio ~1.1-1.5) and starved ones (single burn up to 10+ s, or a
+    nominal single burn with the 8-thread ratio climbing toward 8).
+    Embedding the probe in the bench JSON lets a reader tell whether
+    a slow suite measured the engine or the phase."""
+    import numpy as np
+    from concurrent.futures import ThreadPoolExecutor
+
+    def burn(_=None):
+        a = np.arange(3_000_000, dtype=np.int64)
+        for _ in range(40):
+            a = (a * 2654435761 + 12345) % 2147483647
+        return int(a[0])
+
+    t1 = min(_timed_burn(ThreadPoolExecutor, burn, 1, time)
+             for _ in range(2))
+    t8 = _timed_burn(ThreadPoolExecutor, burn, 8, time)
+    return {"single_burn_sec": round(t1, 3),
+            "par8_ratio": round(t8 / max(t1, 1e-9), 2)}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    # certify the phase BEFORE the JVM exists (post-warmup burns are
+    # polluted by background JIT/GC threads)
+    probe_before = _host_probe()
 
     from greenexp_r_spark.session import build_session
     from greenexp_r_spark.registry import build_registry
@@ -239,6 +266,11 @@ def main() -> None:
         "exposure_points_per_sec": round(processed / exposure_sec, 1)
         if exposure_sec else None,
         "rows": rows,
+        # clean phase: single_burn_sec ~0.25 and par8_ratio ~1.1-1.5;
+        # a slow suite with a dirty probe measured the host, not the
+        # engine (BENCH/BASELINE.md documents the phase history)
+        "host_probe_before": probe_before,
+        "host_probe_after": _host_probe(),
         "scaling": scaling,
     }
     print(json.dumps(result))

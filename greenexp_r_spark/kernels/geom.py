@@ -243,6 +243,29 @@ def points_in_convex_polygon(px: np.ndarray, py: np.ndarray,
 
 # ------------------------------------------------------- convex hull
 
+def _turn_sign(o, a, p) -> int:
+    """Exact sign of cross(o→a, o→p).  The float expression first;
+    only when it lands on 0 (a collinear verdict that underflow or
+    rounding can fake — hypothesis found a subnormal-coordinate case
+    where the product 2.2e-16·2.2e-311 flushed to zero and popped a
+    genuine hull vertex) re-derive the sign in exact rational
+    arithmetic.  Every float is an exact rational, so Fraction gives
+    the true sign; for integer-valued world coordinates the float
+    path is already exact and the slow path never runs."""
+    t1 = (a[0] - o[0]) * (p[1] - o[1])
+    t2 = (a[1] - o[1]) * (p[0] - o[0])
+    c = t1 - t2
+    # Shewchuk's orient2d static filter (ccwerrboundA): outside this
+    # bound the float sign is provably correct
+    if abs(c) > 3.3306690738754716e-16 * (abs(t1) + abs(t2)):
+        return 1 if c > 0 else -1
+    from fractions import Fraction as Fr
+    ox, oy = Fr(float(o[0])), Fr(float(o[1]))
+    ce = ((Fr(float(a[0])) - ox) * (Fr(float(p[1])) - oy)
+          - (Fr(float(a[1])) - oy) * (Fr(float(p[0])) - ox))
+    return (ce > 0) - (ce < 0)
+
+
 def convex_hull(points: np.ndarray) -> np.ndarray:
     """Andrew monotone chain — P5 (st_convex_hull).  Returns the CCW
     hull ring (open)."""
@@ -257,9 +280,7 @@ def convex_hull(points: np.ndarray) -> np.ndarray:
         out = []
         for p in seq:
             while len(out) >= 2:
-                o, a = out[-2], out[-1]
-                if (a[0] - o[0]) * (p[1] - o[1]) \
-                        - (a[1] - o[1]) * (p[0] - o[0]) <= 0:
+                if _turn_sign(out[-2], out[-1], p) <= 0:
                     out.pop()
                 else:
                     break

@@ -4,7 +4,7 @@ kernels — SURVEY §5(d)'s invariants."""
 from __future__ import annotations
 
 import numpy as np
-from hypothesis import given, settings, strategies as st
+from hypothesis import example, given, settings, strategies as st
 
 from greenexp_r_spark import constants as C
 from greenexp_r_spark.kernels import geom as G
@@ -15,6 +15,12 @@ coords = st.floats(min_value=-1000, max_value=1000,
 
 @settings(max_examples=60, deadline=None)
 @given(st.lists(st.tuples(coords, coords), min_size=3, max_size=40))
+@example(
+    pts=[(0.0, 0.0),
+     (1.0, 1.0),
+     (2.225073858507e-311, 0.0),
+     (2.225073858507e-311, -2.220446049250313e-16)],
+).via('discovered failure')
 def test_hull_contains_all_points(pts):
     arr = np.array(pts, dtype=float)
     hull = G.convex_hull(arr)
