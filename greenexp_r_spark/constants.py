@@ -178,6 +178,12 @@ LM_TAIL_PM = 21_000          # analog of CCNet's precomputed percentiles
                              # (chosen from the synthetic corpus's score
                              # quartiles, as CCNet fixes them per language)
 
+# ---- BM25 relevance scoring (operators/bm25.py) --------------------------
+BM25_TERMS = ("dup", "spark", "scan", "merge")   # fixed query-term set:
+                                                 # df spread 25..398 at
+                                                 # sf0.01 exercises the
+                                                 # full idf range
+
 # ---- similarity search ---------------------------------------------------
 ANN_K = 3
 ANN_QUERIES = 10                       # first N vec_ids used as queries

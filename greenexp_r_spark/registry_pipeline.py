@@ -52,13 +52,15 @@ def _q_dedup_neardup_union(spark, sf):
 
 
 def _q_quality_classifier(spark, sf):
-    """NB evidence scorer + hashed-bigram LM buckets, joined on
-    doc_id — the two model-based quality signals of a CCNet-style
-    pipeline over one documents table."""
-    from .operators import lmscore
+    """NB evidence scorer + hashed-bigram LM buckets + BM25 relevance
+    against the fixed query-term set, joined on doc_id — the three
+    model/score-based quality signals of a CCNet-style pipeline over
+    one documents table."""
+    from .operators import bm25, lmscore
     docs = _docs(spark, sf)
-    return classify.quality_classifier(docs) \
-        .join(lmscore.lm_buckets(docs), "doc_id")
+    return (classify.quality_classifier(docs)
+            .join(lmscore.lm_buckets(docs), "doc_id")
+            .join(bm25.bm25_scores(docs), "doc_id"))
 
 
 def _q_ann_topk_union(spark, sf):
@@ -237,14 +239,18 @@ lm AS (
 
 def _oracle_classifier_lm(d: Dialect) -> str:
     """q_quality_classifier oracle: the NB classifier oracle joined
-    with the LM-bucket CTEs on doc_id (merged-entry precedent:
-    multimodal meta+thumbnail)."""
+    with the LM-bucket and BM25 CTEs on doc_id (merged-entry
+    precedent: multimodal meta+thumbnail)."""
+    from .operators import bm25
+    terms = ", ".join(f"'{t}'" for t in C.BM25_TERMS)
     return f"""
 WITH clf AS ({_oracle_classifier(d)}),
-{_lm_ctes(d).lstrip()}
+{_lm_ctes(d).lstrip()},{bm25.bm25_ctes(terms)}
 SELECT c.doc_id, c.n_feat, c.evidence_pm, c.score_pm, c.clf_keep,
-       l.n_bigrams, l.lm_score_pm, l.ppl_bucket
+       l.n_bigrams, l.lm_score_pm, l.ppl_bucket,
+       b.n_hit_terms, b.bm25_micro
 FROM clf c JOIN lm l ON c.doc_id = l.doc_id
+           JOIN bm25 b ON c.doc_id = b.doc_id
 """
 
 
