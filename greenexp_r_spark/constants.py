@@ -19,11 +19,14 @@ P31 = 2_147_483_647          # Mersenne prime 2^31-1, the mixing modulus
 X_MUL, X_ADD = 2_654_435_761, 12_345
 Y_MUL, Y_ADD = 1_099_087_573, 54_321
 
-# ---- pages snapshot-delta cutoff (operators/pages_ops.py) ---------------
+# ---- pages capture epoch + snapshot-delta cutoff ------------------------
+# the single source of the 2024-01-01T00:00:00Z epoch every capture
+# timestamp builds on (sources/pages.py re-exports it)
+EPOCH_2024_S = 1_704_067_200
 # ~23 days into 2024: first captures land at (doc_id*7919+101)%YEAR_S,
 # so a cutoff inside that early window exercises added AND unchanged
 # AND recrawled_same at every test scale (verified sf0.001/0.01/0.1)
-SNAP_CUTOFF_US = (1_704_067_200 + 2_000_000) * 1_000_000
+SNAP_CUTOFF_US = (EPOCH_2024_S + 2_000_000) * 1_000_000
 
 # ---- buffers (reference default: ndvi_calc.R buffer_distance arg) -------
 BUFFER_M = 300               # the README's canonical 300 m buffer

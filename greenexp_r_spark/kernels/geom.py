@@ -259,11 +259,16 @@ def _turn_sign(o, a, p) -> int:
     # bound the float sign is provably correct
     if abs(c) > 3.3306690738754716e-16 * (abs(t1) + abs(t2)):
         return 1 if c > 0 else -1
-    from fractions import Fraction as Fr
-    ox, oy = Fr(float(o[0])), Fr(float(o[1]))
-    ce = ((Fr(float(a[0])) - ox) * (Fr(float(p[1])) - oy)
-          - (Fr(float(a[1])) - oy) * (Fr(float(p[0])) - ox))
-    return (ce > 0) - (ce < 0)
+    try:
+        from fractions import Fraction as Fr
+        ox, oy = Fr(float(o[0])), Fr(float(o[1]))
+        ce = ((Fr(float(a[0])) - ox) * (Fr(float(p[1])) - oy)
+              - (Fr(float(a[1])) - oy) * (Fr(float(p[0])) - ox))
+        return (ce > 0) - (ce < 0)
+    except (OverflowError, ValueError):
+        # non-finite coordinate (inf/nan): no exact answer exists —
+        # degrade to the float verdict like the pre-filter code did
+        return 1 if c > 0 else (-1 if c < 0 else 0)
 
 
 def convex_hull(points: np.ndarray) -> np.ndarray:

@@ -82,16 +82,20 @@ def bm25_scores(docs: DataFrame,
                      .alias("bm25_micro")))
 
 
-def bm25_ctes(term_list_sql: str) -> str:
-    """DuckDB CTE chain ending in bm25(doc_id, n_hit_terms,
+def bm25_ctes(d, term_list_sql: str) -> str:
+    """Shared-SQL CTE chain ending in bm25(doc_id, n_hit_terms,
     bm25_micro) — replays :func:`bm25_scores` over a preceding
-    ``documents`` view; ``term_list_sql`` is the quoted IN-list."""
+    ``documents`` view; rendered through the Dialect layer like every
+    sibling oracle fragment; ``term_list_sql`` is the quoted
+    IN-list."""
+    w = d.split("text")
+    base = (f"SELECT doc_id, {w} AS warr,"
+            f" CAST({d.asize(w)} AS BIGINT) AS dl FROM documents")
+    exploded = d.explode_range(base, "p", "1", d.asize("warr"))
     return f"""
 bm_base AS (
-  SELECT doc_id,
-         CAST(len(string_split(text, ' ')) AS BIGINT) AS dl,
-         unnest(string_split(text, ' ')) AS w
-  FROM documents
+  SELECT doc_id, dl, {d.elem('warr', 'p')} AS w
+  FROM ({exploded}) _bmw
 ),
 bm_tf AS (
   SELECT doc_id, w, CAST(COUNT(*) AS BIGINT) AS tf, MAX(dl) AS dl
@@ -102,7 +106,7 @@ bm_df AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df
           FROM bm_tf GROUP BY w),
 bm_stats AS (
   SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-         CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS sum_len
+         CAST(SUM({d.asize(d.split('text'))}) AS BIGINT) AS sum_len
   FROM documents
 ),
 bm_scored AS (

@@ -263,7 +263,13 @@ def _estimate_rows(df: DataFrame) -> int:
     listing).  Falls back to an actual count() only when the plan has
     no file source (e.g. createDataFrame fixtures) — at corpus scale
     the estimate avoids a full extra pass per codec query (review r5
-    finding: every gate/bench execution paid a count-scan first)."""
+    finding: every gate/bench execution paid a count-scan first).
+
+    CONTRACT: inputFiles() sees the UNFILTERED source, so the estimate
+    assumes `df` is (a projection of) the whole table — the shape of
+    every in-repo codec caller.  A heavily-filtered frame would get a
+    full-corpus partition target (many near-empty tasks): such callers
+    must pass n_hint to _codec_partitions instead."""
     try:
         files = df.inputFiles()
     except Exception:

@@ -245,7 +245,7 @@ def _oracle_classifier_lm(d: Dialect) -> str:
     terms = ", ".join(f"'{t}'" for t in C.BM25_TERMS)
     return f"""
 WITH clf AS ({_oracle_classifier(d)}),
-{_lm_ctes(d).lstrip()},{bm25.bm25_ctes(terms)}
+{_lm_ctes(d).lstrip()},{bm25.bm25_ctes(d, terms)}
 SELECT c.doc_id, c.n_feat, c.evidence_pm, c.score_pm, c.clf_keep,
        l.n_bigrams, l.lm_score_pm, l.ppl_bucket,
        b.n_hit_terms, b.bm25_micro

@@ -35,7 +35,10 @@ from .. import constants as C
 from ..dialect import Dialect
 
 # capture-schedule constants (deterministic, integer-exact)
-EPOCH_2024_S = 1_704_067_200          # 2024-01-01T00:00:00Z
+EPOCH_2024_S = C.EPOCH_2024_S         # 2024-01-01T00:00:00Z (single
+                                      # source: constants.py — the
+                                      # snapshot-delta cutoff derives
+                                      # from the same value)
 YEAR_S = 31_536_000
 TS0_MUL, TS0_ADD = 7_919, 101
 RE1_MOD = 4                            # every 4th url is re-crawled

@@ -68,6 +68,29 @@ def test_rarer_term_outscores_common_at_equal_tf(spark):
     assert s[9] > s[10]
 
 
+def test_duckdb_ctes_match_engine(spark):
+    """The shared-SQL rendering (bm25_ctes) must reproduce the engine
+    exactly on a fixture with zero-hit, single-word and repeated-term
+    docs — the targeted unit for what the gate would otherwise only
+    report as an opaque hash mismatch."""
+    import duckdb
+
+    from greenexp_r_spark.dialect import DUCK
+
+    docs = spark.createDataFrame(list(FIX.items()),
+                                 "doc_id long, text string")
+    got = {r.doc_id: (r.n_hit_terms, r.bm25_micro)
+           for r in bm25.bm25_scores(docs).collect()}
+    con = duckdb.connect()
+    vals = ",".join(f"({d}, '{t}')" for d, t in FIX.items())
+    terms = ", ".join(f"'{t}'" for t in TERMS)
+    sql = (f"WITH documents AS (SELECT * FROM (VALUES {vals})"
+           f" _t(doc_id, text)),{bm25.bm25_ctes(DUCK, terms)} "
+           f"SELECT doc_id, n_hit_terms, bm25_micro FROM bm25")
+    oracle = {d: (h, s) for d, h, s in con.sql(sql).fetchall()}
+    assert got == oracle
+
+
 def test_model_joins_are_broadcast(spark):
     docs = spark.createDataFrame(list(FIX.items()),
                                  "doc_id long, text string")
