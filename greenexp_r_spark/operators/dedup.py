@@ -313,11 +313,15 @@ def corpus_select(docs: DataFrame) -> DataFrame:
     canonical keeper (min doc_id) of their dedup group; plus the
     deterministic mixture-sampling draw (operators/sampling.py, r5
     late) — rate from the source-domain hash, keep/drop from the
-    doc_id hash — as columns (production filters on `sampled`).
+    doc_id hash — plus the leakage-free held-out `split`
+    (operators/splits.py): every kept document is its own dedup-
+    cluster keeper (non-keepers were just dropped), so keying the
+    split on doc_id IS keying it on the canonical cluster id — a
+    dropped near-twin can never resurface in a different split.
     Output: (doc_id, quality, predicted_lang, sample_rate_pm,
-    sampled) for the kept set — the one-query version of a
-    filter+dedup+mixture data pipeline."""
-    from . import sampling, textqa
+    sampled, split) for the kept set — the one-query version of a
+    filter+dedup+mixture+split data pipeline."""
+    from . import sampling, splits, textqa
 
     q = textqa.quality_score(docs).select("doc_id", "quality")
     lid = textqa.lang_id(docs).select("doc_id", "predicted_lang",
@@ -331,7 +335,8 @@ def corpus_select(docs: DataFrame) -> DataFrame:
             .join(drop, "doc_id", "left_anti")
             .join(smp, "doc_id")
             .select("doc_id", "quality", "predicted_lang",
-                    "sample_rate_pm", "sampled"))
+                    "sample_rate_pm", "sampled",
+                    splits.split_col(F.col("doc_id")).alias("split")))
 
 
 def simhash_signatures(corpus: DataFrame,

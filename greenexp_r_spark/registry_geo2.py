@@ -399,34 +399,57 @@ FROM v GROUP BY point_id
 
 
 def _q_domain_stats(s, sf):
-    """Per-domain stats + the UT1-style blocklist flag (r5-late):
-    the blocklist is a genuine dim TABLE broadcast-left-joined on the
-    Spark side; the oracle computes the same membership inline."""
-    from .operators import textqa
+    """Per-domain stats + the UT1-style blocklist flag (r5-late) +
+    link-graph PageRank centrality (r5 session 4): the blocklist is a
+    genuine dim TABLE broadcast-left-joined on the Spark side; the
+    PageRank columns come from the real href-regex link extraction
+    over augmented markup and an integer-exact power iteration
+    (operators/linkgraph.py — the CC host-centrality quality prior)."""
+    from .operators import linkgraph, textqa
     pts = world.points_df(s, sf)
-    return textqa.domain_stats(pts,
+    base = textqa.domain_stats(pts,
                                blocklist=textqa.domain_blocklist(pts))
+    # checkpoint the edge set BEFORE the size probe (doctrine: the
+    # probe must not re-run the extraction scan)
+    edges = linkgraph.page_links(pts).localCheckpoint(eager=True)
+    pr = linkgraph.pagerank(linkgraph.graph_nodes(pts, edges), edges)
+    return (base.join(pr, base["domain"] == pr["host"], "left")
+            .select(base["domain"], "n_pages", "total_chars",
+                    "mean_quality", "blocked",
+                    F.coalesce(pr["outdeg"], F.lit(0))
+                    .cast("long").alias("outdeg"),
+                    F.col("pagerank_micro")))
 
 
 def _oracle_domain_stats(d: Dialect) -> str:
+    from .operators import linkgraph
     from .registry_pipeline import _oracle_quality
     return f"""
 WITH points AS ({world.points_sql(d)}),
 qual AS ({_oracle_quality(d)}),
+{linkgraph.pagerank_ctes(d)},
 j AS (
   SELECT p.url, CAST(length(p.text) AS BIGINT) AS n_chars,
          CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
   FROM points p JOIN qual q ON p.point_id = q.doc_id
+),
+base AS (
+  SELECT domain, COUNT(*) AS n_pages,
+         CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+         CAST(SUM(q_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
+             AS mean_quality,
+         ({T.word_hash_sql('domain')}) % 17 = 3 AS blocked
+  FROM (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
+               n_chars, q_micro
+        FROM j) _d
+  GROUP BY domain
 )
-SELECT domain, COUNT(*) AS n_pages,
-       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
-       CAST(SUM(q_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
-           AS mean_quality,
-       ({T.word_hash_sql('domain')}) % 17 = 3 AS blocked
-FROM (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
-             n_chars, q_micro
-      FROM j) _d
-GROUP BY domain
+SELECT b.domain, b.n_pages, b.total_chars, b.mean_quality, b.blocked,
+       CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg,
+       CAST(p.pr AS BIGINT) AS pagerank_micro
+FROM base b
+LEFT JOIN lg_outd o ON o.src = b.domain
+LEFT JOIN lg_pr{linkgraph.PR_ROUNDS} p ON p.host = b.domain
 """
 
 

@@ -9,7 +9,8 @@ from pyspark.sql import functions as F
 from . import constants as C
 from .dialect import DUCK, Dialect
 from .functions import text as T
-from .operators import classify, dedup, multimodal, pii, similarity, textqa
+from .operators import (classify, dedup, multimodal, pii, similarity,
+                        splits, textqa)
 from .registry import QSpec
 
 
@@ -553,12 +554,14 @@ lab AS (SELECT src AS doc_id, MIN(dst) AS group_id FROM reach GROUP BY src)"""
 
 
 def _oracle_dedup_groups(d: Dialect) -> str:
+    from .operators import splits
     return f"""
 WITH RECURSIVE corpus AS ({dedup.corpus_sql()}),
 {_minhash_ctes(d)},
 {_group_ctes(d)},
 sz AS (SELECT group_id, COUNT(*) AS group_size FROM lab GROUP BY group_id)
-SELECT l.group_id, l.doc_id, s.group_size
+SELECT l.group_id, l.doc_id, s.group_size,
+       {splits.split_sql('l.group_id')} AS split
 FROM lab l JOIN sz s ON l.group_id = s.group_id
 """
 
@@ -576,7 +579,8 @@ smp AS (SELECT doc_id, {rate_sql} AS sample_rate_pm,
                {sampled_sql} AS sampled FROM documents),
 dropped AS (SELECT DISTINCT doc_id FROM lab WHERE doc_id <> group_id)
 SELECT q.doc_id, q.quality, l.predicted_lang,
-       s.sample_rate_pm, s.sampled
+       s.sample_rate_pm, s.sampled,
+       {splits.split_sql('q.doc_id')} AS split
 FROM qual q JOIN lid l ON q.doc_id = l.doc_id
 JOIN smp s ON s.doc_id = q.doc_id
 WHERE q.quality > 0.3 AND l.lang_match
@@ -1209,9 +1213,13 @@ def build_pipeline_registry() -> dict[str, QSpec]:
             _oracle_substrdup(d)),
         # capstones: near-dup clusters → canonical keeper; and the
         # composed filter+dedup corpus-selection pipeline
+        # + leakage-free split assignment (operators/splits.py): the
+        # held-out split keyed on the cluster keeper, so near-dup
+        # twins never straddle train/test
         "q_dedup_groups": QSpec(
-            lambda s, sf: dedup.dedup_groups(
-                dedup.augmented_corpus(_docs(s, sf))),
+            lambda s, sf: splits.leakage_free_split(
+                dedup.dedup_groups(
+                    dedup.augmented_corpus(_docs(s, sf)))),
             _oracle_dedup_groups(d)),
         "q_corpus_select": QSpec(
             lambda s, sf: dedup.corpus_select(_docs(s, sf)),
