@@ -135,6 +135,26 @@ def pagerank(nodes: DataFrame, edges: DataFrame,
     return _pagerank_distributed(nodes, edges, rounds, total)
 
 
+def pagerank_arrays(n: int, src_i: np.ndarray, dst_i: np.ndarray,
+                    rounds: int = PR_ROUNDS,
+                    total: int = PR_TOTAL) -> tuple:
+    """The pure integer contract over index arrays: returns
+    (outdeg, pr) int64 vectors.  Factored out so property tests can
+    hammer it against an independent reference without Spark."""
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, src_i, 1)
+    pr = np.full(n, total // n, dtype=np.int64)
+    base = (PR_BASE_NUM * (total // n)) // PR_DEN
+    linked = outdeg > 0
+    for _ in range(rounds):
+        contrib = pr[src_i] // outdeg[src_i]
+        inc = np.zeros(n, dtype=np.int64)
+        np.add.at(inc, dst_i, contrib)
+        dang = int(pr[~linked].sum())
+        pr = base + (PR_DAMP_NUM * (inc + dang // n)) // PR_DEN
+    return outdeg, pr
+
+
 def _pagerank_driver(nodes: DataFrame, edges: DataFrame,
                      rounds: int, total: int) -> DataFrame:
     """Dimension-sized graphs solve on the driver: factorized host
@@ -154,17 +174,7 @@ def _pagerank_driver(nodes: DataFrame, edges: DataFrame,
     # a silent -1 from get_indexer would scatter into the last row
     if len(ep) and (src_i.min() < 0 or dst_i.min() < 0):
         raise ValueError("pagerank: edge endpoint missing from nodes")
-    outdeg = np.zeros(n, dtype=np.int64)
-    np.add.at(outdeg, src_i, 1)
-    pr = np.full(n, total // n, dtype=np.int64)
-    base = (PR_BASE_NUM * (total // n)) // PR_DEN
-    linked = outdeg > 0
-    for _ in range(rounds):
-        contrib = pr[src_i] // outdeg[src_i]
-        inc = np.zeros(n, dtype=np.int64)
-        np.add.at(inc, dst_i, contrib)
-        dang = int(pr[~linked].sum())
-        pr = base + (PR_DAMP_NUM * (inc + dang // n)) // PR_DEN
+    outdeg, pr = pagerank_arrays(n, src_i, dst_i, rounds, total)
     out = pd.DataFrame({"host": hosts,
                         "outdeg": outdeg,
                         "pagerank_micro": pr})

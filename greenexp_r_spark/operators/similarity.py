@@ -228,7 +228,8 @@ def neardup_groups(embeddings: DataFrame,
 
 
 def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
-                           n_queries: int = C.ANN_QUERIES) -> DataFrame:
+                           n_queries: int = C.ANN_QUERIES,
+                           qv: DataFrame | None = None) -> DataFrame:
     """Arrow-batched variant of brute_force_topk: the (small) query
     matrix rides to every task as a Spark broadcast; each Arrow batch
     of candidates is scored with ONE numpy int64 matmul against all
@@ -240,14 +241,18 @@ def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
     higher-order functions become the bottleneck: compute moves to
     BLAS-backed batch matmul, shuffle carries only (query, candidate,
     score) partials capped at k per (batch, query).
-    """
+
+    `qv` overrides the default milli-unit quantization with any
+    pre-computed (vec_id, q: array<long>, norm2: long) frame — the
+    JL-projected space plugs in here (jl_topk)."""
     from collections.abc import Iterator
 
     import pandas as pd
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
-    qv = quantized(embeddings)
+    if qv is None:
+        qv = quantized(embeddings)
     qrows = qv.where(F.col("vec_id") < n_queries) \
               .orderBy("vec_id").collect()
     qids = np.array([r.vec_id for r in qrows], dtype=np.int64)
@@ -293,6 +298,75 @@ def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
     return (partials.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
+
+
+# ------------------------------------------------------------------
+# Johnson–Lindenstrauss random projection (dimensionality reduction)
+# ------------------------------------------------------------------
+JL_DIMS = 16                       # projected dimensionality
+JL_A, JL_B, JL_C = 48_271, 16_807, 12_345   # sign-hash mixing
+
+
+def jl_sign_matrix(d_in: int, d_out: int = JL_DIMS) -> np.ndarray:
+    """Deterministic ±1 projection matrix (Achlioptas 2001 form):
+    s[i,j] = 1 - 2·(((i·A + j·B + C) mod P31) & 1).  The same formula
+    renders in SQL, so the projection is cross-engine exact."""
+    i = np.arange(d_in, dtype=np.int64)[:, None]
+    j = np.arange(d_out, dtype=np.int64)[None, :]
+    return (1 - 2 * (((i * JL_A + j * JL_B + JL_C) % C.P31) & 1)
+            ).astype(np.int64)
+
+
+def project_jl(embeddings: DataFrame,
+               d_out: int = JL_DIMS) -> DataFrame:
+    """(vec_id, q, norm2) in the PROJECTED space: p = q_milli @ S with
+    the deterministic sign matrix — one int64 GEMM per Arrow batch, so
+    every projected coordinate is an exact BIGINT (|p_j| ≤ d_in·|q|max
+    ≈ 64k milli-units: no overflow anywhere near int64).
+
+    The training-pipeline role: cut embedding width (e.g. 1536→16)
+    BEFORE the expensive similarity stages — the projected table is
+    d_in/d_out× smaller to shuffle and GEMM, and JL guarantees
+    pairwise distances are preserved within (1±ε).  Composes with any
+    downstream consumer of quantized() (brute/IVF/LSH take `qv=`)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("q", ArrayType(LongType())),
+        StructField("norm2", LongType()),
+    ])
+
+    def proj(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        S = None
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            if S is None or S.shape[0] != Q.shape[1]:
+                S = jl_sign_matrix(Q.shape[1], d_out)
+            P = Q @ S
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(),
+                "q": list(P),
+                "norm2": (P * P).sum(axis=1)})
+
+    return quantized(embeddings).mapInPandas(proj, schema)
+
+
+def jl_topk(embeddings: DataFrame, k: int = C.ANN_K,
+            n_queries: int = C.ANN_QUERIES,
+            d_out: int = JL_DIMS) -> DataFrame:
+    """Top-k by cosine in the JL-projected space (the reduced-width
+    approximation of brute_force_topk — rank fidelity is the JL
+    distance-preservation guarantee, arithmetic is exact BIGINT so
+    the result is deterministic and SQL-replayable)."""
+    return brute_force_topk_numpy(embeddings, k, n_queries,
+                                  qv=project_jl(embeddings, d_out))
 
 
 # Recall contract (review finding, round 2): sign-bit LSH recall is

@@ -65,10 +65,12 @@ def _q_quality_classifier(spark, sf):
 
 
 def _q_ann_topk_union(spark, sf):
-    """Brute + IVF + k-means-trained-IVF top-k over ONE embeddings
-    scan, tagged by variant (cached so the paths share the quantized
-    corpus read).  The kmeans variant joined the union r5-late,
-    freeing its slot for q_seq_pack."""
+    """Brute + IVF + k-means-trained-IVF + JL-projected top-k over
+    ONE embeddings scan, tagged by variant (cached so the paths share
+    the quantized corpus read).  The kmeans variant joined the union
+    r5-late, freeing its slot for q_seq_pack; the jl variant (r5
+    session 4) proves the dimensionality-reduction transform
+    end-to-end (project → exact integer cosine → top-k)."""
     emb = _emb(spark, sf)
     brute = similarity.brute_force_topk_numpy(emb).select(
         F.lit("brute").alias("variant"), "query_id", "rank",
@@ -79,7 +81,10 @@ def _q_ann_topk_union(spark, sf):
     km = similarity.ivf_topk_trained(emb).select(
         F.lit("kmeans").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    return brute.unionByName(ivf).unionByName(km)
+    jl = similarity.jl_topk(emb).select(
+        F.lit("jl").alias("variant"), "query_id", "rank",
+        "neighbor_id", "cos_sim")
+    return brute.unionByName(ivf).unionByName(km).unionByName(jl)
 
 
 # ---------------------------------------------------------------------
@@ -636,6 +641,48 @@ def _oracle_brute_topk(d: Dialect) -> str:
     return f"""
 WITH quant AS ({_QUANT}),
 qv AS ({_NORM}),
+cand AS (
+  SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
+  FROM (SELECT * FROM qv WHERE vec_id < {C.ANN_QUERIES}) qs
+  JOIN qv c ON c.vec_id <> qs.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, cos_sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY cos_sim DESC, neighbor_id ASC) AS INT) AS rank
+  FROM cand
+)
+SELECT query_id, rank, neighbor_id, cos_sim FROM ranked
+WHERE rank <= {C.ANN_K}
+"""
+
+
+def _oracle_jl_topk(d: Dialect) -> str:
+    """Replays project_jl + brute top-k: the ±1 sign matrix from the
+    same affine-parity formula as similarity.jl_sign_matrix, the
+    projection as an exact BIGINT sum, then the standard ranked-cosine
+    shape over the projected vectors."""
+    from .operators.similarity import JL_A, JL_B, JL_C, JL_DIMS
+    sign = (f"(1 - 2 * ((((t.i - 1) * {JL_A} + js.j * {JL_B} + {JL_C})"
+            f" % {C.P31}) & 1))")
+    cos = _cos_sql("CAST(list_dot_product(qs.q, c.q) AS BIGINT)",
+                   "qs.norm2", "c.norm2")
+    return f"""
+WITH quant AS ({_QUANT}),
+idx AS (SELECT vec_id, q, unnest(generate_series(1, len(q))) AS i
+        FROM quant),
+js AS (SELECT unnest(generate_series(0, {JL_DIMS - 1})) AS j),
+terms AS (
+  SELECT t.vec_id, js.j,
+         CAST(SUM(t.q[t.i] * {sign}) AS BIGINT) AS p
+  FROM idx t CROSS JOIN js
+  GROUP BY t.vec_id, js.j
+),
+proj AS (SELECT vec_id, list(p ORDER BY j) AS q FROM terms
+         GROUP BY vec_id),
+qv AS (SELECT vec_id, q,
+              CAST(list_dot_product(q, q) AS BIGINT) AS norm2
+       FROM proj),
 cand AS (
   SELECT qs.vec_id AS query_id, c.vec_id AS neighbor_id, {cos} AS cos_sim
   FROM (SELECT * FROM qv WHERE vec_id < {C.ANN_QUERIES}) qs
@@ -1258,7 +1305,11 @@ def build_pipeline_registry() -> dict[str, QSpec]:
                 UNION ALL
                 SELECT 'kmeans' AS variant, query_id, rank,
                        neighbor_id, cos_sim
-                FROM ({_oracle_ivf_kmeans(d)}) _k"""),
+                FROM ({_oracle_ivf_kmeans(d)}) _k
+                UNION ALL
+                SELECT 'jl' AS variant, query_id, rank,
+                       neighbor_id, cos_sim
+                FROM ({_oracle_jl_topk(d)}) _j"""),
         # r5 late: GPT-style sequence packing — two-phase distributed
         # prefix sum (bucket totals -> dimension-sized window ->
         # broadcast -> per-bucket window) vs the flat sequential

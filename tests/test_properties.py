@@ -164,3 +164,54 @@ def test_points_in_rings_xor_property(seed):
     cancel = CK.points_in_rings(px, py, [ring, hole, hole])
     outer_only = CK.points_in_rings(px, py, [ring])
     assert (cancel == outer_only).all()
+
+
+# ------------------------------------------------------------------
+# PageRank integer contract (operators/linkgraph.py) — the pure-array
+# solver must equal an independent dict-based reimplementation on
+# arbitrary random graphs (dangling nodes, multi-edges excluded by
+# construction upstream but harmless here, hub skew, isolates).
+# ------------------------------------------------------------------
+
+@settings(max_examples=60, deadline=None)
+@given(st.integers(min_value=1, max_value=14),
+       st.lists(st.tuples(st.integers(0, 13), st.integers(0, 13)),
+                max_size=60))
+def test_pagerank_arrays_match_reference(n, raw_edges):
+    from greenexp_r_spark.operators import linkgraph as LG
+    edges = sorted({(a % n, b % n) for a, b in raw_edges if a % n != b % n})
+    src = np.array([a for a, _ in edges], dtype=np.int64)
+    dst = np.array([b for _, b in edges], dtype=np.int64)
+    outdeg, pr = LG.pagerank_arrays(n, src, dst)
+    # independent reference in pure python ints
+    od = {v: 0 for v in range(n)}
+    for a, _ in edges:
+        od[a] += 1
+    p = {v: LG.PR_TOTAL // n for v in range(n)}
+    base = (LG.PR_BASE_NUM * (LG.PR_TOTAL // n)) // LG.PR_DEN
+    for _ in range(LG.PR_ROUNDS):
+        inc = {v: 0 for v in range(n)}
+        for a, b in edges:
+            inc[b] += p[a] // od[a]
+        dang = sum(p[v] for v in range(n) if od[v] == 0)
+        p = {v: base + (LG.PR_DAMP_NUM * (inc[v] + dang // n))
+             // LG.PR_DEN for v in range(n)}
+    for v in range(n):
+        assert outdeg[v] == od[v]
+        assert pr[v] == p[v]
+
+
+@settings(max_examples=60, deadline=None)
+@given(st.lists(st.floats(min_value=-2.0, max_value=2.0,
+                          allow_nan=False), min_size=4, max_size=64))
+def test_jl_projection_linear_and_exact(vec):
+    from greenexp_r_spark.operators import similarity as S
+    q = np.round(np.array(vec) * 1000).astype(np.int64)
+    M = S.jl_sign_matrix(len(q))
+    p = q @ M
+    # exactness: every projected coordinate is the signed integer sum
+    for j in range(M.shape[1]):
+        assert p[j] == int(sum(int(q[i]) * int(M[i, j])
+                               for i in range(len(q))))
+    # linearity: projection of 2q is 2p (no hidden normalization)
+    assert ((2 * q) @ M == 2 * p).all()
