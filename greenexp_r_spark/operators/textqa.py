@@ -8,7 +8,7 @@ one narrow map stage, zero shuffles, zero Python.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from .. import constants as C
 from ..functions import text as T
@@ -127,6 +127,67 @@ def text_qa(docs: DataFrame) -> DataFrame:
         stop.alias("stopword_cnt"), ratio.alias("stopword_ratio"),
         quality.alias("quality"), pred.alias("predicted_lang"),
         (pred == F.col("lang")).alias("lang_match"))
+
+
+# ------------------------------------------------------------- C4 rules
+# The named document-level cleaning rules of C4 (Raffel et al. 2020,
+# §2.2): drop pages containing '{' (source code), the boilerplate
+# token 'lorem ipsum', the word 'javascript' (blocked-render
+# notices), or fewer than 3 sentences.  The synthetic corpus violates
+# none of them, so the gate computes the flags over deterministically
+# AUGMENTED text (doc_id residues plant each violation — the
+# pii.augmented_text precedent), making every flag nontrivial and the
+# Spark-vs-DuckDB string/regex parity real.
+
+C4_MIN_SENTENCES = 3
+
+
+def c4_augmented(doc_id: Column | None = None,
+                 text: Column | None = None) -> Column:
+    doc_id = F.col("doc_id") if doc_id is None else doc_id
+    text = F.col("text") if text is None else text
+    curly = F.when(doc_id % 9 == 1, F.lit(" code { x }")).otherwise("")
+    lorem = F.when(doc_id % 17 == 2,
+                   F.lit(" lorem ipsum dolor sit")).otherwise("")
+    js = F.when(doc_id % 23 == 3,
+                F.lit(" please enable javascript to view")).otherwise("")
+    sent = (F.when(doc_id % 4 == 0, F.lit(". one more. and another."))
+            .otherwise(F.lit(".")))
+    return F.concat(text, curly, lorem, js, sent)
+
+
+def c4_aug_sql(doc: str = "doc_id", text: str = "text") -> str:
+    """DuckDB rendering of :func:`c4_augmented` (byte-identical)."""
+    return (f"({text}"
+            f" || CASE WHEN ({doc}) % 9 = 1 THEN ' code {{ x }}'"
+            f" ELSE '' END"
+            f" || CASE WHEN ({doc}) % 17 = 2 THEN"
+            f" ' lorem ipsum dolor sit' ELSE '' END"
+            f" || CASE WHEN ({doc}) % 23 = 3 THEN"
+            f" ' please enable javascript to view' ELSE '' END"
+            f" || CASE WHEN ({doc}) % 4 = 0 THEN"
+            f" '. one more. and another.' ELSE '.' END)")
+
+
+def c4_rule_columns(aug: Column) -> list:
+    """[has_curly, has_lorem, has_js, n_sentences, c4_keep] over an
+    (augmented) text column — pure JVM expressions, zero extra scan
+    when folded into an existing projection."""
+    has_curly = F.instr(aug, "{") > 0
+    has_lorem = F.instr(aug, "lorem ipsum") > 0
+    has_js = F.instr(aug, "javascript") > 0
+    n_sent = F.size(
+        F.regexp_extract_all(aug, F.lit("[.!?]"), F.lit(0))).cast("long")
+    keep = (~has_curly & ~has_lorem & ~has_js
+            & (n_sent >= C4_MIN_SENTENCES))
+    return [has_curly.alias("has_curly"), has_lorem.alias("has_lorem"),
+            has_js.alias("has_js"), n_sent.alias("n_sentences"),
+            keep.alias("c4_keep")]
+
+
+def c4_gate_columns(doc_id: Column | None = None,
+                    text: Column | None = None) -> list:
+    return c4_rule_columns(c4_augmented(doc_id, text))
 
 
 def text_profile(docs: DataFrame, extra=()) -> DataFrame:

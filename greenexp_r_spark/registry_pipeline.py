@@ -306,10 +306,13 @@ def _oracle_text_profile(d: Dialect) -> str:
         lang: f"CAST({d.asize(d.afilter(w, 'w', f'w IN ({_in_list(C.LANG_MARKERS[lang])})'))} AS BIGINT)"
         for lang in ("en", "nl", "fr")
     }
+    ns = "CAST(len(regexp_extract_all(c4.c4t, '[.!?]')) AS BIGINT)"
     return f"""
 WITH p0 AS (SELECT doc_id AS pii_id, {_pii_aug_sql()} AS pii0
             FROM documents),
-{_pii_stage_ctes()}
+{_pii_stage_ctes()},
+c4 AS (SELECT doc_id AS c4_id, {textqa.c4_aug_sql()} AS c4t
+       FROM documents)
 SELECT doc_id, lang, n_tokens, n_chars,
        CAST(n_chars - (n_tokens - 1) AS DOUBLE) / n_tokens
            AS mean_token_len,
@@ -327,7 +330,15 @@ SELECT doc_id, lang, n_tokens, n_chars,
              ELSE 'fr' END) = lang AS lang_match,
        n_email, n_ip, n_phone,
        (n_email + n_ip + n_phone) > 0 AS has_pii,
-       pii3 AS text_scrubbed
+       pii3 AS text_scrubbed,
+       position('{{' IN c4.c4t) > 0 AS has_curly,
+       position('lorem ipsum' IN c4.c4t) > 0 AS has_lorem,
+       position('javascript' IN c4.c4t) > 0 AS has_js,
+       {ns} AS n_sentences,
+       (position('{{' IN c4.c4t) = 0
+        AND position('lorem ipsum' IN c4.c4t) = 0
+        AND position('javascript' IN c4.c4t) = 0
+        AND {ns} >= {textqa.C4_MIN_SENTENCES}) AS c4_keep
 FROM (
   SELECT doc_id, lang, n_tokens, n_chars, n_alpha, n_num, n_other,
          stopword_cnt, cnt_en, cnt_nl, cnt_fr,
@@ -344,6 +355,7 @@ FROM (
         FROM documents) _c
 ) _g
 JOIN p3 ON p3.pii_id = _g.doc_id
+JOIN c4 ON c4.c4_id = _g.doc_id
 """
 
 
@@ -1203,9 +1215,12 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         # nontrivial on the PII-free synthetic corpus and the
         # text_scrubbed string is a byte-identity proof of the
         # Java-regex ≡ RE2 redaction
+        # r5 session 4: + the named C4 document rules (curly brace,
+        # lorem ipsum, javascript, min-sentences) over augmented text
         "q_text_profile": QSpec(
             lambda s, sf: textqa.text_profile(
-                _docs(s, sf), extra=pii.gate_columns()),
+                _docs(s, sf),
+                extra=pii.gate_columns() + textqa.c4_gate_columns()),
             _oracle_text_profile(d)),
         # r5: fingerprint consolidated with the Gopher repetition
         # filters (textqa.repetition_stats) — both are position-explode
