@@ -363,6 +363,127 @@ def vacuum(table: str, grace_seconds: float = 3600.0) -> list[str]:
     return removed
 
 
+def compact(spark: SparkSession, table: str,
+            target_rows: int = 1_000_000,
+            stat_cols: list[str] | None = None) -> int | None:
+    """Bin-pack small data files into ~``target_rows`` files as a new
+    snapshot (Iceberg's ``rewrite_data_files`` maintenance action).
+
+    The 100 TB reality this models: streaming/incremental appends leave
+    thousands of KB-sized parquet files per partition, and scan cost
+    becomes file-open-bound (planning O(files), one reader task per
+    tiny split).  Compaction rewrites only files smaller than
+    ``target_rows`` — per bucket partition, never across buckets, so
+    ``bucket_eq`` pruning keeps working — and commits the rewrite with
+    the same CAS pointer swap as ``commit()``: readers see the old or
+    the new file layout, never a mix, and time travel to pre-compaction
+    snapshots still plans from their own manifests (the rewritten
+    small files stay on disk until ``expire_snapshots`` + ``vacuum``).
+
+    Returns the new snapshot id, or None if no group had at least two
+    small files (nothing to do — idempotent by construction).
+    """
+    snap = current_snapshot(table)
+    m = _load_manifest(table, snap)
+    groups: dict = {}
+    for e in m["files"]:
+        key = (e["partition"] or {}).get("bucket") \
+            if e.get("partition") else None
+        groups.setdefault(key, []).append(e)
+    keep, jobs = [], []
+    for key, entries in sorted(groups.items(),
+                               key=lambda kv: (kv[0] is None, kv[0])):
+        small = [e for e in entries if e["rows"] < target_rows]
+        big = [e for e in entries if e["rows"] >= target_rows]
+        if len(small) < 2:
+            keep.extend(entries)
+            continue
+        keep.extend(big)
+        jobs.append((key, small))
+    if not jobs:
+        return None
+    if stat_cols is None:
+        stat_cols = sorted({c for _k, sm in jobs
+                            for e in sm for c in e["stats"]})
+    new_snap = snap + 1
+    data_dir = os.path.join(table, "data",
+                            f"s{new_snap}-{uuid.uuid4().hex[:12]}")
+    new_entries = []
+    for key, small in jobs:
+        total = sum(e["rows"] for e in small)
+        n_out = max(1, -(-total // target_rows))        # ceil
+        out_dir = (os.path.join(data_dir, f"_b={key}")
+                   if key is not None else data_dir)
+        (spark.read.parquet(*[e["path"] for e in small])
+         .repartition(n_out).write.mode("error").parquet(out_dir))
+        part = {"bucket": key} if key is not None else None
+        for f in sorted(os.listdir(out_dir)):
+            if f.endswith(".parquet"):
+                e = _file_entry(os.path.join(out_dir, f), stat_cols)
+                e.partition = part
+                new_entries.append(e)
+    manifest = {
+        "snapshot": new_snap,
+        "parent": snap,
+        "mode": "compact",
+        "partition_spec": m.get("partition_spec"),
+        "files": keep + [vars(e) for e in new_entries],
+    }
+    tag = uuid.uuid4().hex[:8]
+    tmp_manifest = _manifest_path(table, new_snap) + f".{tag}.tmp"
+    with open(tmp_manifest, "w") as f:
+        json.dump(manifest, f)
+    tmp_version = _version_file(table) + f".{tag}.tmp"
+    with open(tmp_version, "w") as f:
+        f.write(str(new_snap))
+    lock = _lock_path(table)
+    try:
+        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.close(fd)
+    except FileExistsError:
+        os.unlink(tmp_manifest)
+        os.unlink(tmp_version)
+        raise CommitConflict(
+            f"another commit holds {lock}; compaction staged files are "
+            "invisible — re-read and retry")
+    try:
+        if current_snapshot(table) != snap:
+            raise CommitConflict(
+                f"concurrent writer advanced {table} past snapshot "
+                f"{snap}; compaction staged files are invisible — "
+                "re-plan and retry")
+        os.replace(tmp_manifest, _manifest_path(table, new_snap))
+        os.replace(tmp_version, _version_file(table))
+    finally:
+        os.unlink(lock)
+        for t in (tmp_manifest, tmp_version):
+            if os.path.exists(t):
+                os.unlink(t)
+    return new_snap
+
+
+def expire_snapshots(table: str, keep_last: int = 1,
+                     grace_seconds: float = 3600.0) -> list[int]:
+    """Drop manifests older than the newest ``keep_last`` snapshots,
+    then ``vacuum()`` the staging dirs that became fully unreferenced
+    (Iceberg's ``expire_snapshots`` + ``remove_orphan_files`` pair —
+    the step that actually reclaims the space compaction superseded).
+    Data referenced by ANY surviving manifest is untouched, so time
+    travel within the retained window keeps working.  Returns the
+    expired snapshot ids."""
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    snap = current_snapshot(table)
+    meta = _meta_dir(table)
+    snaps = sorted(int(f[1:-5]) for f in os.listdir(meta)
+                   if f.startswith("v") and f.endswith(".json"))
+    expired = [s for s in snaps if s <= snap - keep_last]
+    for s in expired:
+        os.unlink(_manifest_path(table, s))
+    vacuum(table, grace_seconds=grace_seconds)
+    return expired
+
+
 def read(spark: SparkSession, table: str, snapshot: int | None = None,
          between: tuple | None = None,
          bucket_eq: tuple | None = None) -> DataFrame:

@@ -243,3 +243,73 @@ def test_bucketed_tile_table_prunes_and_zonal_matches(spark, tmp_path):
     want = ndvi_zonal(pts).toPandas() \
         .sort_values("point_id").reset_index(drop=True)
     assert got.equals(want)
+
+
+def test_compact_binpacks_small_files(spark, tmp_path):
+    """Five tiny appends → compact → fewer files, identical content,
+    and time travel to the pre-compaction snapshot still works."""
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(50).localCheckpoint()
+    for k in range(5):
+        sl = pg.where(F.col("url").rlike(f"page/[0-9]*{2 * k}$"))
+        icetable.commit(sl.repartition(2), t, mode="append")
+    before = icetable.metrics(t)
+    pre_snap = before["snapshot"]
+    snap = icetable.compact(spark, t, target_rows=1_000_000)
+    assert snap == pre_snap + 1
+    after = icetable.metrics(t)
+    assert after["n_files"] < before["n_files"]
+    assert after["total_rows"] == before["total_rows"]
+    got = sorted(icetable.read(spark, t).select("url")
+                 .toPandas()["url"])
+    want = sorted(icetable.read(spark, t, snapshot=pre_snap)
+                  .select("url").toPandas()["url"])
+    assert got == want
+    # idempotent: a second pass has nothing to merge
+    assert icetable.compact(spark, t, target_rows=1_000_000) is None
+
+
+def test_compact_preserves_bucket_partitions(spark, tmp_path):
+    """Compaction must merge only WITHIN a bucket so bucket_eq pruning
+    still plans a strict file subset afterwards."""
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(80).withColumn(
+        "doc_id", F.xxhash64("url")).localCheckpoint()
+    for k in range(3):
+        sl = pg.where(F.abs(F.col("doc_id")) % 3 == k)
+        icetable.commit(sl, t, mode="append",
+                        partition=("bucket", 4, "doc_id"))
+    snap = icetable.compact(spark, t, target_rows=1_000_000)
+    assert snap is not None
+    m = icetable.metrics(t)
+    assert all(e["partition"] is not None for e in m["files"])
+    target = pg.select("doc_id").first()[0]
+    pruned = icetable.read(spark, t, bucket_eq=("doc_id", target))
+    assert len(pruned.inputFiles()) < m["n_files"]
+    assert pruned.where(F.col("doc_id") == target).count() == \
+        pg.where(F.col("doc_id") == target).count()
+
+
+def test_expire_snapshots_reclaims_compacted_files(spark, tmp_path):
+    """expire + vacuum is what actually frees the superseded small
+    files; the retained window keeps time-traveling."""
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(40).localCheckpoint()
+    for k in range(4):
+        sl = pg.where(F.col("url").rlike(f"page/[0-9]*{k}$"))
+        icetable.commit(sl.repartition(2), t, mode="append")
+    icetable.compact(spark, t, target_rows=1_000_000)
+    cur = icetable.current_snapshot(t)
+    dirs_before = len(os.listdir(os.path.join(t, "data")))
+    expired = icetable.expire_snapshots(t, keep_last=1,
+                                        grace_seconds=0.0)
+    assert expired and max(expired) == cur - 1
+    # old manifests gone, old staging dirs reclaimed
+    dirs_after = len(os.listdir(os.path.join(t, "data")))
+    assert dirs_after < dirs_before
+    assert not os.path.exists(
+        os.path.join(t, "meta", f"v{expired[0]}.json"))
+    # current snapshot still reads everything
+    assert icetable.read(spark, t).count() == \
+        sum(1 for _ in pg.where(
+            F.col("url").rlike("page/[0-9]*[0-3]$")).collect())
