@@ -190,7 +190,8 @@ def _lock_path(table: str) -> str:
 def commit(df: DataFrame, table: str, mode: str = "append",
            stat_cols: list[str] | None = None,
            expected_parent: int | None = None,
-           partition: tuple[str, int, str] | None = None) -> int:
+           partition: tuple[str, int, str] | None = None,
+           props: dict | None = None) -> int:
     """Write ``df`` as a new snapshot.  ``append`` unions the parent
     snapshot's files; ``overwrite`` starts fresh.  Returns the new
     snapshot id.
@@ -269,13 +270,20 @@ def commit(df: DataFrame, table: str, mode: str = "append",
                 e = _file_entry(os.path.join(root, f), stat_cols)
                 e.partition = part
                 new.append(e)
-    files = ([] if mode == "overwrite" or parent == 0
-             else _load_manifest(table, parent)["files"])
+    pm = (None if mode == "overwrite" or parent == 0
+          else _load_manifest(table, parent))
+    files = pm["files"] if pm else []
+    # props carry forward through appends (snapshot summary properties
+    # in Iceberg terms — e.g. the streaming sink's last batch id) and
+    # reset on overwrite, with this commit's props layered on top
+    inherited = dict((pm.get("props") or {}) if pm else {})
+    inherited.update(props or {})
     manifest = {
         "snapshot": snap,
         "parent": parent if parent else None,
         "mode": mode,
         "partition_spec": part_spec,
+        "props": inherited,
         "files": files + [vars(e) for e in new],
     }
     tag = uuid.uuid4().hex[:8]
@@ -427,6 +435,7 @@ def compact(spark: SparkSession, table: str,
         "parent": snap,
         "mode": "compact",
         "partition_spec": m.get("partition_spec"),
+        "props": dict(m.get("props") or {}),
         "files": keep + [vars(e) for e in new_entries],
     }
     tag = uuid.uuid4().hex[:8]
@@ -519,6 +528,79 @@ def read(spark: SparkSession, table: str, snapshot: int | None = None,
     if not files:
         raise ValueError(f"no files for snapshot {snap} of {table}")
     return spark.read.parquet(*[e["path"] for e in files])
+
+
+def read_incremental(spark: SparkSession, table: str,
+                     after: int, until: int | None = None) -> DataFrame:
+    """Rows ADDED strictly after snapshot ``after`` (up to ``until``,
+    default current) — Iceberg's incremental append scan, the table-
+    layer CDC primitive.  Plans from the manifest file-list DIFF, so
+    the cost is O(new files): a consumer polling a 100 TB table reads
+    only the increment, never the table.
+
+    Only append/compact history is incrementally readable: a
+    compaction rewrites old rows into new files, so crossing one
+    would re-surface them — detected and rejected (Iceberg's
+    incremental scan carries the same append-only restriction)."""
+    until = until if until is not None else current_snapshot(table)
+    if until < after:
+        raise ValueError(f"until={until} < after={after}")
+    if until == after:
+        raise ValueError(f"empty increment: ({after}, {until}]")
+    for s in range(after + 1, until + 1):
+        mode = _load_manifest(table, s)["mode"]
+        if mode != "append":
+            raise ValueError(
+                f"snapshot {s} is mode={mode!r}; incremental reads "
+                "require an append-only range (compaction/overwrite "
+                "rewrites files, which would re-surface old rows)")
+    base = {e["path"] for e in _load_manifest(table, after)["files"]} \
+        if after > 0 else set()
+    new = [e["path"] for e in _load_manifest(table, until)["files"]
+           if e["path"] not in base]
+    if not new:
+        raise ValueError(f"no files added in ({after}, {until}]")
+    return spark.read.parquet(*new)
+
+
+def table_props(table: str, snapshot: int | None = None) -> dict:
+    """The snapshot's summary properties (commit(..., props=...))."""
+    snap = snapshot if snapshot is not None else current_snapshot(table)
+    return dict(_load_manifest(table, snap).get("props") or {})
+
+
+def streaming_sink(table: str, stat_cols: list[str] | None = None,
+                   partition: tuple[str, int, str] | None = None):
+    """``foreachBatch`` function turning a Structured Streaming query
+    into exactly-once snapshot appends.
+
+    Exactly-once despite foreachBatch's at-least-once contract: the
+    epoch id rides the manifest as a summary property, and a replayed
+    batch (restart from checkpoint re-delivers the last epoch) is
+    SKIPPED when its id is <= the table's high-water mark.  A
+    CommitConflict (concurrent writer) re-reads and retries — the
+    batch's staging dir is new each attempt, the manifest swap stays
+    atomic, and vacuum() reclaims losers.
+
+        q = (df.writeStream.option("checkpointLocation", ckpt)
+               .foreachBatch(icetable.streaming_sink(tbl))
+               .trigger(availableNow=True).start())
+    """
+    def _write(batch_df: DataFrame, batch_id: int) -> None:
+        while True:
+            try:
+                done = int(table_props(table).get(
+                    "stream_batch_id", -1)) \
+                    if os.path.exists(_version_file(table)) else -1
+                if batch_id <= done:
+                    return                      # replayed epoch
+                commit(batch_df, table, mode="append",
+                       stat_cols=stat_cols, partition=partition,
+                       props={"stream_batch_id": int(batch_id)})
+                return
+            except CommitConflict:
+                continue                        # re-read HWM and retry
+    return _write
 
 
 def metrics(table: str, snapshot: int | None = None) -> dict:

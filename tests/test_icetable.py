@@ -313,3 +313,76 @@ def test_expire_snapshots_reclaims_compacted_files(spark, tmp_path):
     assert icetable.read(spark, t).count() == \
         sum(1 for _ in pg.where(
             F.col("url").rlike("page/[0-9]*[0-3]$")).collect())
+
+
+def test_read_incremental_appends_only(spark, tmp_path):
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(60).localCheckpoint()
+    parts = [pg.where(F.col("url").rlike(f"page/[0-9]*{k}$"))
+             for k in range(3)]
+    for p in parts:
+        icetable.commit(p, t, mode="append")
+    inc = icetable.read_incremental(spark, t, after=1)
+    want = parts[1].count() + parts[2].count()
+    assert inc.count() == want
+    assert icetable.read_incremental(spark, t, after=1, until=2) \
+        .count() == parts[1].count()
+    # full-history read from 0 equals the current snapshot
+    assert icetable.read_incremental(spark, t, after=0).count() == \
+        icetable.read(spark, t).count()
+    # crossing a compaction is rejected (rows would re-surface)
+    icetable.compact(spark, t, target_rows=1_000_000)
+    import pytest
+    with pytest.raises(ValueError, match="append-only"):
+        icetable.read_incremental(spark, t, after=1)
+    with pytest.raises(ValueError, match="empty increment"):
+        icetable.read_incremental(spark, t, after=4, until=4)
+
+
+def test_streaming_sink_exactly_once(spark, tmp_path):
+    """foreachBatch → snapshot appends: multi-batch drain lands every
+    row exactly once, a checkpoint restart replays nothing, and a
+    manually replayed epoch is skipped by the high-water mark."""
+    import os
+
+    docs = spark.read.parquet(f"{SF_TEST}/documents.parquet") \
+        .select("doc_id", "text", "lang").limit(40).localCheckpoint()
+    indir = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    t = str(tmp_path / "tbl")
+    os.makedirs(indir)
+    docs.where("doc_id % 2 = 0").repartition(1) \
+        .write.parquet(indir + "/b1", compression="none")
+    for f in os.listdir(indir + "/b1"):
+        if f.endswith(".parquet"):
+            os.rename(f"{indir}/b1/{f}", f"{indir}/p1_{f}")
+
+    def drain():
+        q = (spark.readStream.schema(docs.schema)
+             .option("maxFilesPerTrigger", 1).parquet(indir)
+             .writeStream.option("checkpointLocation", ckpt)
+             .foreachBatch(icetable.streaming_sink(t))
+             .trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    drain()
+    n1 = icetable.read(spark, t).count()
+    assert n1 == docs.where("doc_id % 2 = 0").count()
+    # restart with no new data: nothing appended
+    snap_before = icetable.current_snapshot(t)
+    drain()
+    assert icetable.current_snapshot(t) == snap_before
+    # second delivery, two files -> two more epochs
+    half = docs.where("doc_id % 2 = 1")
+    half.repartition(1).write.parquet(indir + "/b2",
+                                      compression="none")
+    for f in os.listdir(indir + "/b2"):
+        if f.endswith(".parquet"):
+            os.rename(f"{indir}/b2/{f}", f"{indir}/p2_{f}")
+    drain()
+    assert icetable.read(spark, t).count() == docs.count()
+    # the high-water mark skips a manually replayed old epoch
+    hwm = int(icetable.table_props(t)["stream_batch_id"])
+    icetable.streaming_sink(t)(docs.limit(5), hwm)
+    assert icetable.read(spark, t).count() == docs.count()
+    assert int(icetable.table_props(t)["stream_batch_id"]) == hwm
