@@ -924,7 +924,14 @@ def _q_events_rollup(spark, sf):
     same precedent as q_ann_topk / q_dedup_neardup): aligned
     (kind, hour, event_type, n_events, metric_sum) schema; metric_sum
     is the micro-unit value sum for 'hourly' rows and the JSON-props
-    k sum for 'props' rows (hour NULL)."""
+    k sum for 'props' rows (hour NULL).
+
+    r5 session 4 adds kind='sessions': the batch gap-sessionizer
+    (operators/sessions.py) rolled up by session-start hour —
+    n_events = sessions started that hour, metric_sum = events inside
+    them (event_type NULL) — giving the sessionization operator a
+    driver-exact gate row on the same entry."""
+    from .operators import sessions as _SS
     ev = spark.read.parquet(f"{sf}/events.parquet")
     h = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                     "event_type")
@@ -941,11 +948,24 @@ def _q_events_rollup(spark, sf):
          .select(F.lit("props").alias("kind"),
                  F.lit(None).cast(hour_t).alias("hour"),
                  "event_type", "n_events", "metric_sum"))
-    return h.unionByName(p)
+    s = (_SS.sessionize_batch(ev)
+         .groupBy(F.date_trunc("hour", F.col("session_start"))
+                  .alias("hour"))
+         .agg(F.count(F.lit(1)).alias("n_sessions"),
+              F.sum("n_events").cast("long").alias("metric_sum"))
+         .select(F.lit("sessions").alias("kind"), "hour",
+                 F.lit(None).cast("string").alias("event_type"),
+                 F.col("n_sessions").alias("n_events"), "metric_sum"))
+    return h.unionByName(p).unionByName(s)
+
+
+def _sessions_body() -> str:
+    from .operators import sessions as _SS
+    return _SS.sessionize_sql()
 
 
 def _oracle_events_rollup(d: Dialect) -> str:
-    return """
+    return f"""
 SELECT 'hourly' AS kind, date_trunc('hour', ts) AS hour, event_type,
        COUNT(*) AS n_events,
        CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
@@ -957,6 +977,13 @@ SELECT 'props' AS kind, CAST(NULL AS TIMESTAMP) AS hour, event_type,
        CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT))
             AS BIGINT) AS metric_sum
 FROM events GROUP BY event_type
+UNION ALL
+SELECT 'sessions' AS kind, date_trunc('hour', session_start) AS hour,
+       CAST(NULL AS VARCHAR) AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(n_events) AS BIGINT) AS metric_sum
+FROM ({_sessions_body()}) _s
+GROUP BY date_trunc('hour', session_start)
 """
 
 
