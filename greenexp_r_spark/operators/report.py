@@ -49,6 +49,48 @@ def corpus_summary(docs: DataFrame) -> DataFrame:
                  F.sum("n_chars").alias("total_chars")))
 
 
+def top_terms(docs: DataFrame, k: int = 10) -> DataFrame:
+    """(lang, term, cnt, rank): the k most frequent terms per language
+    (ties broken by term, so the ranking is total and engine-exact) —
+    the vocabulary slice of the dataset card.  Shape: explode → hash
+    agg on (lang, term) → per-lang window over the AGGREGATED rows
+    (vocab-sized, not corpus-sized)."""
+    from pyspark.sql import Window
+    cnts = (docs
+            .select("lang", F.explode(T.words(F.col("text")))
+                    .alias("term"))
+            .where(F.length("term") > 0)
+            .groupBy("lang", "term")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.partitionBy("lang").orderBy(F.col("cnt").desc(),
+                                           F.col("term").asc())
+    return (cnts.withColumn("rank",
+                            F.row_number().over(w).cast("long"))
+            .where(F.col("rank") <= k))
+
+
+def top_terms_sql(dialect, k: int = 10,
+                  table: str = "documents") -> str:
+    """DuckDB rendering of :func:`top_terms`."""
+    w = dialect.split("text")
+    base = f"SELECT lang, {w} AS warr FROM {table}"
+    exploded = dialect.explode_range(base, "p", "1",
+                                     dialect.asize("warr"))
+    return f"""
+WITH cnts AS (
+  SELECT lang, {dialect.elem('warr', 'p')} AS term,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM ({exploded}) _w
+  WHERE length({dialect.elem('warr', 'p')}) > 0
+  GROUP BY lang, term
+)
+SELECT lang, term, cnt,
+       CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY cnt DESC, term ASC) AS BIGINT) AS rank
+FROM cnts QUALIFY rank <= {k}
+"""
+
+
 def report_sql(dialect, table: str = "documents") -> str:
     """DuckDB rendering of corpus_report (tests/test_report.py runs
     it side-by-side with the Spark plan)."""

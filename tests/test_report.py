@@ -62,3 +62,14 @@ def test_c4_rules_pure_text_api(spark):
     r = df.select("doc_id",
                   *textqa.c4_rule_columns(F.col("text"))).collect()[0]
     assert r["has_curly"] and not r["c4_keep"]
+
+
+def test_top_terms_match_duckdb(spark, sf_dir):
+    from .oracle_harness import compare
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = report.top_terms(docs, k=10)
+    compare(got, report.top_terms_sql(DUCK, k=10), sf_dir)
+    # exactly k rows per language with ranks 1..k (vocab >= k here)
+    per = {r["lang"]: r["n"] for r in got.groupBy("lang")
+           .agg(F.count("*").alias("n")).collect()}
+    assert all(n == 10 for n in per.values()) and per

@@ -65,3 +65,30 @@ def test_lookup_requires_all_terms(spark):
     hit = {r["doc_id"] for r in
            SI.conjunctive_lookup(idx, ("alpha", "beta")).collect()}
     assert hit == {1, 3}
+
+
+def test_index_point_lookup_prunes_via_bucketed_icetable(spark, sf_dir,
+                                                         tmp_path):
+    """The docstring's scale claim, end-to-end: the packed index
+    committed bucket(N, term_hash)-partitioned answers a term lookup
+    from a pruned file subset with identical results."""
+    from greenexp_r_spark.functions import text as T
+    from greenexp_r_spark.sources import icetable
+
+    docs = _docs(spark, sf_dir)
+    idx = SI.packed_index(docs, block_docs=8).withColumn(
+        "th", T.word_hash(F.col("term")))
+    t = str(tmp_path / "index_tbl")
+    icetable.commit(idx.repartition(4), t, partition=("bucket", 8, "th"),
+                    stat_cols=["term", "df", "th"])
+    term = docs.select(
+        F.split("text", " ").getItem(0).alias("a")).first()["a"]
+    th = spark.createDataFrame([(term,)], "term string").select(
+        T.word_hash(F.col("term")).alias("h")).first()["h"]
+    pruned = icetable.read(spark, t, bucket_eq=("th", int(th)))
+    assert len(pruned.inputFiles()) < icetable.metrics(t)["n_files"]
+    got = sorted(map(tuple, SI.conjunctive_lookup(
+        pruned, (term,)).collect()))
+    want = sorted(map(tuple, SI.conjunctive_lookup(
+        icetable.read(spark, t), (term,)).collect()))
+    assert got == want and len(want) > 0
