@@ -97,8 +97,11 @@ def conjunctive_lookup(index: DataFrame,
             .select("term", F.explode("postings").alias("p"))
             .select("term", F.col("p.doc_id").alias("doc_id"),
                     F.col("p.tf").alias("tf")))
+    # a doc_id occurs at most ONCE per term (blocks partition a
+    # term's postings by doc), so plain count == distinct-term count
+    # — and drops the two-phase distinct aggregate's extra exchange
     return (hits.groupBy("doc_id")
-            .agg(F.countDistinct("term").alias("n_terms"),
+            .agg(F.count(F.lit(1)).alias("n_terms"),
                  F.sum("tf").cast("long").alias("total_tf"))
             .where(F.col("n_terms") == len(terms))
             .select("doc_id", "total_tf"))
