@@ -53,3 +53,54 @@ def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
         F.to_timestamp("warc_ts", TS_FMT).alias("warc_ts"),
         F.unbase64("html_b64").alias("html"),
         "text", "lang")
+
+
+# ------------------------------------------------- generic (any table)
+# The pages pair above is the north-rule fast path; these derive the
+# same contract (pinned schema, ISO timestamps, base64 binary) from
+# ANY flat schema, so every table in the engine ships as JSONL.
+
+_TS_KINDS = ("timestamp", "timestamp_ntz")
+
+
+def write_jsonl(df: DataFrame, path: str) -> None:
+    """Any flat DataFrame → gzip JSONL shards; binary → base64,
+    timestamps → explicit micro-precision strings (the two JSON
+    round-trip traps), everything else verbatim."""
+    cols = []
+    for f in df.schema:
+        t = f.dataType.simpleString()
+        if t == "binary":
+            cols.append(F.base64(F.col(f.name)).alias(f.name))
+        elif t in _TS_KINDS:
+            cols.append(F.date_format(F.col(f.name), TS_FMT)
+                        .alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    (df.select(*cols).write.mode("overwrite")
+     .option("compression", "gzip").json(path))
+
+
+def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
+    """gzip JSONL shards → exactly ``schema`` (the caller-pinned
+    target schema — NEVER inferred: at 100 TB inference is a full
+    extra pass and nondeterministic under rare fields)."""
+    import pyspark.sql.types as X
+
+    wire_fields, decode = [], []
+    for f in schema:
+        t = f.dataType.simpleString()
+        if t == "binary":
+            wire_fields.append(X.StructField(f.name, X.StringType()))
+            decode.append(F.unbase64(F.col(f.name)).alias(f.name))
+        elif t in _TS_KINDS:
+            wire_fields.append(X.StructField(f.name, X.StringType()))
+            ts = F.to_timestamp(F.col(f.name), TS_FMT)
+            if t == "timestamp_ntz":
+                ts = ts.cast("timestamp_ntz")
+            decode.append(ts.alias(f.name))
+        else:
+            wire_fields.append(X.StructField(f.name, f.dataType))
+            decode.append(F.col(f.name))
+    raw = spark.read.schema(X.StructType(wire_fields)).json(path)
+    return raw.select(*decode)

@@ -30,3 +30,20 @@ def test_pages_jsonl_read_is_schema_pinned(spark, tmp_path):
     assert r["html"] is None and r["warc_ts"] is None
     assert [x.name for x in df.schema.fields] == [
         "url", "warc_ts", "html", "text", "lang"]
+
+
+def test_generic_jsonl_roundtrips_any_table(spark, sf_dir, tmp_path):
+    """write_jsonl/read_jsonl derive the corpus contract from the
+    schema: events (timestamp + double + json string) and pages
+    (binary + ntz timestamp) both round-trip bit-exactly."""
+    from greenexp_r_spark.sources import jsonl as J
+
+    for name in ("events", "documents"):
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        p = str(tmp_path / name)
+        J.write_jsonl(df, p)
+        back = J.read_jsonl(spark, p, df.schema)
+        assert back.schema == df.schema
+        a = sorted(map(tuple, df.collect()))
+        b = sorted(map(tuple, back.collect()))
+        assert a == b

@@ -77,3 +77,32 @@ def test_zorder_clustering_prunes_aoi_files(spark, tmp_path):
     want = sorted(r["tile_id"] for r in
                   tiles.where(aoi).select("tile_id").collect())
     assert got == want and len(want) > 0
+
+
+def test_morton_properties_hypothesis():
+    """Monotone in each coordinate and equal to the naive bit
+    interleave — the property the AOI superset-window pruning
+    relies on."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    def naive(x, y):
+        z = 0
+        for i in range(16):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    c = st.integers(min_value=0, max_value=0xFFFF)
+
+    @settings(max_examples=300, deadline=None)
+    @given(x=c, y=c, dx=st.integers(0, 100), dy=st.integers(0, 100))
+    def check(x, y, dx, dy):
+        assert Z.morton2_py(x, y) == naive(x, y)
+        x2 = min(x + dx, 0xFFFF)
+        y2 = min(y + dy, 0xFFFF)
+        assert Z.morton2_py(x2, y) >= Z.morton2_py(x, y)
+        assert Z.morton2_py(x, y2) >= Z.morton2_py(x, y)
+        assert Z.morton2_py(x2, y2) >= Z.morton2_py(x, y)
+
+    check()
