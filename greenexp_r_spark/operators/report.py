@@ -49,6 +49,58 @@ def corpus_summary(docs: DataFrame) -> DataFrame:
                  F.sum("n_chars").alias("total_chars")))
 
 
+def exact_quantiles(docs: DataFrame, col: str = "n_chars",
+                    qs: tuple = (25, 50, 75, 90, 99)) -> DataFrame:
+    """EXACT percentiles of an integer column at any corpus size —
+    no approx sketch needed when the value DOMAIN is bounded: one
+    hash aggregate builds the value histogram (distinct values ≪
+    rows), a cumulative sum over the histogram (domain-sized, single
+    partition by construction — document lengths have thousands of
+    distinct values, not billions) and an integer ceil-rank pick per
+    percentile (quantile_disc semantics: the element at 1-based rank
+    ceil(q·n/100)).  All integer arithmetic → DuckDB bit-parity.
+
+    Output: (q_pct, value)."""
+    from pyspark.sql import Window
+    h = (docs.groupBy(F.col(col).alias("v"))
+         .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                        Window.currentRow)
+    cum = h.select("v", F.sum("cnt").over(w).cast("long").alias("cum"))
+    n = docs.count()
+    qdf = docs.sparkSession.createDataFrame(
+        [(int(q), (n * int(q) + 99) // 100) for q in qs],
+        "q_pct long, rank_needed long")
+    return (cum.join(F.broadcast(qdf),
+                     F.col("cum") >= F.col("rank_needed"))
+            .groupBy("q_pct").agg(F.min("v").alias("value")))
+
+
+def exact_quantiles_sql(col: str = "n_chars",
+                        qs: tuple = (25, 50, 75, 90, 99),
+                        table: str = "documents") -> str:
+    """DuckDB rendering of :func:`exact_quantiles`."""
+    vals = ", ".join(f"({int(q)})" for q in qs)
+    return f"""
+WITH h AS (
+  SELECT {col} AS v, CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM {table} GROUP BY {col}
+),
+cum AS (
+  SELECT v, CAST(SUM(cnt) OVER (ORDER BY v
+            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM h
+),
+n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM {table}),
+qd AS (SELECT CAST(q AS BIGINT) AS q_pct,
+              (n.n * q + 99) // 100 AS rank_needed
+       FROM (VALUES {vals}) _q(q), n)
+SELECT q_pct, MIN(v) AS value
+FROM cum JOIN qd ON cum.cum >= qd.rank_needed
+GROUP BY q_pct
+"""
+
+
 def top_terms(docs: DataFrame, k: int = 10) -> DataFrame:
     """(lang, term, cnt, rank): the k most frequent terms per language
     (ties broken by term, so the ranking is total and engine-exact) —

@@ -73,3 +73,34 @@ def test_top_terms_match_duckdb(spark, sf_dir):
     per = {r["lang"]: r["n"] for r in got.groupBy("lang")
            .agg(F.count("*").alias("n")).collect()}
     assert all(n == 10 for n in per.values()) and per
+
+
+def test_exact_quantiles_match_duckdb(spark, sf_dir):
+    from .oracle_harness import compare
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = report.exact_quantiles(docs)
+    compare(got, report.exact_quantiles_sql(), sf_dir)
+    # sanity against a full exact sort (numpy 'inverted_cdf' ==
+    # quantile_disc lower semantics)
+    vals = sorted(r["n_chars"] for r in
+                  docs.select("n_chars").collect())
+    n = len(vals)
+    want = {q: vals[-(-n * q // 100) - 1] for q in (25, 50, 75, 90, 99)}
+    assert {r["q_pct"]: r["value"] for r in got.collect()} == want
+
+
+def test_compression_stats_match_zlib(spark, sf_dir):
+    import zlib
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = textqa.compression_stats(docs).collect()
+    texts = {r["doc_id"]: r["text"]
+             for r in docs.select("doc_id", "text").collect()}
+    assert len(out) == len(texts)
+    for r in out[:200]:
+        t = texts[r["doc_id"]]
+        assert r["raw_bytes"] == len(t)
+        assert r["zlib_bytes"] == len(
+            zlib.compress(t.encode("utf-8"), textqa.ZLIB_LEVEL))
+    # prose compresses: ratio strictly below 1 for real documents
+    assert all(r["zlib_bytes"] < r["raw_bytes"] for r in out
+               if r["raw_bytes"] > 200)
