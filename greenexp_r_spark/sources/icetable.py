@@ -273,8 +273,8 @@ def commit(df: DataFrame, table: str, mode: str = "append",
     pm = (None if mode == "overwrite" or parent == 0
           else _load_manifest(table, parent))
     files = pm["files"] if pm else []
-    # props carry forward through appends (snapshot summary properties
-    # in Iceberg terms — e.g. the streaming sink's last batch id) and
+    # props and delete files carry forward through appends (snapshot
+    # summary properties / equality-delete list in Iceberg terms) and
     # reset on overwrite, with this commit's props layered on top
     inherited = dict((pm.get("props") or {}) if pm else {})
     inherited.update(props or {})
@@ -284,8 +284,20 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         "mode": mode,
         "partition_spec": part_spec,
         "props": inherited,
+        "delete_files": list((pm.get("delete_files") or [])
+                             if pm else []),
         "files": files + [vars(e) for e in new],
     }
+    _cas_swap(table, snap, parent, manifest)
+    return snap
+
+
+def _cas_swap(table: str, snap: int, parent: int,
+              manifest: dict, what: str = "commit") -> None:
+    """The shared critical section: write manifest + VERSION to tmp
+    names, take COMMIT.lock (O_EXCL), re-check the parent under the
+    lock, then atomically os.replace both.  Raises CommitConflict
+    (with tmp state cleaned up) if another writer won."""
     tag = uuid.uuid4().hex[:8]
     tmp_manifest = _manifest_path(table, snap) + f".{tag}.tmp"
     with open(tmp_manifest, "w") as f:
@@ -301,17 +313,17 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         os.unlink(tmp_manifest)
         os.unlink(tmp_version)
         raise CommitConflict(
-            f"another commit holds {lock}; staged files are invisible "
-            "— re-read and retry (force_unlock() clears a lock left "
-            "by a killed writer)")
+            f"another commit holds {lock}; this {what}'s staged files "
+            "are invisible — re-read and retry (force_unlock() clears "
+            "a lock left by a killed writer)")
     try:
         now = current_snapshot(table) if \
             os.path.exists(_version_file(table)) else 0
         if now != parent:
             raise CommitConflict(
                 f"concurrent writer advanced {table} to snapshot {now} "
-                f"(this commit based on {parent}); staged files are "
-                f"invisible — re-read and retry")
+                f"(this {what} based on {parent}); staged files are "
+                "invisible — re-read and retry")
         os.replace(tmp_manifest, _manifest_path(table, snap))
         os.replace(tmp_version, _version_file(table))   # atomic swap
     finally:
@@ -319,6 +331,38 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         for t in (tmp_manifest, tmp_version):
             if os.path.exists(t):
                 os.unlink(t)
+
+
+def commit_deletes(keys: DataFrame, table: str,
+                   key_col: str) -> int:
+    """Equality deletes (Iceberg v2 semantics; the corpus use case is
+    takedown/right-to-be-forgotten): stage the key set as a delete
+    file and commit a snapshot whose DATA files are untouched —
+    ``read()`` applies the accumulated delete sets as a broadcast
+    anti-join (merge-on-read).  Delete sets are dimension-sized by
+    nature (takedown lists, not corpora); a rewrite that physically
+    drops the rows is ``compact()`` + ``expire_snapshots()`` away.
+    Time travel to pre-delete snapshots still shows the rows (their
+    manifests carry shorter delete lists)."""
+    parent = current_snapshot(table)
+    pm = _load_manifest(table, parent)
+    snap = parent + 1
+    ddir = os.path.join(table, "data",
+                        f"s{snap}-{uuid.uuid4().hex[:12]}")
+    keys.select(key_col).distinct().write.mode("error").parquet(ddir)
+    rows = sum(pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
+               for f in os.listdir(ddir) if f.endswith(".parquet"))
+    entry = {"path": ddir, "rows": rows, "key_col": key_col}
+    manifest = {
+        "snapshot": snap,
+        "parent": parent,
+        "mode": "delete",
+        "partition_spec": pm.get("partition_spec"),
+        "props": dict(pm.get("props") or {}),
+        "delete_files": list(pm.get("delete_files") or []) + [entry],
+        "files": pm["files"],
+    }
+    _cas_swap(table, snap, parent, manifest, what="delete commit")
     return snap
 
 
@@ -353,12 +397,17 @@ def vacuum(table: str, grace_seconds: float = 3600.0) -> list[str]:
     for fname in os.listdir(meta):
         if fname.startswith("v") and fname.endswith(".json"):
             with open(os.path.join(meta, fname)) as f:
-                for e in json.load(f)["files"]:
+                man = json.load(f)
+                for e in man["files"]:
                     # normalize to the TOP-LEVEL staging dir: bucket-
                     # partitioned files live in s{N}-<uuid>/_b=<k>/
                     rel = os.path.relpath(os.path.dirname(e["path"]),
                                           droot)
                     referenced.add(rel.split(os.sep)[0])
+                for de in man.get("delete_files") or []:
+                    # delete entries point AT their staging dir
+                    referenced.add(os.path.relpath(de["path"], droot)
+                                   .split(os.sep)[0])
     removed = []
     for d in sorted(os.listdir(droot)) if os.path.isdir(droot) else []:
         if d in referenced:
@@ -436,38 +485,13 @@ def compact(spark: SparkSession, table: str,
         "mode": "compact",
         "partition_spec": m.get("partition_spec"),
         "props": dict(m.get("props") or {}),
+        # deletes stay merge-on-read: the rewrite copies raw data
+        # files without applying them, so the list carries forward
+        # (a purge = overwrite-commit of read(spark, table))
+        "delete_files": list(m.get("delete_files") or []),
         "files": keep + [vars(e) for e in new_entries],
     }
-    tag = uuid.uuid4().hex[:8]
-    tmp_manifest = _manifest_path(table, new_snap) + f".{tag}.tmp"
-    with open(tmp_manifest, "w") as f:
-        json.dump(manifest, f)
-    tmp_version = _version_file(table) + f".{tag}.tmp"
-    with open(tmp_version, "w") as f:
-        f.write(str(new_snap))
-    lock = _lock_path(table)
-    try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        os.close(fd)
-    except FileExistsError:
-        os.unlink(tmp_manifest)
-        os.unlink(tmp_version)
-        raise CommitConflict(
-            f"another commit holds {lock}; compaction staged files are "
-            "invisible — re-read and retry")
-    try:
-        if current_snapshot(table) != snap:
-            raise CommitConflict(
-                f"concurrent writer advanced {table} past snapshot "
-                f"{snap}; compaction staged files are invisible — "
-                "re-plan and retry")
-        os.replace(tmp_manifest, _manifest_path(table, new_snap))
-        os.replace(tmp_version, _version_file(table))
-    finally:
-        os.unlink(lock)
-        for t in (tmp_manifest, tmp_version):
-            if os.path.exists(t):
-                os.unlink(t)
+    _cas_swap(table, new_snap, snap, manifest, what="compaction")
     return new_snap
 
 
@@ -527,7 +551,14 @@ def read(spark: SparkSession, table: str, snapshot: int | None = None,
                  or e["partition"].get("bucket") == want]
     if not files:
         raise ValueError(f"no files for snapshot {snap} of {table}")
-    return spark.read.parquet(*[e["path"] for e in files])
+    df = spark.read.parquet(*[e["path"] for e in files])
+    # equality deletes (merge-on-read): anti-join the accumulated
+    # delete key sets — dimension-sized takedown lists, broadcast
+    for de in m.get("delete_files") or []:
+        from pyspark.sql.functions import broadcast
+        keys = spark.read.parquet(de["path"])
+        df = df.join(broadcast(keys), de["key_col"], "left_anti")
+    return df
 
 
 def read_incremental(spark: SparkSession, table: str,
@@ -613,5 +644,8 @@ def metrics(table: str, snapshot: int | None = None) -> dict:
         "parent": m["parent"],
         "n_files": len(m["files"]),
         "total_rows": sum(e["rows"] for e in m["files"]),
+        "n_delete_files": len(m.get("delete_files") or []),
+        "delete_keys": sum(e["rows"]
+                           for e in m.get("delete_files") or []),
         "files": m["files"],
     }

@@ -386,3 +386,46 @@ def test_streaming_sink_exactly_once(spark, tmp_path):
     icetable.streaming_sink(t)(docs.limit(5), hwm)
     assert icetable.read(spark, t).count() == docs.count()
     assert int(icetable.table_props(t)["stream_batch_id"]) == hwm
+
+
+def test_equality_deletes_merge_on_read(spark, tmp_path):
+    """commit_deletes: rows vanish from reads without touching data
+    files; time travel shows them; compaction carries the delete
+    list; vacuum never reclaims a referenced delete set."""
+    import pytest
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(60).localCheckpoint()
+    icetable.commit(pg.where("url LIKE '%0' OR url LIKE '%1'"), t)
+    icetable.commit(pg.where("url NOT LIKE '%0' AND url NOT LIKE '%1'"),
+                    t, mode="append")
+    n_all = icetable.read(spark, t).count()
+    victims = pg.limit(9).select("url").distinct().localCheckpoint()
+    n_keys = victims.count()
+    s = icetable.commit_deletes(victims, t, key_col="url")
+    # merge-on-read: KEY-level deletion (a url's re-crawl captures go
+    # with it) — gone now, present under time travel
+    survivors = pg.join(victims, "url", "left_anti").count()
+    assert icetable.read(spark, t).count() == survivors < n_all
+    assert icetable.read(spark, t, snapshot=s - 1).count() == n_all
+    m = icetable.metrics(t)
+    assert m["n_delete_files"] == 1 and m["delete_keys"] == n_keys
+    # the data files themselves were not rewritten
+    assert m["total_rows"] == n_all
+    # deletes accumulate
+    more = pg.orderBy("url").limit(3).select("url")
+    icetable.commit_deletes(more, t, key_col="url")
+    expect = pg.join(victims.unionByName(more).distinct(),
+                     "url", "left_anti").count()
+    assert icetable.read(spark, t).count() == expect
+    # compaction carries the list (rows stay logically deleted)
+    icetable.compact(spark, t, target_rows=1_000_000)
+    assert icetable.read(spark, t).count() == expect
+    # vacuum keeps every referenced delete dir
+    assert icetable.vacuum(t, grace_seconds=0) == []
+    assert icetable.read(spark, t).count() == expect
+    # appends after a delete keep the delete list
+    icetable.commit(pg.limit(0), t, mode="append")
+    assert icetable.read(spark, t).count() == expect
+    # incremental reads refuse to cross a delete snapshot
+    with pytest.raises(ValueError, match="append-only"):
+        icetable.read_incremental(spark, t, after=1)
