@@ -278,12 +278,35 @@ def commit(df: DataFrame, table: str, mode: str = "append",
     # reset on overwrite, with this commit's props layered on top
     inherited = dict((pm.get("props") or {}) if pm else {})
     inherited.update(props or {})
+    # schema evolution (Iceberg: schema lives in metadata, readers pin
+    # it): appends may ADD columns — the stored schema becomes the
+    # union, and read() projects old files to it (missing → null).
+    # Dropping or retyping a column requires mode='overwrite'.
+    schema_fields = {f.name: f for f in df.schema}
+    if pm is not None and pm.get("schema"):
+        from pyspark.sql.types import StructType
+        old = StructType.fromJson(pm["schema"])
+        for f in old.fields:
+            cur = schema_fields.get(f.name)
+            if cur is not None and cur.dataType != f.dataType:
+                raise ValueError(
+                    f"append retypes column {f.name!r} "
+                    f"({f.dataType.simpleString()} -> "
+                    f"{cur.dataType.simpleString()}); use "
+                    "mode='overwrite' for incompatible changes")
+        merged = list(old.fields) + [
+            f for f in df.schema.fields
+            if f.name not in {g.name for g in old.fields}]
+        table_schema = StructType(merged).jsonValue()
+    else:
+        table_schema = df.schema.jsonValue()
     manifest = {
         "snapshot": snap,
         "parent": parent if parent else None,
         "mode": mode,
         "partition_spec": part_spec,
         "props": inherited,
+        "schema": table_schema,
         "delete_files": list((pm.get("delete_files") or [])
                              if pm else []),
         "files": files + [vars(e) for e in new],
@@ -359,6 +382,7 @@ def commit_deletes(keys: DataFrame, table: str,
         "mode": "delete",
         "partition_spec": pm.get("partition_spec"),
         "props": dict(pm.get("props") or {}),
+        "schema": pm.get("schema"),
         "delete_files": list(pm.get("delete_files") or []) + [entry],
         "files": pm["files"],
     }
@@ -485,6 +509,7 @@ def compact(spark: SparkSession, table: str,
         "mode": "compact",
         "partition_spec": m.get("partition_spec"),
         "props": dict(m.get("props") or {}),
+        "schema": m.get("schema"),
         # deletes stay merge-on-read: the rewrite copies raw data
         # files without applying them, so the list carries forward
         # (a purge = overwrite-commit of read(spark, table))
@@ -551,7 +576,14 @@ def read(spark: SparkSession, table: str, snapshot: int | None = None,
                  or e["partition"].get("bucket") == want]
     if not files:
         raise ValueError(f"no files for snapshot {snap} of {table}")
-    df = spark.read.parquet(*[e["path"] for e in files])
+    reader = spark.read
+    if m.get("schema"):
+        # the manifest's schema is authoritative (Iceberg model):
+        # files written before an added column project to it with
+        # nulls, no mergeSchema footer pass needed
+        from pyspark.sql.types import StructType
+        reader = reader.schema(StructType.fromJson(m["schema"]))
+    df = reader.parquet(*[e["path"] for e in files])
     # equality deletes (merge-on-read): anti-join the accumulated
     # delete key sets — dimension-sized takedown lists, broadcast
     for de in m.get("delete_files") or []:

@@ -429,3 +429,32 @@ def test_equality_deletes_merge_on_read(spark, tmp_path):
     # incremental reads refuse to cross a delete snapshot
     with pytest.raises(ValueError, match="append-only"):
         icetable.read_incremental(spark, t, after=1)
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Appends may ADD columns: the manifest schema becomes the union
+    and reads project old files with nulls (no mergeSchema footer
+    pass); retyping a column is rejected; time travel keeps the old
+    schema."""
+    import pytest
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(30).localCheckpoint()
+    v1_cols = ["url", "warc_ts", "text", "lang"]
+    icetable.commit(pg.select(*v1_cols), t)
+    with_q = (pg.select(*v1_cols)
+              .withColumn("quality", (F.length("text") % 100)
+                          .cast("long")))
+    icetable.commit(with_q.limit(10), t, mode="append")
+    cur = icetable.read(spark, t)
+    assert cur.schema.names == v1_cols + ["quality"]
+    assert cur.count() == 40
+    # old rows surface with null quality, new rows with values
+    assert cur.where(F.col("quality").isNull()).count() == 30
+    assert cur.where(F.col("quality").isNotNull()).count() == 10
+    # time travel: snapshot 1 still has the 4-column schema
+    assert icetable.read(spark, t, snapshot=1).schema.names == v1_cols
+    # retypes are rejected as appends
+    bad = pg.select(*v1_cols).withColumn(
+        "quality", F.lit("high"))           # string vs long
+    with pytest.raises(ValueError, match="retypes"):
+        icetable.commit(bad, t, mode="append")
