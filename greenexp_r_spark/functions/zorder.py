@@ -71,6 +71,58 @@ def morton2_py(x: int, y: int) -> int:
     return spread(x) | (spread(y) << 1)
 
 
+def z_ranges(x0: int, y0: int, x1: int, y1: int,
+             max_ranges: int = 16) -> list[tuple[int, int]]:
+    """Tight Z-interval cover of the bbox [x0,x1]×[y0,y1] (inclusive)
+    — the Tropf–Herzog LITMAX/BIGMIN idea via quadtree descent: an
+    aligned quad wholly inside the bbox contributes one contiguous
+    Z-interval; partial quads split until ``max_ranges`` would be
+    exceeded, at which point the remaining partial quad degrades to
+    its (still sound) corner-code superset window.  Adjacent
+    intervals merge, so the result is minimal for the budget.
+
+    Driver-side planning helper (the bbox is a literal): the output
+    feeds N ``between`` prunes whose union is far tighter than the
+    single corner window when the bbox crosses a high Z bit.
+    """
+    out: list[tuple[int, int]] = []
+
+    def cover(qx: int, qy: int, size: int, budget: int) -> int:
+        """Append intervals for quad (qx..qx+size-1)², return budget
+        left."""
+        if qx > x1 or qy > y1 or qx + size - 1 < x0 \
+                or qy + size - 1 < y0:
+            return budget                       # disjoint
+        if (qx >= x0 and qy >= y0 and qx + size - 1 <= x1
+                and qy + size - 1 <= y1) or size == 1:
+            out.append((morton2_py(qx, qy),
+                        morton2_py(qx + size - 1, qy + size - 1)))
+            return budget                       # wholly inside: exact
+        if budget <= 3:
+            # degrade: the quad∩bbox corner window — sound by
+            # monotonicity, and ⊆ the global corner window, so the
+            # merged cover can never exceed the naive single window
+            out.append((morton2_py(max(qx, x0), max(qy, y0)),
+                        morton2_py(min(qx + size - 1, x1),
+                                   min(qy + size - 1, y1))))
+            return budget
+        h = size // 2
+        for dx in (0, h):
+            for dy in (0, h):
+                budget = cover(qx + dx, qy + dy, h, budget - 1)
+        return budget
+
+    cover(0, 0, 1 << ZBITS, max_ranges * 4)
+    out.sort()
+    merged = [out[0]]
+    for lo, hi in out[1:]:
+        if lo <= merged[-1][1] + 1:
+            merged[-1] = (merged[-1][0], max(merged[-1][1], hi))
+        else:
+            merged.append((lo, hi))
+    return merged
+
+
 def zorder_cluster(df, x_col: str, y_col: str, n_files: int):
     """Range-partition + sort by the Morton key — the write-side
     clustering step (each output file covers a compact Z-range, so

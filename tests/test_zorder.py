@@ -106,3 +106,37 @@ def test_morton_properties_hypothesis():
         assert Z.morton2_py(x2, y2) >= Z.morton2_py(x, y)
 
     check()
+
+
+def test_z_ranges_cover_exactly_and_beat_corner_window():
+    import random
+    rnd = random.Random(7)
+    for _ in range(40):
+        x0 = rnd.randint(0, 200); y0 = rnd.randint(0, 200)
+        x1 = x0 + rnd.randint(0, 40); y1 = y0 + rnd.randint(0, 40)
+        rs = Z.z_ranges(x0, y0, x1, y1)
+        zs = {Z.morton2_py(x, y) for x in range(x0, x1 + 1)
+              for y in range(y0, y1 + 1)}
+        assert all(any(lo <= z <= hi for lo, hi in rs) for z in zs)
+        assert all(a[1] < b[0] for a, b in zip(rs, rs[1:]))
+        corner = Z.morton2_py(x1, y1) - Z.morton2_py(x0, y0) + 1
+        assert sum(hi - lo + 1 for lo, hi in rs) <= corner
+
+
+def test_z_ranges_union_read_equals_direct_aoi(spark, tmp_path):
+    from greenexp_r_spark.sources import icetable
+    from functools import reduce
+    rows = [(x * 100 + y, x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "tile_id long, tx int, ty int")
+    t = str(tmp_path / "ztbl")
+    icetable.commit(Z.zorder_cluster(df, "tx", "ty", 16), t,
+                    stat_cols=["z"])
+    x0, y0, x1, y1 = 5, 17, 12, 30
+    parts = [icetable.read(spark, t, between=("z", lo, hi))
+             for lo, hi in Z.z_ranges(x0, y0, x1, y1)]
+    aoi = (F.col("tx").between(x0, x1) & F.col("ty").between(y0, y1))
+    got = sorted(r["tile_id"] for r in
+                 reduce(lambda a, b: a.unionByName(b), parts)
+                 .where(aoi).distinct().collect())
+    want = sorted(r["tile_id"] for r in df.where(aoi).collect())
+    assert got == want and len(want) == 8 * 14
