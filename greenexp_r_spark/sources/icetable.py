@@ -495,7 +495,14 @@ def compact(spark: SparkSession, table: str,
         n_out = max(1, -(-total // target_rows))        # ceil
         out_dir = (os.path.join(data_dir, f"_b={key}")
                    if key is not None else data_dir)
-        (spark.read.parquet(*[e["path"] for e in small])
+        reader = spark.read
+        if m.get("schema"):
+            # pin the manifest schema: a rewrite spanning an
+            # add-column append must project old files with nulls,
+            # not inherit whichever file's footer Spark samples first
+            from pyspark.sql.types import StructType
+            reader = reader.schema(StructType.fromJson(m["schema"]))
+        (reader.parquet(*[e["path"] for e in small])
          .repartition(n_out).write.mode("error").parquet(out_dir))
         part = {"bucket": key} if key is not None else None
         for f in sorted(os.listdir(out_dir)):
@@ -623,7 +630,14 @@ def read_incremental(spark: SparkSession, table: str,
            if e["path"] not in base]
     if not new:
         raise ValueError(f"no files added in ({after}, {until}]")
-    return spark.read.parquet(*new)
+    mu = _load_manifest(table, until)
+    reader = spark.read
+    if mu.get("schema"):
+        # pin the until-snapshot schema: an increment spanning an
+        # add-column append projects the earlier files with nulls
+        from pyspark.sql.types import StructType
+        reader = reader.schema(StructType.fromJson(mu["schema"]))
+    return reader.parquet(*new)
 
 
 def table_props(table: str, snapshot: int | None = None) -> dict:

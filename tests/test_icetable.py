@@ -458,3 +458,24 @@ def test_schema_evolution_add_column(spark, tmp_path):
         "quality", F.lit("high"))           # string vs long
     with pytest.raises(ValueError, match="retypes"):
         icetable.commit(bad, t, mode="append")
+
+
+def test_compact_and_incremental_respect_evolved_schema(spark,
+                                                        tmp_path):
+    """A rewrite or incremental read spanning an add-column append
+    must pin the manifest schema — otherwise Spark samples whichever
+    file footer it opens first and silently drops the new column."""
+    t = str(tmp_path / "tbl")
+    pg = _pages(spark).limit(20).select("url", "text").localCheckpoint()
+    icetable.commit(pg.repartition(2), t)
+    v2 = pg.withColumn("score", (F.length("text") % 7).cast("long"))
+    icetable.commit(v2.repartition(2), t, mode="append")
+    inc = icetable.read_incremental(spark, t, after=1)
+    assert "score" in inc.schema.names
+    assert inc.where(F.col("score").isNotNull()).count() == 20
+    snap = icetable.compact(spark, t, target_rows=1_000_000)
+    assert snap is not None
+    cur = icetable.read(spark, t)
+    assert cur.schema.names == ["url", "text", "score"]
+    assert cur.count() == 40
+    assert cur.where(F.col("score").isNotNull()).count() == 20
