@@ -85,6 +85,10 @@ def z_ranges(x0: int, y0: int, x1: int, y1: int,
     feeds N ``between`` prunes whose union is far tighter than the
     single corner window when the bbox crosses a high Z bit.
     """
+    if not (0 <= x0 <= x1 < (1 << ZBITS)
+            and 0 <= y0 <= y1 < (1 << ZBITS)):
+        raise ValueError(f"bbox [{x0},{x1}]x[{y0},{y1}] must be "
+                         f"non-empty within [0, {(1 << ZBITS) - 1}]")
     out: list[tuple[int, int]] = []
 
     def cover(qx: int, qy: int, size: int, budget: int) -> int:

@@ -107,7 +107,8 @@ def bloom_build(keys: DataFrame, key_col: str = "term",
     :func:`key_hash`)."""
     kh = key_hash(F.col(key_col))
     pairs = F.array(*[_pos(kh, j, m_words) for j in range(k)])
-    pos = keys.select(F.explode(pairs).alias("p"))
+    pos = (keys.where(F.col(key_col).isNotNull())
+           .select(F.explode(pairs).alias("p")))
     return (pos.select(
         F.floor(F.col("p") / BLOOM_LANES).cast("long")
         .alias("word_idx"),

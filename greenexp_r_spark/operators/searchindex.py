@@ -93,6 +93,7 @@ def conjunctive_lookup(index: DataFrame,
     term-bucketed table layout that's a pruned file subset); the AND
     is one distinct-count aggregate keyed by doc_id.
     """
+    terms = tuple(dict.fromkeys(terms))     # a duplicate term is one
     hits = (index.where(F.col("term").isin(*terms))
             .select("term", F.explode("postings").alias("p"))
             .select("term", F.col("p.doc_id").alias("doc_id"),
