@@ -105,6 +105,92 @@ def heavy_hitters(docs: DataFrame, phi_ppm: int = 2000,
             .select("term", "cnt", "est"))
 
 
+# ----------------------------------------------------------------- HLL
+# HyperLogLog distinct-count over the same portability doctrine: the
+# register table (register → max rank) is pure integer arithmetic on
+# the 31-bit Horner key hash — groupBy + MAX, bit-exact in DuckDB and
+# cellwise-max mergeable across corpus increments.  Only the final
+# scalar estimate involves floats, and it is computed DRIVER-side
+# from the collected (m-row) register table, so engine float-sum
+# ordering never enters.  (Spark's own approx_count_distinct is this
+# sketch JVM-side; this one you can persist, merge, and replay.)
+
+HLL_B = 10                     # 2^10 = 1024 registers
+HLL_M = 1 << HLL_B
+# rank window: the key hash is < P31 (31 bits); after % m the
+# quotient fits in 21 bits
+HLL_WBITS = 21
+
+
+def hll_registers(docs: DataFrame, col: str = "term",
+                  pre_exploded: bool = False) -> DataFrame:
+    """(register, max_rank) over the distinct values of ``col`` (by
+    construction — duplicates collapse inside MAX).  One explode +
+    one map-side-combinable MAX aggregate, ≤ m rows out per task."""
+    from .bloom import key_hash
+    toks = docs if pre_exploded else (
+        docs.select(F.explode(T.words(F.col("text"))).alias(col))
+            .where(F.length(col) > 0))
+    h = key_hash(F.col(col))
+    reg = (h % HLL_M).alias("register")
+    w = F.floor(h / HLL_M).cast("long")
+    # rank = leading zeros of w in a 21-bit window, + 1;
+    # bit_length(w) = length(bin(w)) for w > 0 in BOTH engines
+    rank = (F.when(w > 0, HLL_WBITS + 1 - F.length(F.bin(w)))
+            .otherwise(HLL_WBITS + 1)).cast("long")
+    return (toks.select(reg, rank.alias("rank"))
+            .groupBy("register")
+            .agg(F.max("rank").cast("long").alias("max_rank")))
+
+
+def hll_estimate(registers) -> float:
+    """Scalar HLL estimate from a collected register table (list of
+    Rows or (register, max_rank) pairs) — standard bias-corrected
+    harmonic mean with the small-range linear-counting correction."""
+    import math
+    regs = [0] * HLL_M
+    for r in registers:
+        try:
+            reg, rank = r["register"], r["max_rank"]
+        except (TypeError, KeyError):
+            reg, rank = r
+        regs[int(reg)] = int(rank)
+    m = HLL_M
+    alpha = 0.7213 / (1 + 1.079 / m)
+    s = sum(2.0 ** -x for x in regs)
+    e = alpha * m * m / s
+    zeros = regs.count(0)
+    if e <= 2.5 * m and zeros:
+        return m * math.log(m / zeros)
+    return e
+
+
+def hll_sql(d_, table: str = "documents") -> str:
+    """DuckDB rendering of :func:`hll_registers` (bit-exact)."""
+    from .bloom import key_hash_sql
+    wr = d_.split("text")
+    base = f"SELECT {wr} AS warr FROM {table}"
+    exploded = d_.explode_range(base, "p", "1", d_.asize("warr"))
+    kh = key_hash_sql("term")
+    return f"""
+WITH toks AS (
+  SELECT {d_.elem('warr', 'p')} AS term
+  FROM ({exploded}) _w
+  WHERE length({d_.elem('warr', 'p')}) > 0
+),
+keyed AS (
+  SELECT CAST(h % {HLL_M} AS BIGINT) AS register,
+         CAST(h // {HLL_M} AS BIGINT) AS w
+  FROM (SELECT CAST({kh} AS BIGINT) AS h FROM toks) _h
+)
+SELECT register,
+       CAST(MAX(CASE WHEN w > 0
+                     THEN {HLL_WBITS} + 1 - length(bin(w))
+                     ELSE {HLL_WBITS} + 1 END) AS BIGINT) AS max_rank
+FROM keyed GROUP BY register
+"""
+
+
 # ------------------------------------------------------------- oracles
 
 def cms_sql(d_, d: int = CMS_D, w: int = CMS_W,

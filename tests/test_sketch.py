@@ -74,3 +74,28 @@ def test_sketch_is_mergeable(spark, sf_dir):
             .where(F.coalesce(merged["counter"], F.lit(0)) !=
                    F.coalesce(whole["counter"], F.lit(0))).count())
     assert diff == 0
+
+
+def test_hll_registers_match_duckdb_bitwise(spark, sf_dir):
+    compare(SK.hll_registers(_docs(spark, sf_dir)),
+            SK.hll_sql(DUCK), sf_dir)
+
+
+def test_hll_estimate_within_error_and_mergeable(spark, sf_dir):
+    docs = _docs(spark, sf_dir)
+    regs = SK.hll_registers(docs).collect()
+    est = SK.hll_estimate(regs)
+    true = (docs.select(F.explode(F.split("text", " ")).alias("t"))
+            .where(F.length("t") > 0).select("t").distinct().count())
+    # 1.04/sqrt(m) ≈ 3.3% std error at m=1024; allow 4 sigma
+    assert abs(est - true) / true < 0.13, (est, true)
+    # mergeability: cellwise max of half-sketches == whole sketch
+    a = SK.hll_registers(docs.where("doc_id % 2 = 0"))
+    b = SK.hll_registers(docs.where("doc_id % 2 = 1"))
+    merged = (a.unionByName(b).groupBy("register")
+              .agg(F.max("max_rank").alias("max_rank")))
+    whole = SK.hll_registers(docs)
+    diff = (merged.join(whole, "register", "full")
+            .where(F.coalesce(merged["max_rank"], F.lit(0)) !=
+                   F.coalesce(whole["max_rank"], F.lit(0))).count())
+    assert diff == 0
