@@ -70,16 +70,18 @@ def funnel_summary(events: DataFrame,
                    steps: tuple[str, ...] = FUNNEL_STEPS,
                    within_s: int | None = None) -> DataFrame:
     """(step, n_users) — users reaching each ordinal step (the
-    conversion table a funnel chart plots)."""
+    conversion table a funnel chart plots).  ONE pass over the
+    per-user funnel: k conditional sums in a single aggregate, then
+    an unpivot of the k-column row."""
     f = funnel(events, steps, within_s)
-    arms = [f.where(F.col("completed") >= i)
-            .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
-            .select(F.lit(i).cast("long").alias("step"), "n_users")
-            for i in range(1, len(steps) + 1)]
-    out = arms[0]
-    for a in arms[1:]:
-        out = out.unionByName(a)
-    return out
+    k = len(steps)
+    row = f.agg(*[
+        F.sum((F.col("completed") >= i).cast("long"))
+        .alias(f"s{i}") for i in range(1, k + 1)])
+    stacked = ", ".join(f"CAST({i} AS BIGINT), s{i}"
+                        for i in range(1, k + 1))
+    return row.selectExpr(
+        f"stack({k}, {stacked}) AS (step, n_users)")
 
 
 def funnel_sql(steps: tuple[str, ...] = FUNNEL_STEPS,
