@@ -930,7 +930,15 @@ def _q_events_rollup(spark, sf):
     (operators/sessions.py) rolled up by session-start hour —
     n_events = sessions started that hour, metric_sum = events inside
     them (event_type NULL) — giving the sessionization operator a
-    driver-exact gate row on the same entry."""
+    driver-exact gate row on the same entry.  Late session 4 folds
+    the rest of the behavioral trio into the same aligned schema:
+    kind='funnel' (event_type = 'step_i', n_events = users reaching
+    the ordinal step) and kind='retention' (hour = cohort-week start
+    instant, event_type = the week offset, n_events = retained
+    users).  All three ride the one events scan family; the entry is
+    HEADLINE but outside the EXPOSURE north-star set."""
+    from .operators import funnel as _FU
+    from .operators import retention as _RT
     from .operators import sessions as _SS
     ev = spark.read.parquet(f"{sf}/events.parquet")
     h = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
@@ -956,12 +964,53 @@ def _q_events_rollup(spark, sf):
          .select(F.lit("sessions").alias("kind"), "hour",
                  F.lit(None).cast("string").alias("event_type"),
                  F.col("n_sessions").alias("n_events"), "metric_sum"))
-    return h.unionByName(p).unionByName(s)
+    fu = (_FU.funnel_summary(ev)
+          .select(F.lit("funnel").alias("kind"),
+                  F.lit(None).cast(hour_t).alias("hour"),
+                  F.concat(F.lit("step_"), F.col("step"))
+                  .alias("event_type"),
+                  F.col("n_users").alias("n_events"),
+                  F.lit(0).cast("long").alias("metric_sum")))
+    rt = (_RT.retention(ev)
+          .select(F.lit("retention").alias("kind"),
+                  F.timestamp_micros(
+                      F.col("cohort_week") * _RT._WEEK_US)
+                  .cast(hour_t).alias("hour"),
+                  F.col("week_offset").cast("string")
+                  .alias("event_type"),
+                  F.col("n_users").alias("n_events"),
+                  F.lit(0).cast("long").alias("metric_sum")))
+    return (h.unionByName(p).unionByName(s)
+            .unionByName(fu).unionByName(rt))
 
 
 def _sessions_body() -> str:
     from .operators import sessions as _SS
     return _SS.sessionize_sql()
+
+
+def _funnel_arm_sql() -> str:
+    from .operators import funnel as _FU
+    k = len(_FU.FUNNEL_STEPS)
+    return f"""
+SELECT 'funnel' AS kind, CAST(NULL AS TIMESTAMP) AS hour,
+       'step_' || CAST(q.step AS VARCHAR) AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(0 AS BIGINT) AS metric_sum
+FROM ({_FU.funnel_sql()}) _f,
+     (SELECT unnest(generate_series(1, {k})) AS step) q
+WHERE _f.completed >= q.step
+GROUP BY q.step"""
+
+
+def _retention_arm_sql() -> str:
+    from .operators import retention as _RT
+    return f"""
+SELECT 'retention' AS kind,
+       make_timestamp(cohort_week * {_RT._WEEK_US}) AS hour,
+       CAST(week_offset AS VARCHAR) AS event_type,
+       n_users AS n_events, CAST(0 AS BIGINT) AS metric_sum
+FROM ({_RT.retention_sql()}) _r"""
 
 
 def _oracle_events_rollup(d: Dialect) -> str:
@@ -984,6 +1033,10 @@ SELECT 'sessions' AS kind, date_trunc('hour', session_start) AS hour,
        CAST(SUM(n_events) AS BIGINT) AS metric_sum
 FROM ({_sessions_body()}) _s
 GROUP BY date_trunc('hour', session_start)
+UNION ALL
+{_funnel_arm_sql()}
+UNION ALL
+{_retention_arm_sql()}
 """
 
 

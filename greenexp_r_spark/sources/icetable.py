@@ -309,7 +309,7 @@ def commit(df: DataFrame, table: str, mode: str = "append",
         "schema": table_schema,
         "delete_files": list((pm.get("delete_files") or [])
                              if pm else []),
-        "files": files + [vars(e) for e in new],
+        "files": files + [dict(vars(e), seq=snap) for e in new],
     }
     _cas_swap(table, snap, parent, manifest)
     return snap
@@ -375,7 +375,8 @@ def commit_deletes(keys: DataFrame, table: str,
     keys.select(key_col).distinct().write.mode("error").parquet(ddir)
     rows = sum(pq.ParquetFile(os.path.join(ddir, f)).metadata.num_rows
                for f in os.listdir(ddir) if f.endswith(".parquet"))
-    entry = {"path": ddir, "rows": rows, "key_col": key_col}
+    entry = {"path": ddir, "rows": rows, "key_col": key_col,
+             "seq": snap}
     manifest = {
         "snapshot": snap,
         "parent": parent,
@@ -387,6 +388,52 @@ def commit_deletes(keys: DataFrame, table: str,
         "files": pm["files"],
     }
     _cas_swap(table, snap, parent, manifest, what="delete commit")
+    return snap
+
+
+def commit_upsert(df: DataFrame, table: str, key_col: str,
+                  stat_cols: list[str] | None = None) -> int:
+    """MERGE INTO semantics in ONE atomic snapshot: stage ``df`` as
+    new data files AND its key set as a delete file with the same
+    sequence number — existing rows with matching keys are superseded,
+    the new rows survive their own delete set (file.seq == delete.seq
+    is not < it), and readers see old or new, never a mix.  The crawl
+    use case: re-crawled captures replacing a url's previous rows."""
+    parent = current_snapshot(table)
+    pm = _load_manifest(table, parent)
+    snap = parent + 1
+    base = os.path.join(table, "data",
+                        f"s{snap}-{uuid.uuid4().hex[:12]}")
+    ddir = os.path.join(base, "_deletes")
+    vdir = os.path.join(base, "_data")
+    df.write.mode("error").parquet(vdir)
+    df.select(key_col).distinct().write.mode("error").parquet(ddir)
+    d_rows = sum(pq.ParquetFile(os.path.join(ddir, f))
+                 .metadata.num_rows
+                 for f in os.listdir(ddir) if f.endswith(".parquet"))
+    if stat_cols is None:
+        stat_cols = [f.name for f in df.schema
+                     if f.dataType.simpleString() in
+                     ("bigint", "int", "double", "float", "string",
+                      "timestamp")]
+    new = []
+    for f in sorted(os.listdir(vdir)):
+        if f.endswith(".parquet"):
+            new.append(_file_entry(os.path.join(vdir, f), stat_cols))
+    manifest = {
+        "snapshot": snap,
+        "parent": parent,
+        "mode": "upsert",
+        "partition_spec": pm.get("partition_spec"),
+        "props": dict(pm.get("props") or {}),
+        "schema": pm.get("schema"),
+        "delete_files": list(pm.get("delete_files") or [])
+        + [{"path": ddir, "rows": d_rows, "key_col": key_col,
+            "seq": snap}],
+        "files": pm["files"] + [dict(vars(e), seq=snap)
+                                for e in new],
+    }
+    _cas_swap(table, snap, parent, manifest, what="upsert")
     return snap
 
 
@@ -490,6 +537,8 @@ def compact(spark: SparkSession, table: str,
     data_dir = os.path.join(table, "data",
                             f"s{new_snap}-{uuid.uuid4().hex[:12]}")
     new_entries = []
+    deletes = m.get("delete_files") or []
+    from pyspark.sql.functions import broadcast
     for key, small in jobs:
         total = sum(e["rows"] for e in small)
         n_out = max(1, -(-total // target_rows))        # ceil
@@ -502,8 +551,24 @@ def compact(spark: SparkSession, table: str,
             # not inherit whichever file's footer Spark samples first
             from pyspark.sql.types import StructType
             reader = reader.schema(StructType.fromJson(m["schema"]))
-        (reader.parquet(*[e["path"] for e in small])
-         .repartition(n_out).write.mode("error").parquet(out_dir))
+        # the rewrite APPLIES equality deletes (Iceberg's rewrite
+        # purge — where a takedown physically leaves the bytes):
+        # files subgroup by sequence so each delete hits only rows
+        # from files committed before it
+        by_seq: dict = {}
+        for e in small:
+            by_seq.setdefault(e.get("seq", 0), []).append(e["path"])
+        merged = None
+        for seq, paths in sorted(by_seq.items()):
+            part_df = reader.parquet(*paths)
+            for de in deletes:
+                if de.get("seq", 1 << 60) > seq:
+                    keys = spark.read.parquet(de["path"])
+                    part_df = part_df.join(broadcast(keys),
+                                           de["key_col"], "left_anti")
+            merged = part_df if merged is None \
+                else merged.unionByName(part_df)
+        (merged.repartition(n_out).write.mode("error").parquet(out_dir))
         part = {"bucket": key} if key is not None else None
         for f in sorted(os.listdir(out_dir)):
             if f.endswith(".parquet"):
@@ -517,11 +582,16 @@ def compact(spark: SparkSession, table: str,
         "partition_spec": m.get("partition_spec"),
         "props": dict(m.get("props") or {}),
         "schema": m.get("schema"),
-        # deletes stay merge-on-read: the rewrite copies raw data
-        # files without applying them, so the list carries forward
-        # (a purge = overwrite-commit of read(spark, table))
-        "delete_files": list(m.get("delete_files") or []),
-        "files": keep + [vars(e) for e in new_entries],
+        # rewritten files had their deletes APPLIED, so only deletes
+        # still applicable to some KEPT file survive; none kept →
+        # fully purged (the takedown's bytes are really gone once
+        # expire_snapshots + vacuum reclaim the old files)
+        "delete_files": [
+            de for de in deletes
+            if any(e.get("seq", 0) < de.get("seq", 1 << 60)
+                   for e in keep)],
+        "files": keep + [dict(vars(e), seq=new_snap)
+                         for e in new_entries],
     }
     _cas_swap(table, new_snap, snap, manifest, what="compaction")
     return new_snap
@@ -590,14 +660,29 @@ def read(spark: SparkSession, table: str, snapshot: int | None = None,
         # nulls, no mergeSchema footer pass needed
         from pyspark.sql.types import StructType
         reader = reader.schema(StructType.fromJson(m["schema"]))
-    df = reader.parquet(*[e["path"] for e in files])
-    # equality deletes (merge-on-read): anti-join the accumulated
-    # delete key sets — dimension-sized takedown lists, broadcast
-    for de in m.get("delete_files") or []:
-        from pyspark.sql.functions import broadcast
-        keys = spark.read.parquet(de["path"])
-        df = df.join(broadcast(keys), de["key_col"], "left_anti")
-    return df
+    deletes = m.get("delete_files") or []
+    if not deletes:
+        return reader.parquet(*[e["path"] for e in files])
+    # equality deletes (merge-on-read) with Iceberg v2 SEQUENCE
+    # semantics: a delete applies only to files committed BEFORE it
+    # (file.seq < delete.seq) — this is what lets an upsert's own new
+    # rows survive its own delete set.  Files group by seq (bounded
+    # by the snapshot count), each group anti-joins its applicable
+    # delete sets — dimension-sized takedown lists, broadcast.
+    from pyspark.sql.functions import broadcast
+    out = None
+    by_seq: dict = {}
+    for e in files:
+        by_seq.setdefault(e.get("seq", 0), []).append(e["path"])
+    for seq, paths in sorted(by_seq.items()):
+        part = reader.parquet(*paths)
+        for de in deletes:
+            if de.get("seq", 1 << 60) > seq:
+                keys = spark.read.parquet(de["path"])
+                part = part.join(broadcast(keys), de["key_col"],
+                                 "left_anti")
+        out = part if out is None else out.unionByName(part)
+    return out
 
 
 def read_incremental(spark: SparkSession, table: str,

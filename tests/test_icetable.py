@@ -479,3 +479,46 @@ def test_compact_and_incremental_respect_evolved_schema(spark,
     assert cur.schema.names == ["url", "text", "score"]
     assert cur.count() == 40
     assert cur.where(F.col("score").isNotNull()).count() == 20
+
+
+def test_upsert_replaces_keys_atomically(spark, tmp_path):
+    """commit_upsert = MERGE in one snapshot: matching keys are
+    superseded, the upsert's own rows survive its own delete set
+    (sequence semantics), later deletes still apply to them, and a
+    compaction physically purges superseded rows."""
+    t = str(tmp_path / "tbl")
+    pg = (_pages(spark).limit(40)
+          .select("url", "text").localCheckpoint())
+    icetable.commit(pg, t)
+    n = pg.count()
+    n_url = pg.select("url").distinct().count()
+    # upsert new text for 6 urls
+    up = (pg.limit(6).select("url")
+          .distinct().withColumn("text", F.lit("FRESH"))
+          .localCheckpoint())
+    k = up.count()
+    icetable.commit_upsert(up, t, key_col="url")
+    cur = icetable.read(spark, t)
+    # every upserted url now has exactly the fresh row
+    assert cur.where(F.col("text") == "FRESH").count() == k
+    assert (cur.join(up.select("url"), "url")
+            .where(F.col("text") != "FRESH").count()) == 0
+    assert cur.select("url").distinct().count() == n_url
+    # time travel: pre-upsert snapshot unchanged
+    assert icetable.read(spark, t, snapshot=1).count() == n
+    # a later delete removes an upserted row too (seq ordering)
+    one = up.limit(1).select("url").localCheckpoint()
+    icetable.commit_deletes(one, t, key_col="url")
+    assert (icetable.read(spark, t).join(one, "url").count()) == 0
+    # compaction applies + purges: rewritten files no longer contain
+    # superseded or deleted rows, and the delete list drops to the
+    # entries still guarding kept files (none here -> empty)
+    snap = icetable.compact(spark, t, target_rows=1_000_000)
+    assert snap is not None
+    m = icetable._load_manifest(t, snap)
+    assert m["delete_files"] == []
+    raw = spark.read.parquet(*[e["path"] for e in m["files"]])
+    assert raw.count() == icetable.read(spark, t).count()
+    assert raw.join(one, "url").count() == 0
+    assert (raw.join(up.select("url"), "url")
+            .where(F.col("text") != "FRESH").count()) == 0
