@@ -553,19 +553,21 @@ def compact(spark: SparkSession, table: str,
             reader = reader.schema(StructType.fromJson(m["schema"]))
         # the rewrite APPLIES equality deletes (Iceberg's rewrite
         # purge — where a takedown physically leaves the bytes):
-        # files subgroup by sequence so each delete hits only rows
-        # from files committed before it
-        by_seq: dict = {}
+        # files subgroup by applicable-delete set (bounded by
+        # n_deletes + 1) so each delete hits only rows from files
+        # committed before it
+        by_applicable: dict = {}
         for e in small:
-            by_seq.setdefault(e.get("seq", 0), []).append(e["path"])
+            k = _applicable(deletes, e.get("seq", 0))
+            by_applicable.setdefault(k, []).append(e["path"])
         merged = None
-        for seq, paths in sorted(by_seq.items()):
+        for idxs, paths in sorted(by_applicable.items()):
             part_df = reader.parquet(*paths)
-            for de in deletes:
-                if de.get("seq", 1 << 60) > seq:
-                    keys = spark.read.parquet(de["path"])
-                    part_df = part_df.join(broadcast(keys),
-                                           de["key_col"], "left_anti")
+            for i in idxs:
+                de = deletes[i]
+                keys = spark.read.parquet(de["path"])
+                part_df = part_df.join(broadcast(keys),
+                                       de["key_col"], "left_anti")
             merged = part_df if merged is None \
                 else merged.unionByName(part_df)
         (merged.repartition(n_out).write.mode("error").parquet(out_dir))
@@ -619,6 +621,13 @@ def expire_snapshots(table: str, keep_last: int = 1,
     return expired
 
 
+def _applicable(deletes: list, file_seq: int) -> tuple:
+    """Indices of the delete entries applying to a file of the given
+    sequence (delete.seq > file.seq)."""
+    return tuple(i for i, de in enumerate(deletes)
+                 if de.get("seq", 1 << 60) > file_seq)
+
+
 def read(spark: SparkSession, table: str, snapshot: int | None = None,
          between: tuple | None = None,
          bucket_eq: tuple | None = None) -> DataFrame:
@@ -666,21 +675,24 @@ def read(spark: SparkSession, table: str, snapshot: int | None = None,
     # equality deletes (merge-on-read) with Iceberg v2 SEQUENCE
     # semantics: a delete applies only to files committed BEFORE it
     # (file.seq < delete.seq) — this is what lets an upsert's own new
-    # rows survive its own delete set.  Files group by seq (bounded
-    # by the snapshot count), each group anti-joins its applicable
-    # delete sets — dimension-sized takedown lists, broadcast.
+    # rows survive its own delete set.  Files group by their
+    # APPLICABLE-DELETE SET, not raw seq: a thousand streaming
+    # appends under one takedown form 2 groups, not 1000, so the
+    # union plan is bounded by n_deletes + 1.  Each group anti-joins
+    # its applicable (dimension-sized, broadcast) key sets.
     from pyspark.sql.functions import broadcast
     out = None
-    by_seq: dict = {}
+    by_applicable: dict = {}
     for e in files:
-        by_seq.setdefault(e.get("seq", 0), []).append(e["path"])
-    for seq, paths in sorted(by_seq.items()):
+        key = _applicable(deletes, e.get("seq", 0))
+        by_applicable.setdefault(key, []).append(e["path"])
+    for idxs, paths in sorted(by_applicable.items()):
         part = reader.parquet(*paths)
-        for de in deletes:
-            if de.get("seq", 1 << 60) > seq:
-                keys = spark.read.parquet(de["path"])
-                part = part.join(broadcast(keys), de["key_col"],
-                                 "left_anti")
+        for i in idxs:
+            de = deletes[i]
+            keys = spark.read.parquet(de["path"])
+            part = part.join(broadcast(keys), de["key_col"],
+                             "left_anti")
         out = part if out is None else out.unionByName(part)
     return out
 
