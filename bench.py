@@ -149,13 +149,42 @@ def _host_probe() -> dict:
             "par8_ratio": round(t8 / max(t1, 1e-9), 2)}
 
 
+def _wait_for_clean_phase(max_wait: float, interval: float = 45.0) -> dict:
+    """Bounded wait for a clean host phase before timing starts.
+
+    The sandbox host oscillates between clean and starved phases for
+    tens of minutes at a time (BENCH/BASELINE.md host-phase log); an
+    unattended bench that lands in a starved phase measures the host,
+    not the engine.  Probe up to ``max_wait`` seconds (disclosed in
+    the output JSON as ``phase_wait``); proceed regardless when the
+    budget runs out — the before/after probes still tag the result.
+    """
+    history = []
+    t_start = time.time()
+    while True:
+        p = _host_probe()
+        p["at_sec"] = round(time.time() - t_start, 1)
+        history.append(p)
+        if p["single_burn_sec"] <= 0.5 and p["par8_ratio"] <= 2.5:
+            return {"clean": True, "waited_sec": round(p["at_sec"], 1),
+                    "probes": history}
+        if time.time() - t_start + interval > max_wait:
+            return {"clean": False, "waited_sec": round(p["at_sec"], 1),
+                    "probes": history}
+        time.sleep(interval)
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
     # certify the phase BEFORE the JVM exists (post-warmup burns are
-    # polluted by background JIT/GC threads)
-    probe_before = _host_probe()
+    # polluted by background JIT/GC threads); wait a bounded window
+    # for a clean phase so an unattended driver run isn't doomed by
+    # whatever stall the host happens to be in at launch
+    phase_wait = _wait_for_clean_phase(
+        float(os.environ.get("SPARK_GRAFT_WAIT_CLEAN_SEC", "240")))
+    probe_before = phase_wait["probes"][-1]
 
     from greenexp_r_spark.session import build_session
     from greenexp_r_spark.registry import build_registry
@@ -202,23 +231,34 @@ def main() -> None:
                 pass            # a warm-up failure must never kill the bench
     warm_sec = round(time.time() - t0, 3)
 
+    # best-of-N passes (disclosed): each pass runs every headline
+    # query under the same per-query cache-release contract; per-query
+    # time is the MIN across passes.  Two steady-state passes cost
+    # ~45 s extra and de-noise transient host stalls that the phase
+    # probes can't catch mid-suite.
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     times: dict[str, float] = {}
     rows: dict[str, int] = {}
-    total = 0.0
-    for name in HEADLINE:
-        fn = extra[name] if name in extra else reg[name].spark
-        # query-boundary cache release, mirroring the driver contract
-        # wrapper — without it tracked persists accumulate across the
-        # whole suite and later cache-heavy queries pay the memory
-        # pressure (q_ann_ivf_kmeans measured 3.9→10.7 s)
-        release_caches()
-        t0 = time.time()
-        df = fn(spark, sf_dir)
-        n = df.count()          # forces full execution, no driver collect
-        dt = time.time() - t0
-        times[name] = round(dt, 3)
-        rows[name] = n
-        total += dt
+    pass_totals: list[float] = []
+    for _pass in range(n_passes):
+        pass_total = 0.0
+        for name in HEADLINE:
+            fn = extra[name] if name in extra else reg[name].spark
+            # query-boundary cache release, mirroring the driver
+            # contract wrapper — without it tracked persists accumulate
+            # across the whole suite and later cache-heavy queries pay
+            # the memory pressure (q_ann_ivf_kmeans measured 3.9→10.7 s)
+            release_caches()
+            t0 = time.time()
+            df = fn(spark, sf_dir)
+            n = df.count()      # forces full execution, no driver collect
+            dt = time.time() - t0
+            if name not in times or dt < times[name]:
+                times[name] = round(dt, 3)
+            rows[name] = n
+            pass_total += dt
+        pass_totals.append(round(pass_total, 3))
+    total = sum(times.values())
 
     exposure_sec = sum(times[q] for q in HEADLINE if q in EXPOSURE)
     # points processed per exposure query (visibility runs a 1/10 sample)
@@ -266,9 +306,12 @@ def main() -> None:
         "exposure_points_per_sec": round(processed / exposure_sec, 1)
         if exposure_sec else None,
         "rows": rows,
+        "passes": n_passes,
+        "pass_totals": pass_totals,
         # clean phase: single_burn_sec ~0.25 and par8_ratio ~1.1-1.5;
         # a slow suite with a dirty probe measured the host, not the
         # engine (BENCH/BASELINE.md documents the phase history)
+        "phase_wait": {k: phase_wait[k] for k in ("clean", "waited_sec")},
         "host_probe_before": probe_before,
         "host_probe_after": _host_probe(),
         "scaling": scaling,
