@@ -936,7 +936,15 @@ def _q_events_rollup(spark, sf):
     the ordinal step) and kind='retention' (hour = cohort-week start
     instant, event_type = the week offset, n_events = retained
     users).  All three ride the one events scan family; the entry is
-    HEADLINE but outside the EXPOSURE north-star set."""
+    HEADLINE but outside the EXPOSURE north-star set.
+
+    r5 session 5 adds kind='attribution': the generic as-of join
+    (operators/asof.py — union + one keyed window, DuckDB ASOF JOIN
+    oracle) attributing each purchase to the user's most recent
+    preceding click/view, rolled up by purchase hour × attributed
+    source type; metric_sum = total attribution lag in integer
+    microseconds (0 for unattributed, event_type 'none')."""
+    from .operators import asof as _AS
     from .operators import funnel as _FU
     from .operators import retention as _RT
     from .operators import sessions as _SS
@@ -980,8 +988,25 @@ def _q_events_rollup(spark, sf):
                   .alias("event_type"),
                   F.col("n_users").alias("n_events"),
                   F.lit(0).cast("long").alias("metric_sum")))
+    aj = _AS.asof_join(
+        ev.filter(F.col("event_type") == "purchase")
+          .select("ts", "user_id"),
+        ev.filter(F.col("event_type").isin("click", "view"))
+          .select("user_id", "ts", "event_type", "event_id"),
+        key="user_id", payload=["event_type"], tiebreak="event_id")
+    lag_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(F.col("asof_ts").cast("timestamp")))
+    at = (aj.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                     F.coalesce(F.col("asof_event_type"),
+                                F.lit("none")).alias("event_type"))
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.sum(F.coalesce(lag_us, F.lit(0))).cast("long")
+               .alias("metric_sum"))
+          .select(F.lit("attribution").alias("kind"),
+                  F.col("hour").cast(hour_t).alias("hour"),
+                  "event_type", "n_events", "metric_sum"))
     return (h.unionByName(p).unionByName(s)
-            .unionByName(fu).unionByName(rt))
+            .unionByName(fu).unionByName(rt).unionByName(at))
 
 
 def _sessions_body() -> str:
@@ -1037,6 +1062,23 @@ UNION ALL
 {_funnel_arm_sql()}
 UNION ALL
 {_retention_arm_sql()}
+UNION ALL
+SELECT 'attribution' AS kind, date_trunc('hour', l.ts) AS hour,
+       COALESCE(r.event_type, 'none') AS event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(COALESCE(epoch_us(l.ts) - epoch_us(r.ts), 0))
+            AS BIGINT) AS metric_sum
+FROM (SELECT ts, user_id FROM events
+      WHERE event_type = 'purchase') l
+ASOF LEFT JOIN
+     (SELECT user_id, ts, event_type FROM (
+        SELECT user_id, ts, event_type,
+               row_number() OVER (PARTITION BY user_id, ts
+                                  ORDER BY event_id DESC) AS rn
+        FROM events WHERE event_type IN ('click', 'view')) _r0
+      WHERE rn = 1) r
+ON l.user_id = r.user_id AND l.ts >= r.ts
+GROUP BY 1, 2, 3
 """
 
 

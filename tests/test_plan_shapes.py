@@ -62,3 +62,19 @@ def test_conjunctive_lookup_shuffles_hits_not_blocks(spark, sf_dir):
     idx = SI.packed_index(docs, block_docs=8).localCheckpoint()
     q = SI.conjunctive_lookup(idx, ("the",))
     assert _n_exchanges(q) == 1
+
+
+def test_asof_join_is_one_keyed_shuffle(spark, sf_dir):
+    """Union + one keyed window = ONE exchange on the join key — the
+    whole point of the union-window as-of plan (operators/asof.py
+    docstring) vs a per-key range join."""
+    from greenexp_r_spark.operators import asof as AS
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    left = ev.where("event_type = 'purchase'") \
+        .select("event_id", "ts", "user_id")
+    right = ev.where("event_type IN ('click', 'view')") \
+        .select("user_id", "ts", "event_type", "event_id")
+    j = AS.asof_join(left, right, key="user_id",
+                     payload=["event_type", "event_id"],
+                     tiebreak="event_id")
+    assert _n_exchanges(j) == 1
