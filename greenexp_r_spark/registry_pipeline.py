@@ -943,8 +943,16 @@ def _q_events_rollup(spark, sf):
     oracle) attributing each purchase to the user's most recent
     preceding click/view, rolled up by purchase hour × attributed
     source type; metric_sum = total attribution lag in integer
-    microseconds (0 for unattributed, event_type 'none')."""
+    microseconds (0 for unattributed, event_type 'none'), and
+    kind='spans': the generic range join (operators/rangejoin.py —
+    bucketed equi-join, plain-inequality-join oracle) assigning every
+    event to its containing session interval, rolled up by event hour
+    × type; metric_sum = total offset into the session in integer
+    microseconds.  Sessions tile each user's timeline, so every event
+    matches exactly one interval — the containment semantics are what
+    the hash checks."""
     from .operators import asof as _AS
+    from .operators import rangejoin as _RJ
     from .operators import funnel as _FU
     from .operators import retention as _RT
     from .operators import sessions as _SS
@@ -1005,8 +1013,24 @@ def _q_events_rollup(spark, sf):
           .select(F.lit("attribution").alias("kind"),
                   F.col("hour").cast(hour_t).alias("hour"),
                   "event_type", "n_events", "metric_sum"))
+    sp_j = _RJ.range_join(
+        ev.select("event_id", "ts", "user_id", "event_type"),
+        _SS.sessionize_batch(ev)
+           .select("user_id", "session_start", "session_end"),
+        point_col="ts", lo_col="session_start", hi_col="session_end",
+        keys=["user_id"], bucket_width=3_600_000_000)
+    off_us = (F.unix_micros(F.col("ts").cast("timestamp"))
+              - F.unix_micros(F.col("session_start").cast("timestamp")))
+    sp = (sp_j.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                       "event_type")
+          .agg(F.count(F.lit(1)).alias("n_events"),
+               F.sum(off_us).cast("long").alias("metric_sum"))
+          .select(F.lit("spans").alias("kind"),
+                  F.col("hour").cast(hour_t).alias("hour"),
+                  "event_type", "n_events", "metric_sum"))
     return (h.unionByName(p).unionByName(s)
-            .unionByName(fu).unionByName(rt).unionByName(at))
+            .unionByName(fu).unionByName(rt).unionByName(at)
+            .unionByName(sp))
 
 
 def _sessions_body() -> str:
@@ -1078,6 +1102,16 @@ ASOF LEFT JOIN
         FROM events WHERE event_type IN ('click', 'view')) _r0
       WHERE rn = 1) r
 ON l.user_id = r.user_id AND l.ts >= r.ts
+GROUP BY 1, 2, 3
+UNION ALL
+SELECT 'spans' AS kind, date_trunc('hour', e.ts) AS hour,
+       e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(epoch_us(e.ts) - epoch_us(s.session_start))
+            AS BIGINT) AS metric_sum
+FROM events e JOIN ({_sessions_body()}) s
+ON e.user_id = s.user_id
+AND e.ts BETWEEN s.session_start AND s.session_end
 GROUP BY 1, 2, 3
 """
 
