@@ -972,7 +972,12 @@ def _q_events_rollup(spark, sf):
          .select(F.lit("props").alias("kind"),
                  F.lit(None).cast(hour_t).alias("hour"),
                  "event_type", "n_events", "metric_sum"))
-    s = (_SS.sessionize_batch(ev)
+    # two arms (sessions, spans) consume the sessionize table —
+    # checkpoint it once or each consumer re-runs the user-keyed
+    # shuffle + both analytic windows (the netprep.smooth lesson);
+    # the table is session-sized (≪ events), so this is scale-safe
+    sess = _SS.sessionize_batch(ev).localCheckpoint(eager=False)
+    s = (sess
          .groupBy(F.date_trunc("hour", F.col("session_start"))
                   .alias("hour"))
          .agg(F.count(F.lit(1)).alias("n_sessions"),
@@ -1015,8 +1020,7 @@ def _q_events_rollup(spark, sf):
                   "event_type", "n_events", "metric_sum"))
     sp_j = _RJ.range_join(
         ev.select("event_id", "ts", "user_id", "event_type"),
-        _SS.sessionize_batch(ev)
-           .select("user_id", "session_start", "session_end"),
+        sess.select("user_id", "session_start", "session_end"),
         point_col="ts", lo_col="session_start", hi_col="session_end",
         keys=["user_id"], bucket_width=3_600_000_000)
     off_us = (F.unix_micros(F.col("ts").cast("timestamp"))
