@@ -14,6 +14,13 @@ Reference analogs cited per SURVEY.md §2.
 WORLD_SIZE = 20_000          # meters, both axes
 P31 = 2_147_483_647          # Mersenne prime 2^31-1, the mixing modulus
 
+# fixed affine rows (a, b) for the portable multi-hash family — the
+# j-th hash of x is ((x*a_j + b_j) % P31) % range.  SINGLE source of
+# truth shared by the count-min sketch (operators/sketch.py) and the
+# bloom filter (operators/bloom.py): a drifted copy would silently
+# desynchronize their cross-engine SQL renderings.
+AFFINE_ROWS = ((40503, 17), (48271, 101), (69621, 257), (16807, 911))
+
 # ---- point geocoding (pages table; reference analog Ams_Houses,
 #      GreenExp_R R/data.R:19-34) ----------------------------------------
 X_MUL, X_ADD = 2_654_435_761, 12_345

@@ -71,8 +71,8 @@ def asof_join(left: DataFrame, right: DataFrame,
     tolerance_us  optional max |left_ts - right_ts| in microseconds;
                   matches farther away are nulled (still left-join).
     tiebreak      right column ordering equal-(key, ts) right rows;
-                  the greatest wins.  Defaults to the first payload
-                  column.
+                  the greatest wins (NULLs lose to any non-null, like
+                  SQL MAX).  Defaults to the last payload column.
     """
     if direction not in ("backward", "forward"):
         raise ValueError(f"direction must be backward|forward, "
@@ -105,8 +105,11 @@ def asof_join(left: DataFrame, right: DataFrame,
     ts_ord = F.col(_TS).asc() if direction == "backward" \
         else F.col(_TS).desc()
     w = (Window.partitionBy(*keys)
+         # nulls FIRST so a non-null tiebreak outranks NULL — the
+         # "greatest tiebreak wins" contract must agree with a SQL
+         # oracle's max(tiebreak) dedupe, and SQL MAX ignores NULLs
          .orderBy(ts_ord, F.col(_SIDE).asc(),
-                  F.col(_TIE).asc_nulls_last())
+                  F.col(_TIE).asc_nulls_first())
          .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = F.last(_PAY, ignorenulls=True).over(w)
 

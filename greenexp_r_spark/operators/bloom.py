@@ -36,8 +36,9 @@ from .. import constants as C
 BLOOM_LANES = 62               # usable bits per BIGINT word
 BLOOM_WORDS = 1024             # default filter: 63,488 bits
 BLOOM_K = 4
-# fixed affine rows (a, b) — same doctrine as sketch.CMS_ROWS
-BLOOM_ROWS = ((40503, 17), (48271, 101), (69621, 257), (16807, 911))
+# the shared portable multi-hash family (one source of truth with
+# sketch.CMS_ROWS)
+BLOOM_ROWS = C.AFFINE_ROWS
 
 
 BLOOM_HASH_LEN = 16            # Horner prefix length

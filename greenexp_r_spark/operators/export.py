@@ -45,14 +45,18 @@ def export_training_shards(spark: SparkSession, docs: DataFrame,
                            target_rows: int = 1_000_000) -> dict:
     """Run the capstone and commit it; returns the release summary
     (snapshot, n_files, n_docs, n_tokens)."""
-    out = train_corpus(docs)
+    # checkpoint: the agg below and the commit write would otherwise
+    # EACH execute the full quality/dedup/sample/split pipeline — a
+    # second complete corpus pass at scale
+    out = train_corpus(docs).localCheckpoint(eager=True)
     n_docs, n_tokens = out.agg(
         F.count(F.lit(1)), F.sum("n_tokens")).first()
+    n_tokens = int(n_tokens) if n_tokens is not None else 0  # empty split
     n_files = max(1, -(-int(n_docs) // target_rows))
     snap = icetable.commit(
         out.repartition(n_files, "doc_id"), table,
         stat_cols=["doc_id", "lang", "source", "n_tokens"],
-        props={"n_docs": int(n_docs), "n_tokens": int(n_tokens)})
+        props={"n_docs": int(n_docs), "n_tokens": n_tokens})
     return {"snapshot": snap,
             "n_files": icetable.metrics(table, snap)["n_files"],
-            "n_docs": int(n_docs), "n_tokens": int(n_tokens)}
+            "n_docs": int(n_docs), "n_tokens": n_tokens}

@@ -75,8 +75,12 @@ def funnel_summary(events: DataFrame,
     an unpivot of the k-column row."""
     f = funnel(events, steps, within_s)
     k = len(steps)
+    # COALESCE: SUM over an empty per-user table (nobody performed
+    # step 1) is NULL — the summary contract is "all k rows, zero
+    # counts", matching the zero-filled step axis the SQL oracle uses
     row = f.agg(*[
-        F.sum((F.col("completed") >= i).cast("long"))
+        F.coalesce(F.sum((F.col("completed") >= i).cast("long")),
+                   F.lit(0).cast("long"))
         .alias(f"s{i}") for i in range(1, k + 1)])
     stacked = ", ".join(f"CAST({i} AS BIGINT), s{i}"
                         for i in range(1, k + 1))

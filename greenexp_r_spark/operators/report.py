@@ -66,13 +66,18 @@ def exact_quantiles(docs: DataFrame, col: str = "n_chars",
          .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
     w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
                                         Window.currentRow)
-    cum = h.select("v", F.sum("cnt").over(w).cast("long").alias("cum"))
-    n = docs.count()
+    # n = the histogram's own total (an unbounded window over the
+    # domain-sized table) — a docs.count() here would be a SECOND
+    # full corpus scan purely for the rank cutoffs
+    wall = Window.orderBy("v").rowsBetween(Window.unboundedPreceding,
+                                           Window.unboundedFollowing)
+    cum = h.select(
+        "v", F.sum("cnt").over(w).cast("long").alias("cum"),
+        F.sum("cnt").over(wall).cast("long").alias("_n"))
     qdf = docs.sparkSession.createDataFrame(
-        [(int(q), (n * int(q) + 99) // 100) for q in qs],
-        "q_pct long, rank_needed long")
-    return (cum.join(F.broadcast(qdf),
-                     F.col("cum") >= F.col("rank_needed"))
+        [(int(q),) for q in qs], "q_pct long")
+    rank_needed = F.expr("(_n * q_pct + 99) div 100")
+    return (cum.join(F.broadcast(qdf), F.col("cum") >= rank_needed)
             .groupBy("q_pct").agg(F.min("v").alias("value")))
 
 

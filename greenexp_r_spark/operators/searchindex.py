@@ -139,6 +139,9 @@ FROM tf
 def lookup_sql(d, terms: tuple[str, ...],
                table: str = "documents") -> str:
     """DuckDB rendering of :func:`conjunctive_lookup`."""
+    # same dedupe as the operator: ('a','a') means "contains a", not
+    # an unsatisfiable COUNT(DISTINCT term) = 2
+    terms = tuple(dict.fromkeys(terms))
     inlist = ", ".join("'" + t.replace("'", "''") + "'" for t in terms)
     w = d.split("text")
     base = f"SELECT doc_id, {w} AS warr FROM {table}"

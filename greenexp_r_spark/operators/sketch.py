@@ -33,10 +33,10 @@ from ..functions import text as T
 
 CMS_D = 4                      # hash rows
 CMS_W = 2048                   # counters per row
-# fixed affine maps (a_j, b_j) on the word hash, mod P31 then mod w —
-# odd multipliers, pairwise distinct; portability doctrine: small
-# enough that wh * a stays far inside BIGINT
-CMS_ROWS = ((40503, 17), (48271, 101), (69621, 257), (16807, 911))
+# the shared portable multi-hash family (constants.AFFINE_ROWS) on
+# the word hash, mod P31 then mod w — odd multipliers, pairwise
+# distinct, small enough that wh * a stays far inside BIGINT
+CMS_ROWS = C.AFFINE_ROWS
 
 
 def _bucket(wh: F.Column, j: int, w: int) -> F.Column:
@@ -89,11 +89,16 @@ def heavy_hitters(docs: DataFrame, phi_ppm: int = 2000,
     restricted to candidate terms (a broadcast semi-join) removes the
     false positives.  Never materializes the full vocabulary counts.
     """
-    sketch = cms_build(docs, d, w)
+    # checkpoint the (d×w ≤ 8k rows) sketch: it feeds both the
+    # candidate estimate and the N derivation, and every CMS row's
+    # counters sum to the total token count — so N comes free from
+    # row 0 instead of a second full explode+count corpus scan
+    sketch = cms_build(docs, d, w).localCheckpoint(eager=True)
     toks = (docs.select(F.explode(T.words(F.col("text")))
                         .alias("term"))
             .where(F.length("term") > 0))
-    n = toks.count()
+    n = (sketch.where(F.col("j") == 0)
+         .agg(F.sum("counter")).first()[0]) or 0
     thresh = (phi_ppm * n) // 1_000_000
     cand = (cms_estimate(toks.distinct(), sketch, d, w)
             .where(F.col("est") >= thresh))

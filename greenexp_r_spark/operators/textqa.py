@@ -212,13 +212,18 @@ def compression_stats(docs: DataFrame) -> DataFrame:
     def fn(it):
         import zlib
         for pdf in it:
-            txt = pdf["text"]
+            raw, comp = [], []
+            for t in pdf["text"]:
+                b = t.encode("utf-8")
+                # byte length of the SAME bytes zlib sees — a char
+                # count would overstate compressibility of non-ASCII
+                # text (1000 CJK chars ≈ 3000 UTF-8 bytes)
+                raw.append(len(b))
+                comp.append(len(zlib.compress(b, ZLIB_LEVEL)))
             yield pd.DataFrame({
                 "doc_id": pdf["doc_id"],
-                "raw_bytes": txt.str.len().astype("int64"),
-                "zlib_bytes": [
-                    len(zlib.compress(t.encode("utf-8"), ZLIB_LEVEL))
-                    for t in txt],
+                "raw_bytes": pd.array(raw, dtype="int64"),
+                "zlib_bytes": pd.array(comp, dtype="int64"),
             })
 
     n_parts = _codec_partitions(docs)

@@ -1045,15 +1045,21 @@ def _sessions_body() -> str:
 def _funnel_arm_sql() -> str:
     from .operators import funnel as _FU
     k = len(_FU.FUNNEL_STEPS)
+    # zero-filled step axis: the Spark side always emits all k rows
+    # (a step nobody reaches counts 0), so the oracle must too — a
+    # bare GROUP BY would DROP zero-completion steps and hash-mismatch
+    # on any slice where a funnel step has no completing users
     return f"""
 SELECT 'funnel' AS kind, CAST(NULL AS TIMESTAMP) AS hour,
        'step_' || CAST(q.step AS VARCHAR) AS event_type,
-       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COALESCE(c.n, 0) AS BIGINT) AS n_events,
        CAST(0 AS BIGINT) AS metric_sum
-FROM ({_FU.funnel_sql()}) _f,
-     (SELECT unnest(generate_series(1, {k})) AS step) q
-WHERE _f.completed >= q.step
-GROUP BY q.step"""
+FROM (SELECT unnest(generate_series(1, {k})) AS step) q
+LEFT JOIN (SELECT q2.step AS step, COUNT(*) AS n
+           FROM ({_FU.funnel_sql()}) _f,
+                (SELECT unnest(generate_series(1, {k})) AS step) q2
+           WHERE _f.completed >= q2.step
+           GROUP BY q2.step) c ON c.step = q.step"""
 
 
 def _retention_arm_sql() -> str:

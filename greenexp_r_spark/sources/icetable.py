@@ -187,6 +187,43 @@ def _lock_path(table: str) -> str:
     return os.path.join(_meta_dir(table), "COMMIT.lock")
 
 
+def _write_data(df: DataFrame, data_dir: str, part_spec: dict | None,
+                stat_cols: list[str]) -> list:
+    """Stage ``df``'s data files under ``data_dir`` honoring the
+    table's partition spec (bucket transform → per-bucket _b=<k>
+    dirs) and return their FileEntry list with partition tags.
+    Shared by commit() and commit_upsert() so an upsert can never
+    silently write spec-violating (unbucketed) files into a
+    bucket-partitioned table."""
+    if part_spec is not None:
+        n_buckets, col = part_spec["n"], part_spec["col"]
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf("int")
+        def _bucket(v):
+            import pandas as pd
+            h = murmur3_32_long(v.to_numpy())
+            return pd.Series(
+                ((h & np.uint32(0x7FFFFFFF))
+                 % np.uint32(n_buckets)).astype(np.int32))
+
+        df.withColumn("_b", _bucket(df[col])) \
+          .write.mode("error").partitionBy("_b").parquet(data_dir)
+    else:
+        df.write.mode("error").parquet(data_dir)
+    new = []
+    for root, _dirs, fnames in sorted(os.walk(data_dir)):
+        base = os.path.basename(root)
+        part = ({"bucket": int(base.split("=", 1)[1])}
+                if base.startswith("_b=") else None)
+        for f in sorted(fnames):
+            if f.endswith(".parquet"):
+                e = _file_entry(os.path.join(root, f), stat_cols)
+                e.partition = part
+                new.append(e)
+    return new
+
+
 def commit(df: DataFrame, table: str, mode: str = "append",
            stat_cols: list[str] | None = None,
            expected_parent: int | None = None,
@@ -241,35 +278,11 @@ def commit(df: DataFrame, table: str, mode: str = "append",
             raise ValueError(
                 f"append partition spec {part_spec} != table spec "
                 f"{prev_spec}; use mode='overwrite' to change specs")
-    if partition is not None:
-        from pyspark.sql.functions import pandas_udf
-
-        @pandas_udf("int")
-        def _bucket(v):
-            import pandas as pd
-            h = murmur3_32_long(v.to_numpy())
-            return pd.Series(
-                ((h & np.uint32(0x7FFFFFFF))
-                 % np.uint32(n_buckets)).astype(np.int32))
-
-        df.withColumn("_b", _bucket(df[col])) \
-          .write.mode("error").partitionBy("_b").parquet(data_dir)
-    else:
-        df.write.mode("error").parquet(data_dir)
     stat_cols = stat_cols if stat_cols is not None else [
         f.name for f in df.schema
         if f.dataType.simpleString() in
         ("bigint", "int", "double", "float", "string", "timestamp")]
-    new = []
-    for root, _dirs, fnames in sorted(os.walk(data_dir)):
-        base = os.path.basename(root)
-        part = ({"bucket": int(base.split("=", 1)[1])}
-                if base.startswith("_b=") else None)
-        for f in sorted(fnames):
-            if f.endswith(".parquet"):
-                e = _file_entry(os.path.join(root, f), stat_cols)
-                e.partition = part
-                new.append(e)
+    new = _write_data(df, data_dir, part_spec, stat_cols)
     pm = (None if mode == "overwrite" or parent == 0
           else _load_manifest(table, parent))
     files = pm["files"] if pm else []
@@ -406,20 +419,19 @@ def commit_upsert(df: DataFrame, table: str, key_col: str,
                         f"s{snap}-{uuid.uuid4().hex[:12]}")
     ddir = os.path.join(base, "_deletes")
     vdir = os.path.join(base, "_data")
-    df.write.mode("error").parquet(vdir)
-    df.select(key_col).distinct().write.mode("error").parquet(ddir)
-    d_rows = sum(pq.ParquetFile(os.path.join(ddir, f))
-                 .metadata.num_rows
-                 for f in os.listdir(ddir) if f.endswith(".parquet"))
     if stat_cols is None:
         stat_cols = [f.name for f in df.schema
                      if f.dataType.simpleString() in
                      ("bigint", "int", "double", "float", "string",
                       "timestamp")]
-    new = []
-    for f in sorted(os.listdir(vdir)):
-        if f.endswith(".parquet"):
-            new.append(_file_entry(os.path.join(vdir, f), stat_cols))
+    # honor the table's partition spec — an unbucketed write into a
+    # bucket-partitioned table would silently degrade bucket_eq
+    # pruning toward full scans and unbucket the rows at compaction
+    new = _write_data(df, vdir, pm.get("partition_spec"), stat_cols)
+    df.select(key_col).distinct().write.mode("error").parquet(ddir)
+    d_rows = sum(pq.ParquetFile(os.path.join(ddir, f))
+                 .metadata.num_rows
+                 for f in os.listdir(ddir) if f.endswith(".parquet"))
     manifest = {
         "snapshot": snap,
         "parent": parent,
@@ -661,6 +673,14 @@ def read(spark: SparkSession, table: str, snapshot: int | None = None,
                  if e.get("partition") is None
                  or e["partition"].get("bucket") == want]
     if not files:
+        # a predicate that prunes every file (or an empty table) is a
+        # legal empty result, not an error — the pinned manifest
+        # schema makes the empty frame constructible; pollers probing
+        # quiet key/time windows must not crash
+        if m.get("schema"):
+            from pyspark.sql.types import StructType
+            return spark.createDataFrame(
+                [], StructType.fromJson(m["schema"]))
         raise ValueError(f"no files for snapshot {snap} of {table}")
     reader = spark.read
     if m.get("schema"):
@@ -761,7 +781,9 @@ def streaming_sink(table: str, stat_cols: list[str] | None = None,
                .trigger(availableNow=True).start())
     """
     def _write(batch_df: DataFrame, batch_id: int) -> None:
-        while True:
+        import time as _time
+        delay = 0.05
+        for _attempt in range(12):
             try:
                 done = int(table_props(table).get(
                     "stream_batch_id", -1)) \
@@ -773,7 +795,25 @@ def streaming_sink(table: str, stat_cols: list[str] | None = None,
                        props={"stream_batch_id": int(batch_id)})
                 return
             except CommitConflict:
-                continue                        # re-read HWM and retry
+                # bounded retry with backoff — each attempt re-stages
+                # the batch, so an unbounded loop against a stale lock
+                # would fill the disk while the stream hangs.  The
+                # critical section is microseconds: a lock much older
+                # than that was left by a killed writer — clear it.
+                lock = _lock_path(table)
+                try:
+                    if (os.path.exists(lock) and _time.time()
+                            - os.path.getmtime(lock) > 30.0):
+                        force_unlock(table)
+                except OSError:
+                    pass
+                _time.sleep(delay)
+                delay = min(delay * 2, 2.0)
+        raise CommitConflict(
+            f"stream batch {batch_id}: 12 commit attempts conflicted; "
+            "a live concurrent writer is racing this sink — stop one, "
+            "then restart the stream (the checkpoint replays the "
+            "batch; the epoch HWM keeps it exactly-once)")
     return _write
 
 

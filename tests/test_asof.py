@@ -129,6 +129,30 @@ def test_fixture_semantics(spark):
     assert fwd[4] is None
 
 
+def test_null_tiebreak_loses(spark):
+    """At equal (key, ts) a NULL tiebreak must lose to any non-null
+    one — the 'greatest tiebreak wins' contract mirrors SQL MAX, which
+    ignores NULLs (a max-tiebreak oracle dedupe picks the non-null
+    row)."""
+    t0 = dt.datetime(2024, 1, 1)
+    left = spark.createDataFrame(
+        [(1, t0 + dt.timedelta(seconds=10), 7)],
+        "event_id long, ts timestamp, user_id long")
+    right = spark.createDataFrame(
+        [(7, t0, "nulltie", None), (7, t0, "realtie", 5)],
+        "user_id long, ts timestamp, tag string, pri long")
+    out = AS.asof_join(left, right, key="user_id", payload=["tag"],
+                       tiebreak="pri").collect()
+    assert out[0]["asof_tag"] == "realtie"
+    # all-NULL tiebreaks still match (some row wins, never a non-row)
+    right2 = spark.createDataFrame(
+        [(7, t0, "x", None), (7, t0, "y", None)],
+        "user_id long, ts timestamp, tag string, pri long")
+    out2 = AS.asof_join(left, right2, key="user_id", payload=["tag"],
+                        tiebreak="pri").collect()
+    assert out2[0]["asof_tag"] in ("x", "y")
+
+
 def test_fixture_tolerance(spark):
     left, right, at = _fixture(spark)
     out = {r["event_id"]: r["asof_tag"]

@@ -56,6 +56,43 @@ def test_funnel_order_semantics_fixture(spark):
     assert out[2]["ts_2"] == t0 + dt.timedelta(minutes=10)
 
 
+def test_funnel_summary_zero_steps(spark, tmp_path):
+    """A step nobody reaches (and the nobody-entered case) must still
+    produce all k rows with 0 — on BOTH engines: the registry's funnel
+    arm uses a zero-filled step axis, and funnel_summary coalesces the
+    empty-aggregate NULL.  This is the gate-hash edge a plain GROUP BY
+    oracle silently drops."""
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [(1, t0, 7, "view"), (2, t0 + dt.timedelta(minutes=1), 7,
+             "click")]          # nobody purchases
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string")
+    # single parquet FILE (not a Spark part-dir): the oracle harness
+    # points DuckDB at {dir}/events.parquet exactly like the testdata
+    import pandas as pd
+    pd.DataFrame(rows, columns=["event_id", "ts", "user_id",
+                                "event_type"]).to_parquet(
+        f"{tmp_path}/events.parquet")
+    got = {r["step"]: r["n_users"]
+           for r in FU.funnel_summary(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 0}
+    # full-arm parity on the crafted slice, via the registry SQL
+    from greenexp_r_spark.registry_pipeline import _funnel_arm_sql
+    arm = (FU.funnel_summary(df)
+           .selectExpr("'funnel' AS kind",
+                       "CAST(NULL AS TIMESTAMP) AS hour",
+                       "concat('step_', step) AS event_type",
+                       "n_users AS n_events",
+                       "CAST(0 AS BIGINT) AS metric_sum"))
+    compare(arm, _funnel_arm_sql(), str(tmp_path))
+    # nobody even enters the funnel: still k zero rows
+    none_df = df.where("event_type = 'purchase'")
+    got0 = {r["step"]: r["n_users"]
+            for r in FU.funnel_summary(none_df).collect()}
+    assert got0 == {1: 0, 2: 0, 3: 0}
+
+
 def test_funnel_summary_is_monotone(spark, sf_dir):
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     rows = {r["step"]: r["n_users"]

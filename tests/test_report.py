@@ -98,7 +98,7 @@ def test_compression_stats_match_zlib(spark, sf_dir):
     assert len(out) == len(texts)
     for r in out[:200]:
         t = texts[r["doc_id"]]
-        assert r["raw_bytes"] == len(t)
+        assert r["raw_bytes"] == len(t.encode("utf-8"))
         assert r["zlib_bytes"] == len(
             zlib.compress(t.encode("utf-8"), textqa.ZLIB_LEVEL))
     # prose compresses: ratio strictly below 1 for real documents
