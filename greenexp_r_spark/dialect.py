@@ -71,6 +71,18 @@ class Dialect:
         """UTF-8 decode a binary/blob expression to string."""
         raise NotImplementedError
 
+    def starts(self, x: str, pfx: str) -> str:
+        """Literal-prefix test (NOT LIKE: '_' and '%' in the prefix
+        would be wildcards)."""
+        raise NotImplementedError
+
+    def ends(self, x: str, sfx: str) -> str:
+        raise NotImplementedError
+
+    def ajoin(self, arr: str, sep: str) -> str:
+        """Join a string array with a separator."""
+        raise NotImplementedError
+
 
 class SparkDialect(Dialect):
     name = "spark"
@@ -109,6 +121,15 @@ class SparkDialect(Dialect):
     def b2s(self, b):
         return f"decode({b}, 'UTF-8')"
 
+    def starts(self, x, pfx):
+        return f"startswith({x}, {pfx})"
+
+    def ends(self, x, sfx):
+        return f"endswith({x}, {sfx})"
+
+    def ajoin(self, arr, sep):
+        return f"array_join({arr}, {sep})"
+
 
 class DuckDialect(Dialect):
     name = "duckdb"
@@ -146,6 +167,15 @@ class DuckDialect(Dialect):
 
     def b2s(self, b):
         return f"decode({b})"
+
+    def starts(self, x, pfx):
+        return f"starts_with({x}, {pfx})"
+
+    def ends(self, x, sfx):
+        return f"ends_with({x}, {sfx})"
+
+    def ajoin(self, arr, sep):
+        return f"array_to_string({arr}, {sep})"
 
 
 SPARK = SparkDialect()

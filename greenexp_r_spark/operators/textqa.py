@@ -371,7 +371,8 @@ GOPHER_MAX_DUP_TRIGRAM = 0.30
 
 
 def domain_stats(pages: DataFrame,
-                 blocklist: DataFrame | None = None) -> DataFrame:
+                 blocklist: DataFrame | None = None,
+                 extra_aggs: tuple = ()) -> DataFrame:
     """(domain, n_pages, total_chars, mean_quality[, blocked]):
     per-domain corpus statistics — the grouping every
     Common-Crawl-style pipeline runs for domain-level filtering (spam
@@ -379,7 +380,11 @@ def domain_stats(pages: DataFrame,
     (regexp, JVM-side); quality reuses the quality_score heuristic.
     One hash aggregate; shuffle carries per-domain partials only.
     With `blocklist` (a domain dim table, see domain_blocklist) a
-    broadcast left join adds the UT1-style `blocked` flag."""
+    broadcast left join adds the UT1-style `blocked` flag.
+    ``extra_aggs``: additional aggregate Columns over the per-page
+    rows (doc_id, url, n_chars, q_micro) folded into the SAME
+    aggregate — the text_profile `extra` precedent; the gate uses it
+    for the canonical-URL columns (operators/urlnorm.py)."""
     host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
     q = quality_score(pages.select(F.col("point_id").alias("doc_id"),
                                    "text"))
@@ -392,11 +397,11 @@ def domain_stats(pages: DataFrame,
     g = (j.groupBy(host.alias("domain"))
          .agg(F.count(F.lit(1)).alias("n_pages"),
               F.sum("n_chars").alias("total_chars"),
-              F.sum("q_micro").alias("q_sum")))
+              F.sum("q_micro").alias("q_sum"),
+              *extra_aggs))
     mean_q = (F.col("q_sum").cast("double")
               / (F.lit(1_000_000.0) * F.col("n_pages")))
-    out = g.select("domain", "n_pages", "total_chars",
-                   mean_q.alias("mean_quality"))
+    out = g.withColumn("mean_quality", mean_q).drop("q_sum")
     if blocklist is not None:
         out = (out.join(F.broadcast(
                    blocklist.withColumn("blocked", F.lit(True))),

@@ -404,11 +404,26 @@ def _q_domain_stats(s, sf):
     genuine dim TABLE broadcast-left-joined on the Spark side; the
     PageRank columns come from the real href-regex link extraction
     over augmented markup and an integer-exact power iteration
-    (operators/linkgraph.py — the CC host-centrality quality prior)."""
-    from .operators import linkgraph, textqa
+    (operators/linkgraph.py — the CC host-centrality quality prior).
+
+    r5 session 5 folds the URL-canonicalization operator
+    (operators/urlnorm.py) into the same aggregate at zero slot cost:
+    each url is deterministically messed up (case/port/fragment/
+    tracking params by doc_id residue — the pii augmented-corpus
+    precedent, since the synthetic urls are already clean) and the
+    per-domain MIN canonical string + distinct-canonical count ride
+    the gate hash, so any drift in the shared canonical expression
+    breaks the entry."""
+    from .operators import linkgraph, textqa, urlnorm
+    from .dialect import SPARK as _SPK
     pts = world.points_df(s, sf)
-    base = textqa.domain_stats(pts,
-                               blocklist=textqa.domain_blocklist(pts))
+    canon = F.expr(urlnorm.canonical_url_sql(
+        _SPK, urlnorm.augment_url_sql(_SPK, "url", "doc_id")))
+    base = textqa.domain_stats(
+        pts, blocklist=textqa.domain_blocklist(pts),
+        extra_aggs=(F.countDistinct(canon).cast("long")
+                    .alias("n_canon"),
+                    F.min(canon).alias("first_canon")))
     # checkpoint the edge set BEFORE the size probe (doctrine: the
     # probe must not re-run the extraction scan)
     edges = linkgraph.page_links(pts).localCheckpoint(eager=True)
@@ -416,20 +431,24 @@ def _q_domain_stats(s, sf):
     return (base.join(pr, base["domain"] == pr["host"], "left")
             .select(base["domain"], "n_pages", "total_chars",
                     "mean_quality", "blocked",
+                    "n_canon", "first_canon",
                     F.coalesce(pr["outdeg"], F.lit(0))
                     .cast("long").alias("outdeg"),
                     F.col("pagerank_micro")))
 
 
 def _oracle_domain_stats(d: Dialect) -> str:
-    from .operators import linkgraph
+    from .operators import linkgraph, urlnorm
     from .registry_pipeline import _oracle_quality
+    canon = urlnorm.canonical_url_sql(
+        d, urlnorm.augment_url_sql(d, "url", "doc_id"))
     return f"""
 WITH points AS ({world.points_sql(d)}),
 qual AS ({_oracle_quality(d)}),
 {linkgraph.pagerank_ctes(d)},
 j AS (
-  SELECT p.url, CAST(length(p.text) AS BIGINT) AS n_chars,
+  SELECT p.url, p.point_id AS doc_id,
+         CAST(length(p.text) AS BIGINT) AS n_chars,
          CAST(round(q.quality * 1000000) AS BIGINT) AS q_micro
   FROM points p JOIN qual q ON p.point_id = q.doc_id
 ),
@@ -438,13 +457,16 @@ base AS (
          CAST(SUM(n_chars) AS BIGINT) AS total_chars,
          CAST(SUM(q_micro) AS DOUBLE) / (1000000.0 * COUNT(*))
              AS mean_quality,
-         ({T.word_hash_sql('domain')}) % 17 = 3 AS blocked
+         ({T.word_hash_sql('domain')}) % 17 = 3 AS blocked,
+         CAST(COUNT(DISTINCT canon) AS BIGINT) AS n_canon,
+         MIN(canon) AS first_canon
   FROM (SELECT regexp_extract(url, '^https?://([^/]+)/', 1) AS domain,
-               n_chars, q_micro
+               n_chars, q_micro, {canon} AS canon
         FROM j) _d
   GROUP BY domain
 )
 SELECT b.domain, b.n_pages, b.total_chars, b.mean_quality, b.blocked,
+       b.n_canon, b.first_canon,
        CAST(COALESCE(o.outdeg, 0) AS BIGINT) AS outdeg,
        CAST(p.pr AS BIGINT) AS pagerank_micro
 FROM base b
