@@ -50,6 +50,53 @@ def hourly_rollup_stream(spark: SparkSession, events_path: str,
                     "n_events", "value_sum_micros"))
 
 
+def downsample_stream(spark: SparkSession, events_path: str,
+                      width_s: int = 900,
+                      watermark: str = "2 hours") -> DataFrame:
+    """Streaming twin of operators/downsample.time_bucket_rollup —
+    the hypertable continuous aggregate: per (user, width_s-bucket)
+    OHLC maintained incrementally under an event-time watermark.
+
+    Spark's epoch-anchored tumbling ``window(ts, Ns)`` start instant
+    IS the batch operator's subtract-mod bucket start, and open/close
+    ride the same lexicographic struct MIN/MAX — so the drained
+    stream is bit-equal to the batch rollup (asserted in
+    tests/test_downsample.py), the same stream≡batch contract as the
+    sessionizer.  State per key is one aggregation row per open
+    bucket; the watermark evicts buckets once event time passes."""
+    events_path = stage_as_dir(events_path)
+    static = spark.read.parquet(events_path)
+    stream = (spark.readStream.schema(static.schema).parquet(events_path)
+              .withColumn("ts", F.col("ts").cast("timestamp")))
+    first_s = F.struct(F.unix_micros(F.col("ts")).alias("us"),
+                       F.col("event_id"), F.col("value"))
+    return (stream
+            .withWatermark("ts", watermark)
+            .groupBy(F.window("ts", f"{width_s} seconds").alias("w"),
+                     F.col("user_id").alias("key"))
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum(F.round(F.col("value") * 1_000_000)
+                       .cast("long")).alias("sum_micro"),
+                 F.min(first_s).getField("value").alias("open_v"),
+                 F.max(first_s).getField("value").alias("close_v"),
+                 F.min("value").alias("min_v"),
+                 F.max("value").alias("max_v"))
+            .select("key", F.col("w.start").alias("bucket"),
+                    "n_rows", "sum_micro", "open_v", "close_v",
+                    "min_v", "max_v"))
+
+
+def run_downsample_available_now(spark: SparkSession, events_path: str,
+                                 width_s: int = 900,
+                                 table_name: str = "events_ohlc_stream"
+                                 ) -> DataFrame:
+    q = (downsample_stream(spark, events_path, width_s)
+         .writeStream.format("memory").queryName(table_name)
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(table_name)
+
+
 def streaming_dedup(spark: SparkSession, events_path: str,
                     watermark: str = "2 hours") -> DataFrame:
     """Stateful exact dedup on the stream, with state actually bounded

@@ -69,6 +69,22 @@ SELECT d.*, last_value(close_v IGNORE NULLS)
 FROM d""", sf_dir)
 
 
+def test_stream_equals_batch(spark, sf_dir):
+    """The availableNow-drained streaming OHLC (epoch-anchored
+    tumbling window + the same struct MIN/MAX) is bit-equal to the
+    batch rollup — the stream≡batch contract."""
+    from greenexp_r_spark.streaming import events_stream as ES
+
+    path = f"{sf_dir}/events.parquet"
+    got = ES.run_downsample_available_now(spark, path, width_s=_W)
+    ev = spark.read.parquet(path)
+    want = DS.time_bucket_rollup(ev, width_s=_W)
+    cols = want.columns
+    g = {tuple(r) for r in got.select(*cols).collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w and len(w) > 0
+
+
 def test_fixture_gaps_and_carry(spark):
     t0 = dt.datetime(2024, 1, 1)
 
