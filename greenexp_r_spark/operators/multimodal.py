@@ -471,3 +471,133 @@ def decode_meta(docs: DataFrame) -> DataFrame:
 
     return pages.repartition(_codec_partitions(pages)) \
                 .mapInPandas(batches, META_SCHEMA)
+
+
+# --------------------------------------------------------- WAV codec
+#
+# RIFF/WAVE (Microsoft/IBM spec): 'RIFF' + size + 'WAVE', then
+# length-typed chunks ('fmt ' PCM header, 'data' samples), word-
+# aligned.  Like the PNG codec this is written from the byte format —
+# no audio library exists in the container, none is needed for PCM.
+
+AUDIO_SEG_SAMPLES = 256    # segment length (the frame analog)
+AUDIO_SEG_EVERY = 2        # sample every 2nd segment
+AUDIO_SAMPLE_MUL = 23      # synthesis rule: s = (code*MUL + i) % MOD
+AUDIO_SAMPLE_MOD = 4096    # ... - MOD/2  → int16-safe [-2048, 2047]
+
+
+def encode_wav(samples, rate: int, channels: int = 1) -> bytes:
+    """Fully valid 16-bit PCM RIFF/WAVE bytes."""
+    import numpy as np
+
+    pcm = np.asarray(samples, dtype="<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, channels, int(rate),
+                      int(rate) * channels * 2, channels * 2, 16)
+    body = (b"WAVE"
+            + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(pcm)) + pcm)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(buf: bytes) -> dict:
+    """Parse genuine RIFF/WAVE bytes back: chunk walk → rate/channels/
+    bits + the PCM samples.  Raises on non-RIFF, truncated, or
+    non-16-bit-PCM streams (no silent partial decode — the LZW
+    lesson)."""
+    import numpy as np
+
+    buf = bytes(buf)
+    if len(buf) < 12 or buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    (riff_len,) = struct.unpack("<I", buf[4:8])
+    if riff_len + 8 > len(buf):
+        raise ValueError("truncated RIFF stream")
+    pos, meta, pcm = 12, None, None
+    while pos + 8 <= riff_len + 8:
+        cid = buf[pos:pos + 4]
+        (clen,) = struct.unpack("<I", buf[pos + 4:pos + 8])
+        if pos + 8 + clen > len(buf):
+            raise ValueError(f"truncated {cid!r} chunk")
+        data = buf[pos + 8:pos + 8 + clen]
+        if cid == b"fmt ":
+            afmt, ch, rate, _br, _ba, bits = struct.unpack(
+                "<HHIIHH", data[:16])
+            if afmt != 1 or bits != 16:
+                raise ValueError(
+                    f"unsupported WAV: format={afmt} bits={bits}")
+            meta = {"rate": int(rate), "channels": int(ch),
+                    "bits": int(bits)}
+        elif cid == b"data":
+            pcm = data
+        pos += 8 + clen + (clen & 1)       # chunks are word-aligned
+    if meta is None or pcm is None:
+        raise ValueError("missing fmt or data chunk")
+    samples = np.frombuffer(pcm, dtype="<i2")
+    return dict(meta, samples=samples,
+                n_samples=len(samples) // meta["channels"])
+
+
+def synthesize_audio(text: str):
+    """Deterministic mono PCM from a document's text (the audio
+    analog of synthesize_image): n and rate from the text length,
+    sample i (1-based) = (code(text[(i-1) % len]) * MUL + i) % MOD
+    - MOD/2 — integer arithmetic a SQL oracle replays exactly via
+    ascii(substr(...))."""
+    import numpy as np
+
+    lt = len(text)
+    n = 256 + (lt * 3) % 1024
+    rate = 8000 + (lt % 3) * 4000
+    codes = np.frombuffer(text.encode("utf-8"),
+                          dtype=np.uint8).astype(np.int64)
+    i = np.arange(1, n + 1, dtype=np.int64)
+    s = ((codes[(i - 1) % lt] * AUDIO_SAMPLE_MUL + i)
+         % AUDIO_SAMPLE_MOD - AUDIO_SAMPLE_MOD // 2)
+    return s.astype(np.int16), rate
+
+
+AUDIO_SCHEMA = StructType([
+    StructField("doc_id", LongType()),
+    StructField("seg_idx", LongType()),
+    StructField("ts_ms", LongType()),
+    StructField("n_samples", LongType()),
+    StructField("sum_abs", LongType()),
+])
+
+
+def audio_segments(docs: DataFrame) -> DataFrame:
+    """Audio-segment sampling through the REAL codec: every
+    document's deterministic PCM is encoded to genuine RIFF/WAVE
+    bytes and decoded BACK — rate, sample count, and every feature
+    below come out of the byte stream, so a hash match against the
+    generation-rule oracle proves the codec end-to-end (the
+    decode_meta px_sum pattern).  Every AUDIO_SEG_EVERY-th
+    AUDIO_SEG_SAMPLES-sample segment emits (seg_idx, ts_ms from the
+    PARSED rate, n_samples, integer sum of |sample|)."""
+    import numpy as np
+
+    base = docs.select("doc_id", "text")
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            out = {k: [] for k in ("doc_id", "seg_idx", "ts_ms",
+                                   "n_samples", "sum_abs")}
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                s, rate = synthesize_audio(text)
+                dec = decode_wav(encode_wav(s, rate))
+                arr = dec["samples"].astype(np.int64)
+                n, prate = dec["n_samples"], dec["rate"]
+                n_segs = -(-n // AUDIO_SEG_SAMPLES)
+                for g in range(0, n_segs, AUDIO_SEG_EVERY):
+                    seg = arr[g * AUDIO_SEG_SAMPLES:
+                              (g + 1) * AUDIO_SEG_SAMPLES]
+                    out["doc_id"].append(did)
+                    out["seg_idx"].append(g)
+                    out["ts_ms"].append(
+                        (g * AUDIO_SEG_SAMPLES * 1000) // prate)
+                    out["n_samples"].append(len(seg))
+                    out["sum_abs"].append(int(np.abs(seg).sum()))
+            yield pd.DataFrame(out)
+
+    return base.repartition(_codec_partitions(base)) \
+               .mapInPandas(batches, AUDIO_SCHEMA)

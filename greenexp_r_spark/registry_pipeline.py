@@ -1261,7 +1261,7 @@ def _oracle_frames(d: Dialect) -> str:
         f"SELECT * FROM ({fr}) _f WHERE f % {ev} = 0",
         "i", "1", f"LEAST({fb}, n - f * {fb})")
     return f"""
-SELECT doc_id, f AS frame_idx,
+SELECT 'video' AS kind, doc_id, f AS frame_idx,
        CAST(f * {ms} AS BIGINT) AS ts_ms,
        CAST(LEAST({fb}, MIN(n) - f * {fb}) AS BIGINT) AS frame_bytes,
        CAST(SUM(ascii(substr(s, CAST(f * {fb} + i AS INT), 1)))
@@ -1269,6 +1269,55 @@ SELECT doc_id, f AS frame_idx,
 FROM ({by}) _b
 GROUP BY doc_id, f
 """
+
+
+def _oracle_audio_segments(d: Dialect) -> str:
+    """Generation-rule oracle for the REAL-WAV-codec audio segments
+    (operators/multimodal.audio_segments): the engine's rate, counts
+    and |sample| sums come out of genuine RIFF bytes; the oracle
+    recomputes them from the deterministic synthesis rule — the
+    decode_meta px_sum pattern, audio edition."""
+    sg = multimodal.AUDIO_SEG_SAMPLES
+    ev = multimodal.AUDIO_SEG_EVERY
+    mul = multimodal.AUDIO_SAMPLE_MUL
+    mod = multimodal.AUDIO_SAMPLE_MOD
+    au = ("SELECT doc_id, text, length(text) AS lt, "
+          "8000 + (length(text) % 3) * 4000 AS rate, "
+          "256 + (length(text) * 3) % 1024 AS ns FROM documents")
+    segs = d.explode_range(
+        au, "g", "0", d.floori(f"(ns + {sg} - 1) / {sg}") + " - 1")
+    by = d.explode_range(
+        f"SELECT * FROM ({segs}) _g WHERE g % {ev} = 0",
+        "i", "1", f"LEAST({sg}, ns - g * {sg})")
+    sample = (f"(ascii(substr(text, CAST((g * {sg} + i - 1) % lt "
+              f"AS INT) + 1, 1)) * {mul} + g * {sg} + i) % {mod} "
+              f"- {mod // 2}")
+    return f"""
+SELECT 'audio' AS kind, doc_id, g AS frame_idx,
+       CAST({d.idiv(f'g * {sg} * 1000', 'MIN(rate)')} AS BIGINT)
+           AS ts_ms,
+       CAST(LEAST({sg}, MIN(ns) - g * {sg}) AS BIGINT) AS frame_bytes,
+       CAST(SUM(ABS({sample})) AS BIGINT) AS checksum
+FROM ({by}) _b
+GROUP BY doc_id, g
+"""
+
+
+def _oracle_frames_av(d: Dialect) -> str:
+    return (f"{_oracle_frames(d)} UNION ALL {_oracle_audio_segments(d)}")
+
+
+def _multimodal_frames_av(s, sf):
+    docs = _docs(s, sf)
+    v = (multimodal.frame_samples(docs)
+         .select(F.lit("video").alias("kind"), "doc_id", "frame_idx",
+                 "ts_ms", "frame_bytes", "checksum"))
+    a = (multimodal.audio_segments(docs)
+         .select(F.lit("audio").alias("kind"), "doc_id",
+                 F.col("seg_idx").alias("frame_idx"), "ts_ms",
+                 F.col("n_samples").alias("frame_bytes"),
+                 F.col("sum_abs").alias("checksum")))
+    return v.unionByName(a)
 
 
 def _oracle_multimodal(d: Dialect) -> str:
@@ -1516,8 +1565,11 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_multimodal_meta": QSpec(
             lambda s, sf: multimodal.meta_thumbnail(_docs(s, sf)),
             _oracle_meta_thumbnail(d)),
-        # video frame-sampling plumbing: every 2nd 256-byte frame
+        # video frame-sampling plumbing (every 2nd 256-byte frame)
+        # + audio segment sampling through the REAL RIFF/WAV codec
+        # (r5s5): kind-tagged union, both arms per-chunk integer
+        # features over the same documents scan family
         "q_multimodal_frames": QSpec(
-            lambda s, sf: multimodal.frame_samples(_docs(s, sf)),
-            _oracle_frames(d)),
+            lambda s, sf: _multimodal_frames_av(s, sf),
+            _oracle_frames_av(d)),
     }

@@ -78,3 +78,62 @@ def test_synthesize_image_round_trips_rule():
             want = int(arr[np.arange(h * w) % len(arr)]
                        .astype(np.int64).sum())
             assert meta["px_sum"] == want
+
+
+# ------------------------------------------------------- WAV codec
+
+def test_wav_roundtrip_exact():
+    import numpy as np
+    from greenexp_r_spark.operators import multimodal as M
+    rng = np.arange(-2048, 2048, 7, dtype=np.int16)
+    for rate in (8000, 12000, 16000, 44100):
+        wav = M.encode_wav(rng, rate)
+        d = M.decode_wav(wav)
+        assert d["rate"] == rate and d["channels"] == 1
+        assert d["bits"] == 16 and d["n_samples"] == len(rng)
+        assert (d["samples"] == rng).all()
+    # RIFF container invariants
+    assert wav[:4] == b"RIFF" and wav[8:12] == b"WAVE"
+    import struct
+    assert struct.unpack("<I", wav[4:8])[0] + 8 == len(wav)
+
+
+def test_wav_decode_rejects_malformed():
+    import numpy as np
+    import pytest
+    from greenexp_r_spark.operators import multimodal as M
+    wav = M.encode_wav(np.zeros(64, dtype=np.int16), 8000)
+    with pytest.raises(ValueError, match="RIFF"):
+        M.decode_wav(b"OGGS" + wav[4:])
+    with pytest.raises(ValueError, match="truncated"):
+        M.decode_wav(wav[: len(wav) // 2])
+    # 8-bit / non-PCM formats are refused, not mis-decoded
+    import struct
+    bad = bytearray(wav)
+    bad[34:36] = struct.pack("<H", 8)        # bits in fmt chunk
+    with pytest.raises(ValueError, match="unsupported"):
+        M.decode_wav(bytes(bad))
+
+
+def test_audio_segments_features(spark, sf_dir):
+    """Engine features equal a direct numpy replay of the synthesis
+    rule — independent of the SQL oracle path."""
+    import numpy as np
+    from greenexp_r_spark.operators import multimodal as M
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").limit(20)
+    got = {(r["doc_id"], r["seg_idx"]): r
+           for r in M.audio_segments(docs).collect()}
+    for row in docs.select("doc_id", "text").collect():
+        s, rate = M.synthesize_audio(row["text"])
+        arr = s.astype(np.int64)
+        n_segs = -(-len(arr) // M.AUDIO_SEG_SAMPLES)
+        want_keys = [(row["doc_id"], g)
+                     for g in range(0, n_segs, M.AUDIO_SEG_EVERY)]
+        for did, g in want_keys:
+            seg = arr[g * M.AUDIO_SEG_SAMPLES:
+                      (g + 1) * M.AUDIO_SEG_SAMPLES]
+            r = got.pop((did, g))
+            assert r["sum_abs"] == int(np.abs(seg).sum())
+            assert r["n_samples"] == len(seg)
+            assert r["ts_ms"] == (g * M.AUDIO_SEG_SAMPLES * 1000) // rate
+    assert not got          # no extra rows for these docs
