@@ -86,3 +86,61 @@ def test_url_dedup_keep_first(spark):
            for r in U.url_dedup_keep_first(df).collect()}
     assert out == {"https://a.org/p": "first",
                    "https://b.org/q": "only"}
+
+
+# ---------------------------------------------- property vs urllib
+
+def _py_canonical(u: str) -> str:
+    """Independent reference canonicalizer built on urllib.parse —
+    a second oracle with no shared code or SQL with the operator."""
+    from urllib.parse import urlsplit
+
+    s = urlsplit(u.split("#", 1)[0])
+    scheme = s.scheme.lower()
+    netloc = s.netloc.lower()
+    if scheme == "http" and netloc.endswith(":80"):
+        netloc = netloc[:-3]
+    elif scheme == "https" and netloc.endswith(":443"):
+        netloc = netloc[:-4]
+    path = s.path[:-1] if s.path.endswith("/") else s.path
+    keep = [p for p in s.query.split("&")
+            if p and not p.startswith(("utm_", "gclid=", "fbclid=",
+                                       "ref="))]
+    out = f"{scheme}://{netloc}{path}"
+    return out + ("?" + "&".join(keep) if keep else "")
+
+
+def test_property_matches_urllib(spark):
+    """Hypothesis sweep: the shared-SQL canonical form equals an
+    independent urllib.parse-based implementation on generated URLs
+    (mixed-case hosts/schemes, ports, messy paths/queries/fragments).
+    """
+    from hypothesis import given, settings, strategies as st
+
+    host_chars = st.sampled_from(list("aBcD3.-x"))
+    path_chars = st.sampled_from(list("abC1/._~-"))
+    qp = st.sampled_from(
+        ["utm_source=a", "utm_x", "gclid=1", "fbclid=2", "ref=z",
+         "id=9", "q=a+b", "x=", "", "page=2", "refx=keep", "uutm_a=1"])
+
+    @settings(max_examples=60, deadline=None)
+    @given(scheme=st.sampled_from(["http", "https", "HTTP", "Https"]),
+           host=st.lists(host_chars, min_size=1, max_size=8),
+           port=st.sampled_from(["", ":80", ":443", ":8080"]),
+           path=st.lists(path_chars, min_size=0, max_size=10),
+           q=st.lists(qp, min_size=0, max_size=4),
+           frag=st.sampled_from(["", "#f", "#a/b?c"]))
+    def check(scheme, host, port, path, q, frag):
+        h = "".join(host).strip(".")
+        if not h or ".." in h:
+            return
+        u = f"{scheme}://{h}{port}/" + "".join(path)
+        if q:
+            u += "?" + "&".join(q)
+        u += frag
+        df = spark.createDataFrame([(u,)], "url string")
+        got = df.select(U.canonical_url("url").alias("c")) \
+                .collect()[0]["c"]
+        assert got == _py_canonical(u), f"url={u!r}"
+
+    check()
