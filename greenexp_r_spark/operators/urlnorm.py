@@ -19,9 +19,15 @@ Engineering shape: the WHOLE transform is ONE shared SQL text
 (dialect.py) evaluated as ``F.expr`` on the Spark side and rendered
 verbatim for the DuckDB oracle — pure string/array built-ins (no
 regex backreferences: Java ``$1`` vs RE2 ``\\1`` is a portability
-trap; no LIKE: ``_`` in ``utm_`` would be a wildcard), so it runs
-inside whole-stage codegen with zero shuffles and is bit-identical
-cross-engine by construction (the bm25 contrib_sql precedent).
+trap; no LIKE: ``_`` in ``utm_`` would be a wildcard), so it is a
+zero-shuffle all-JVM projection, bit-identical cross-engine by
+construction (the bm25 contrib_sql precedent).  One honest caveat:
+the tracking-param ``filter`` lambda is a higher-order function,
+which Spark interprets rather than codegens — fine for an
+ingestion-side op over per-url-tiny arrays (a codegen-able regex
+rewrite would need lookahead or replacement backrefs, both
+cross-engine traps); the plan shape is pinned in
+tests/test_plan_shapes.py.
 
 ``url_dedup_keep_first`` is the crawl dedup on top: keep the
 earliest capture per canonical URL (warc_ts, then raw url as the

@@ -108,3 +108,48 @@ def test_fixture_gaps_and_carry(spark):
     assert out[(7, at(2 * _W))]["close_locf"] == 2.0
     assert out[(7, at(3 * _W))]["close_locf"] == 9.0
     assert out[(8, at(900))]["close_locf"] == 1.5
+
+
+def test_property_matches_python_oracle(spark):
+    """Hypothesis sweep vs an independent pure-python OHLC fold —
+    ties on ts exercised deliberately (tiebreak = event_id decides
+    open/close), keys shared, empty frames included."""
+    from hypothesis import given, settings, strategies as st
+
+    t0 = dt.datetime(2024, 1, 1)
+    row = st.tuples(st.integers(0, 2),          # key
+                    st.integers(0, 3 * _W),     # seconds (tie-prone)
+                    st.integers(-3, 3))         # value (small ints)
+
+    @settings(max_examples=25, deadline=None)
+    @given(rows=st.lists(row, min_size=0, max_size=14))
+    def check(rows):
+        data = [(i, k, t0 + dt.timedelta(seconds=s), float(v))
+                for i, (k, s, v) in enumerate(rows)]
+        df = spark.createDataFrame(
+            data, "event_id long, user_id long, ts timestamp, "
+                  "value double")
+        got = {(r["key"], r["bucket"]): r for r in
+               DS.time_bucket_rollup(df, width_s=_W).collect()}
+
+        want = {}
+        for eid, k, ts, v in data:
+            # epoch-anchored bucket of ts
+            us = int((ts - dt.datetime(1970, 1, 1)).total_seconds())
+            b = dt.datetime(1970, 1, 1) + dt.timedelta(
+                seconds=(us // _W) * _W)
+            e = want.setdefault((k, b), {"n": 0, "sm": 0,
+                                         "rows": []})
+            e["n"] += 1
+            e["sm"] += round(v * 1_000_000)
+            e["rows"].append((us, eid, v))
+        assert set(got) == set(want)
+        for key, e in want.items():
+            r = got[key]
+            vs = [v for _, _, v in e["rows"]]
+            assert r["n_rows"] == e["n"] and r["sum_micro"] == e["sm"]
+            assert r["min_v"] == min(vs) and r["max_v"] == max(vs)
+            assert r["open_v"] == min(e["rows"])[2]
+            assert r["close_v"] == max(e["rows"])[2]
+
+    check()
