@@ -10,9 +10,12 @@ shuffle.  Determinism at equal timestamps comes from the tiebreak
 column inside the struct, the same cross-engine contract the as-of
 join uses (operators/asof.py).
 
-Bucket starts are computed WITHOUT division — ``us - us % width`` on
-epoch-microsecond BIGINTs (subtract-mod; ≡ DuckDB
-``epoch_us(ts) - epoch_us(ts) % w``), sidestepping the float-division
+Bucket starts are computed WITHOUT division — ``us - pmod(us, width)``
+on epoch-microsecond BIGINTs (subtract-FLOOR-mod: plain ``%`` keeps
+the dividend's sign in both Spark and DuckDB, so a pre-1970 timestamp
+would land in the bucket STARTING AFTER it and diverge from the
+epoch-anchored ``window()`` streaming twin; the oracle uses the
+``((us % w) + w) % w`` rendering), sidestepping the float-division
 rounding trap that bit exactness forbids.  The value sum is a
 micro-unit BIGINT sum (``round(v·10⁶)``), the repo's cross-engine
 doctrine for summed doubles; open/close/min/max are raw untouched
@@ -53,18 +56,27 @@ def time_bucket_rollup(events: DataFrame, width_s: int = 900,
     timestamp of a ``width_s``-second grid anchored at the epoch."""
     w_us = int(width_s) * 1_000_000
     us = F.unix_micros(F.col(ts).cast("timestamp"))
-    bucket = F.timestamp_micros(us - us % F.lit(w_us))
-    first_s = F.struct(F.col(_US), F.col(tiebreak), F.col(val))
+    bucket = F.timestamp_micros(us - F.pmod(us, F.lit(w_us)))
     return (events
             .withColumn(_US, us)
             .groupBy(F.col(key).alias("key"), bucket.alias("bucket"))
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(F.round(F.col(val) * 1_000_000).cast("long"))
-                 .alias("sum_micro"),
-                 F.min(first_s).getField(val).alias("open_v"),
-                 F.max(first_s).getField(val).alias("close_v"),
-                 F.min(val).alias("min_v"),
-                 F.max(val).alias("max_v")))
+            .agg(*ohlc_aggs(val, tiebreak)))
+
+
+def ohlc_aggs(val: str = "value",
+              tiebreak: str = "event_id") -> list:
+    """The six OHLC aggregate Columns — the SINGLE definition shared
+    by the batch rollup and the streaming continuous aggregate
+    (streaming/events_stream.downsample_stream), so the stream≡batch
+    bit-equality contract is structural, not just tested."""
+    first_s = F.struct(F.col(_US), F.col(tiebreak), F.col(val))
+    return [F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.round(F.col(val) * 1_000_000).cast("long"))
+            .alias("sum_micro"),
+            F.min(first_s).getField(val).alias("open_v"),
+            F.max(first_s).getField(val).alias("close_v"),
+            F.min(val).alias("min_v"),
+            F.max(val).alias("max_v")]
 
 
 def gapfill_locf(rollup: DataFrame, width_s: int = 900) -> DataFrame:

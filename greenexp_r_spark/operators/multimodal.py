@@ -548,10 +548,14 @@ def synthesize_audio(text: str):
     lt = len(text)
     n = 256 + (lt * 3) % 1024
     rate = 8000 + (lt % 3) * 4000
-    codes = np.frombuffer(text.encode("utf-8"),
-                          dtype=np.uint8).astype(np.int64)
+    # empty text → a single zero code (the SQL twin gets this free:
+    # ascii(substr(text, ..., 1)) over '' is 0 and the index wraps on
+    # GREATEST(lt, 1)); without the guard lt=0 crashes the modulo
+    codes = (np.frombuffer(text.encode("utf-8"),
+                           dtype=np.uint8).astype(np.int64)
+             if lt else np.zeros(1, dtype=np.int64))
     i = np.arange(1, n + 1, dtype=np.int64)
-    s = ((codes[(i - 1) % lt] * AUDIO_SAMPLE_MUL + i)
+    s = ((codes[(i - 1) % max(lt, 1)] * AUDIO_SAMPLE_MUL + i)
          % AUDIO_SAMPLE_MOD - AUDIO_SAMPLE_MOD // 2)
     return s.astype(np.int16), rate
 

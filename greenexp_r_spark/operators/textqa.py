@@ -372,6 +372,7 @@ GOPHER_MAX_DUP_TRIGRAM = 0.30
 
 def domain_stats(pages: DataFrame,
                  blocklist: DataFrame | None = None,
+                 extra_cols: tuple = (),
                  extra_aggs: tuple = ()) -> DataFrame:
     """(domain, n_pages, total_chars, mean_quality[, blocked]):
     per-domain corpus statistics — the grouping every
@@ -381,10 +382,14 @@ def domain_stats(pages: DataFrame,
     One hash aggregate; shuffle carries per-domain partials only.
     With `blocklist` (a domain dim table, see domain_blocklist) a
     broadcast left join adds the UT1-style `blocked` flag.
+    ``extra_cols``: per-row Columns added to the pre-aggregate
+    projection (evaluated ONCE per row — an expensive expression fed
+    to several aggregates must come in here, not be inlined into each
+    aggregate's input, where it would be re-evaluated per aggregate);
     ``extra_aggs``: additional aggregate Columns over the per-page
-    rows (doc_id, url, n_chars, q_micro) folded into the SAME
-    aggregate — the text_profile `extra` precedent; the gate uses it
-    for the canonical-URL columns (operators/urlnorm.py)."""
+    rows (doc_id, url, n_chars, q_micro + extra_cols) folded into the
+    SAME aggregate — the text_profile `extra` precedent; the gate
+    uses both for the canonical-URL columns (operators/urlnorm.py)."""
     host = F.regexp_extract(F.col("url"), r"^https?://([^/]+)/", 1)
     q = quality_score(pages.select(F.col("point_id").alias("doc_id"),
                                    "text"))
@@ -392,7 +397,8 @@ def domain_stats(pages: DataFrame,
     # once — never a float AVG (addition order diverges across engines)
     qm = F.round(F.col("quality") * 1_000_000).cast("long")
     j = (pages.select(F.col("point_id").alias("doc_id"), "url",
-                      F.length("text").cast("long").alias("n_chars"))
+                      F.length("text").cast("long").alias("n_chars"),
+                      *extra_cols)
          .join(q.select("doc_id", qm.alias("q_micro")), "doc_id"))
     g = (j.groupBy(host.alias("domain"))
          .agg(F.count(F.lit(1)).alias("n_pages"),

@@ -417,13 +417,17 @@ def _q_domain_stats(s, sf):
     from .operators import linkgraph, textqa, urlnorm
     from .dialect import SPARK as _SPK
     pts = world.points_df(s, sf)
+    # projected ONCE per row via extra_cols: the canonical expression
+    # is interpreted (HOF filter) and textually large — inlining it
+    # into both aggregates would re-evaluate it twice per row
     canon = F.expr(urlnorm.canonical_url_sql(
-        _SPK, urlnorm.augment_url_sql(_SPK, "url", "doc_id")))
+        _SPK, urlnorm.augment_url_sql(_SPK, "url", "point_id")))
     base = textqa.domain_stats(
         pts, blocklist=textqa.domain_blocklist(pts),
-        extra_aggs=(F.countDistinct(canon).cast("long")
+        extra_cols=(canon.alias("canon"),),
+        extra_aggs=(F.countDistinct("canon").cast("long")
                     .alias("n_canon"),
-                    F.min(canon).alias("first_canon")))
+                    F.min("canon").alias("first_canon")))
     # checkpoint the edge set BEFORE the size probe (doctrine: the
     # probe must not re-run the extraction scan)
     edges = linkgraph.page_links(pts).localCheckpoint(eager=True)

@@ -1289,9 +1289,11 @@ def _oracle_audio_segments(d: Dialect) -> str:
     by = d.explode_range(
         f"SELECT * FROM ({segs}) _g WHERE g % {ev} = 0",
         "i", "1", f"LEAST({sg}, ns - g * {sg})")
-    sample = (f"(ascii(substr(text, CAST((g * {sg} + i - 1) % lt "
-              f"AS INT) + 1, 1)) * {mul} + g * {sg} + i) % {mod} "
-              f"- {mod // 2}")
+    # GREATEST(lt, 1): empty text degrades to a zero code (ascii of
+    # out-of-range substr is 0 in DuckDB), matching synthesize_audio
+    sample = (f"(ascii(substr(text, CAST((g * {sg} + i - 1) % "
+              f"GREATEST(lt, 1) AS INT) + 1, 1)) * {mul} "
+              f"+ g * {sg} + i) % {mod} - {mod // 2}")
     return f"""
 SELECT 'audio' AS kind, doc_id, g AS frame_idx,
        CAST({d.idiv(f'g * {sg} * 1000', 'MIN(rate)')} AS BIGINT)

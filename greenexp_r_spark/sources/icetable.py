@@ -344,6 +344,11 @@ def _cas_swap(table: str, snap: int, parent: int,
     lock = _lock_path(table)
     try:
         fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        # record the holder so a conflicting writer can distinguish a
+        # KILLED holder (pid gone → lock clearable) from a live but
+        # stalled one (never clearable: breaking mutual exclusion
+        # here would let two writers race the VERSION swap)
+        os.write(fd, str(os.getpid()).encode())
         os.close(fd)
     except FileExistsError:
         os.unlink(tmp_manifest)
@@ -447,6 +452,32 @@ def commit_upsert(df: DataFrame, table: str, key_col: str,
     }
     _cas_swap(table, snap, parent, manifest, what="upsert")
     return snap
+
+
+def _lock_holder_dead(table: str, min_age_s: float = 2.0) -> bool:
+    """True iff COMMIT.lock exists, is old enough that its holder had
+    time to write its pid, and that pid is no longer alive.  The
+    metastore is filesystem-local (one host), so pid liveness is the
+    sound staleness test — an mtime threshold alone would misjudge a
+    live writer stalled in a long GC pause and let a second writer
+    break the critical section."""
+    lock = _lock_path(table)
+    try:
+        import time as _t
+        if _t.time() - os.path.getmtime(lock) < min_age_s:
+            return False            # holder may not have written yet
+        with open(lock) as f:
+            pid = int(f.read().strip() or "0")
+        if pid <= 0:
+            return True             # pre-pid lock from a dead writer
+        os.kill(pid, 0)
+        return False                # holder alive
+    except FileNotFoundError:
+        return False                # lock already gone
+    except ProcessLookupError:
+        return True                 # holder died inside the section
+    except (ValueError, PermissionError, OSError):
+        return False                # unreadable/foreign: don't touch
 
 
 def force_unlock(table: str) -> bool:
@@ -797,23 +828,21 @@ def streaming_sink(table: str, stat_cols: list[str] | None = None,
             except CommitConflict:
                 # bounded retry with backoff — each attempt re-stages
                 # the batch, so an unbounded loop against a stale lock
-                # would fill the disk while the stream hangs.  The
-                # critical section is microseconds: a lock much older
-                # than that was left by a killed writer — clear it.
-                lock = _lock_path(table)
-                try:
-                    if (os.path.exists(lock) and _time.time()
-                            - os.path.getmtime(lock) > 30.0):
-                        force_unlock(table)
-                except OSError:
-                    pass
+                # would fill the disk while the stream hangs.  A lock
+                # is cleared ONLY when its recorded holder pid is
+                # dead (_lock_holder_dead): a live writer stalled in
+                # the critical section keeps its mutual exclusion no
+                # matter how old the lock looks.
+                if _lock_holder_dead(table):
+                    force_unlock(table)
                 _time.sleep(delay)
                 delay = min(delay * 2, 2.0)
         raise CommitConflict(
-            f"stream batch {batch_id}: 12 commit attempts conflicted; "
-            "a live concurrent writer is racing this sink — stop one, "
-            "then restart the stream (the checkpoint replays the "
-            "batch; the epoch HWM keeps it exactly-once)")
+            f"stream batch {batch_id}: 12 commit attempts conflicted "
+            "against a LIVE concurrent writer (dead holders are "
+            "cleared automatically) — stop one writer, then restart "
+            "the stream (the checkpoint replays the batch; the epoch "
+            "HWM keeps it exactly-once)")
     return _write
 
 

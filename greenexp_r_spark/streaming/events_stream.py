@@ -64,23 +64,20 @@ def downsample_stream(spark: SparkSession, events_path: str,
     tests/test_downsample.py), the same stream≡batch contract as the
     sessionizer.  State per key is one aggregation row per open
     bucket; the watermark evicts buckets once event time passes."""
+    from ..operators import downsample as DS
+
     events_path = stage_as_dir(events_path)
     static = spark.read.parquet(events_path)
     stream = (spark.readStream.schema(static.schema).parquet(events_path)
               .withColumn("ts", F.col("ts").cast("timestamp")))
-    first_s = F.struct(F.unix_micros(F.col("ts")).alias("us"),
-                       F.col("event_id"), F.col("value"))
     return (stream
             .withWatermark("ts", watermark)
+            .withColumn(DS._US, F.unix_micros(F.col("ts")))
             .groupBy(F.window("ts", f"{width_s} seconds").alias("w"),
                      F.col("user_id").alias("key"))
-            .agg(F.count(F.lit(1)).alias("n_rows"),
-                 F.sum(F.round(F.col("value") * 1_000_000)
-                       .cast("long")).alias("sum_micro"),
-                 F.min(first_s).getField("value").alias("open_v"),
-                 F.max(first_s).getField("value").alias("close_v"),
-                 F.min("value").alias("min_v"),
-                 F.max("value").alias("max_v"))
+            # the SAME aggregate list as the batch rollup — shared by
+            # construction (operators/downsample.ohlc_aggs)
+            .agg(*DS.ohlc_aggs())
             .select("key", F.col("w.start").alias("bucket"),
                     "n_rows", "sum_micro", "open_v", "close_v",
                     "min_v", "max_v"))

@@ -18,7 +18,8 @@ def _rollup_sql() -> str:
     return f"""
 WITH r AS (
   SELECT user_id AS key,
-         make_timestamp(epoch_us(ts) - epoch_us(ts) % {_WUS}) AS bucket,
+         make_timestamp(epoch_us(ts)
+             - ((epoch_us(ts) % {_WUS}) + {_WUS}) % {_WUS}) AS bucket,
          ts, event_id, value
   FROM events),
 o AS (SELECT key, bucket, value,
@@ -116,9 +117,11 @@ def test_property_matches_python_oracle(spark):
     open/close), keys shared, empty frames included."""
     from hypothesis import given, settings, strategies as st
 
-    t0 = dt.datetime(2024, 1, 1)
+    # base at the epoch and NEGATIVE offsets included: plain % keeps
+    # the dividend sign, so pre-1970 rows probe the floor-mod bucket
+    t0 = dt.datetime(1970, 1, 1)
     row = st.tuples(st.integers(0, 2),          # key
-                    st.integers(0, 3 * _W),     # seconds (tie-prone)
+                    st.integers(-2 * _W, 3 * _W),   # incl. pre-epoch
                     st.integers(-3, 3))         # value (small ints)
 
     @settings(max_examples=25, deadline=None)

@@ -573,3 +573,51 @@ def test_read_fully_pruned_returns_empty(spark, tmp_path):
                         between=("doc_id", hi + 10, hi + 20))
     assert out.count() == 0
     assert [f.name for f in out.schema] == ["doc_id", "text"]
+
+
+def test_lock_staleness_is_pid_based(spark, tmp_path):
+    """A COMMIT.lock whose recorded holder pid is dead is stale; one
+    held by a LIVE pid is never stale regardless of age (review r5s5:
+    an mtime rule would let a second writer break the critical
+    section under a long GC pause)."""
+    import os
+    import time
+    t = str(tmp_path / "tbl")
+    docs = (spark.read.parquet(f"{SF_TEST}/documents.parquet")
+            .select("doc_id", "text").limit(5))
+    icetable.commit(docs, t)
+    lock = icetable._lock_path(t)
+    # dead holder: a pid that cannot exist
+    with open(lock, "w") as f:
+        f.write("999999999")
+    old = time.time() - 100
+    os.utime(lock, (old, old))
+    assert icetable._lock_holder_dead(t)
+    # live holder (this process): stale never, even when old
+    with open(lock, "w") as f:
+        f.write(str(os.getpid()))
+    os.utime(lock, (old, old))
+    assert not icetable._lock_holder_dead(t)
+    os.unlink(lock)
+    # a normal commit records its pid and cleans up
+    icetable.commit(docs, t)
+    assert not os.path.exists(lock)
+
+
+def test_streaming_sink_clears_dead_lock(spark, tmp_path):
+    """foreachBatch commit self-heals a lock left by a killed writer
+    (dead pid) instead of hanging or misdiagnosing it."""
+    import os
+    t = str(tmp_path / "tbl")
+    docs = (spark.read.parquet(f"{SF_TEST}/documents.parquet")
+            .select("doc_id", "text").limit(5).localCheckpoint())
+    icetable.commit(docs, t)
+    os.makedirs(icetable._meta_dir(t), exist_ok=True)
+    with open(icetable._lock_path(t), "w") as f:
+        f.write("999999999")          # killed writer's leftover
+    import time
+    old = time.time() - 100
+    os.utime(icetable._lock_path(t), (old, old))
+    icetable.streaming_sink(t)(docs, 1)     # must not raise
+    assert icetable.metrics(t)["total_rows"] == 10
+    assert int(icetable.table_props(t)["stream_batch_id"]) == 1

@@ -137,3 +137,13 @@ def test_audio_segments_features(spark, sf_dir):
             assert r["n_samples"] == len(seg)
             assert r["ts_ms"] == (g * M.AUDIO_SEG_SAMPLES * 1000) // rate
     assert not got          # no extra rows for these docs
+
+
+def test_audio_empty_text_is_defined():
+    """Empty document text must not crash the audio arm (review
+    r5s5): a zero code sequence is synthesized and round-trips."""
+    from greenexp_r_spark.operators import multimodal as M
+    s, rate = M.synthesize_audio("")
+    assert len(s) == 256 and rate == 8000
+    d = M.decode_wav(M.encode_wav(s, rate))
+    assert (d["samples"] == s).all()
