@@ -36,6 +36,9 @@ _CURATED = [
     "q_pages_snapshot",
     "q_exposure_pages",
     "q_pages_cells",
+    # r5 session 5: the AV-union and canonical-url entries
+    "q_multimodal_frames",
+    "q_domain_stats",
 ]
 
 def _all_queries():
