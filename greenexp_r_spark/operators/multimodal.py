@@ -109,10 +109,14 @@ def _parse_png(buf: bytes, want_pixels: bool) -> dict:
     # walk chunks, concatenate IDAT, inflate, de-filter (type 0 only —
     # encode_png never filters; other types would need the full §9
     # reconstruction)
-    pos, idat = 8, []
+    pos, idat, saw_iend = 8, [], False
     while pos < len(buf):
+        if pos + 8 > len(buf):
+            raise ValueError("truncated PNG (chunk header cut)")
         (ln,) = struct.unpack_from(">I", buf, pos)
         typ = buf[pos + 4:pos + 8]
+        if pos + 12 + ln > len(buf):
+            raise ValueError(f"truncated PNG ({typ!r} chunk cut)")
         data = buf[pos + 8:pos + 8 + ln]
         if (zlib.crc32(typ + data) & 0xFFFFFFFF) != \
                 struct.unpack_from(">I", buf, pos + 8 + ln)[0]:
@@ -120,8 +124,17 @@ def _parse_png(buf: bytes, want_pixels: bool) -> dict:
         if typ == b"IDAT":
             idat.append(data)
         if typ == b"IEND":
+            saw_iend = True
             break
         pos += 12 + ln
+    # no silent partial decode (the LZW lesson): a stream cut at a
+    # chunk boundary walks off the end without IEND, and an absent
+    # IDAT would otherwise surface as zlib.error on b'' — both are
+    # loud ValueErrors instead
+    if not saw_iend:
+        raise ValueError("truncated PNG (no IEND chunk)")
+    if not idat:
+        raise ValueError("PNG has no IDAT chunk")
     import numpy as np
     raw = zlib.decompress(b"".join(idat))
     rows = np.frombuffer(raw, dtype=np.uint8).reshape(h, w + 1)

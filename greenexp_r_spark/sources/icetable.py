@@ -342,15 +342,19 @@ def _cas_swap(table: str, snap: int, parent: int,
     with open(tmp_version, "w") as f:
         f.write(str(snap))
     lock = _lock_path(table)
+    # acquisition = write-pid-then-link: the lock file APPEARS with
+    # its holder pid already inside (os.link is atomic and fails on
+    # an existing target, like O_EXCL).  A create-then-write pair
+    # would leave a visible-but-empty lock if the holder is suspended
+    # between the two syscalls — indistinguishable from a dead
+    # writer's leftover, which the clearer must never guess about.
+    ltmp = lock + f".{uuid.uuid4().hex[:8]}.pid"
+    with open(ltmp, "w") as lf:
+        lf.write(str(os.getpid()))
     try:
-        fd = os.open(lock, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-        # record the holder so a conflicting writer can distinguish a
-        # KILLED holder (pid gone → lock clearable) from a live but
-        # stalled one (never clearable: breaking mutual exclusion
-        # here would let two writers race the VERSION swap)
-        os.write(fd, str(os.getpid()).encode())
-        os.close(fd)
+        os.link(ltmp, lock)
     except FileExistsError:
+        os.unlink(ltmp)
         os.unlink(tmp_manifest)
         os.unlink(tmp_version)
         raise CommitConflict(
@@ -368,10 +372,11 @@ def _cas_swap(table: str, snap: int, parent: int,
         os.replace(tmp_manifest, _manifest_path(table, snap))
         os.replace(tmp_version, _version_file(table))   # atomic swap
     finally:
-        os.unlink(lock)
-        for t in (tmp_manifest, tmp_version):
-            if os.path.exists(t):
+        for t in (lock, ltmp, tmp_manifest, tmp_version):
+            try:
                 os.unlink(t)
+            except FileNotFoundError:
+                pass
 
 
 def commit_deletes(keys: DataFrame, table: str,
@@ -454,30 +459,74 @@ def commit_upsert(df: DataFrame, table: str, key_col: str,
     return snap
 
 
-def _lock_holder_dead(table: str, min_age_s: float = 2.0) -> bool:
-    """True iff COMMIT.lock exists, is old enough that its holder had
-    time to write its pid, and that pid is no longer alive.  The
-    metastore is filesystem-local (one host), so pid liveness is the
-    sound staleness test — an mtime threshold alone would misjudge a
-    live writer stalled in a long GC pause and let a second writer
-    break the critical section."""
-    lock = _lock_path(table)
+def _pid_dead(pid: int) -> bool:
     try:
-        import time as _t
-        if _t.time() - os.path.getmtime(lock) < min_age_s:
-            return False            # holder may not have written yet
-        with open(lock) as f:
-            pid = int(f.read().strip() or "0")
-        if pid <= 0:
-            return True             # pre-pid lock from a dead writer
         os.kill(pid, 0)
-        return False                # holder alive
-    except FileNotFoundError:
-        return False                # lock already gone
+        return False
     except ProcessLookupError:
-        return True                 # holder died inside the section
-    except (ValueError, PermissionError, OSError):
-        return False                # unreadable/foreign: don't touch
+        return True
+    except PermissionError:
+        return False                # alive under another uid
+
+
+def _lock_holder_dead(table: str) -> bool:
+    """True iff COMMIT.lock exists, carries a holder pid, and that
+    pid is no longer alive.  The metastore is filesystem-local (one
+    host), so pid liveness is the sound staleness test — an mtime
+    threshold would misjudge a live writer stalled in a long GC
+    pause.  Locks appear WITH their pid (write-then-link in
+    _cas_swap), so an empty lock is a foreign artifact and is
+    conservatively treated as live."""
+    try:
+        with open(_lock_path(table)) as f:
+            txt = f.read().strip()
+        if not txt:
+            return False            # never guess about empty locks
+        return _pid_dead(int(txt))
+    except (FileNotFoundError, ValueError, OSError):
+        return False
+
+
+def clear_dead_lock(table: str) -> bool:
+    """Clear COMMIT.lock iff its recorded holder pid is dead, with a
+    rename-claim so concurrent clearers cannot unlink a lock that a
+    NEW live writer acquired in between (check-then-unlink TOCTOU):
+    os.rename moves the lock aside atomically — exactly one clearer
+    wins — and the pid is re-verified FROM THE TOMBSTONE before it is
+    discarded; a claimed-but-live lock is linked back into place.
+    (Residual window: if a third writer acquires between this
+    clearer's rename and its restore link, the restore fails and the
+    displaced holder races it — reaching that state needs two
+    clearers plus a fresh acquisition inside a microsecond window
+    behind a pid-dead check; single-host deployments with one
+    streaming sink never see it.)"""
+    lock = _lock_path(table)
+    if not _lock_holder_dead(table):
+        return False
+    tomb = lock + f".tomb.{uuid.uuid4().hex[:8]}"
+    try:
+        os.rename(lock, tomb)
+    except FileNotFoundError:
+        return False                # another clearer won
+    try:
+        with open(tomb) as f:
+            txt = f.read().strip()
+        if txt and _pid_dead(int(txt)):
+            os.unlink(tomb)
+            return True
+        # we claimed a LIVE writer's fresh lock — put it back
+        try:
+            os.link(tomb, lock)
+        except FileExistsError:
+            pass
+        os.unlink(tomb)
+        return False
+    except (ValueError, OSError):
+        try:
+            os.unlink(tomb)
+        except FileNotFoundError:
+            pass
+        return False
 
 
 def force_unlock(table: str) -> bool:
@@ -830,11 +879,12 @@ def streaming_sink(table: str, stat_cols: list[str] | None = None,
                 # the batch, so an unbounded loop against a stale lock
                 # would fill the disk while the stream hangs.  A lock
                 # is cleared ONLY when its recorded holder pid is
-                # dead (_lock_holder_dead): a live writer stalled in
-                # the critical section keeps its mutual exclusion no
-                # matter how old the lock looks.
-                if _lock_holder_dead(table):
-                    force_unlock(table)
+                # dead, via the rename-claimed clear_dead_lock (a
+                # live writer stalled in the critical section keeps
+                # its mutual exclusion no matter how old the lock
+                # looks, and concurrent clearers can't unlink a
+                # freshly re-acquired lock).
+                clear_dead_lock(table)
                 _time.sleep(delay)
                 delay = min(delay * 2, 2.0)
         raise CommitConflict(

@@ -593,11 +593,24 @@ def test_lock_staleness_is_pid_based(spark, tmp_path):
     old = time.time() - 100
     os.utime(lock, (old, old))
     assert icetable._lock_holder_dead(t)
+    assert icetable.clear_dead_lock(t)         # rename-claimed clear
+    assert not os.path.exists(lock)
+    with open(lock, "w") as f:
+        f.write("999999999")
     # live holder (this process): stale never, even when old
     with open(lock, "w") as f:
         f.write(str(os.getpid()))
     os.utime(lock, (old, old))
     assert not icetable._lock_holder_dead(t)
+    assert not icetable.clear_dead_lock(t)     # live: never cleared
+    assert os.path.exists(lock)
+    # an EMPTY lock (foreign artifact) is conservatively live:
+    # acquisition writes the pid atomically (link), so the engine
+    # never produces one and the clearer never guesses
+    with open(lock, "w") as f:
+        f.write("")
+    assert not icetable._lock_holder_dead(t)
+    assert not icetable.clear_dead_lock(t)
     os.unlink(lock)
     # a normal commit records its pid and cleans up
     icetable.commit(docs, t)
