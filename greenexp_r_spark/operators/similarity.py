@@ -64,22 +64,72 @@ def brute_force_topk(embeddings: DataFrame, k: int = C.ANN_K,
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 
 
+def _collect_centroid_arrays(cent: DataFrame,
+                             qcol: str = "cq", ncol: str = "cn"):
+    """Collect a (small, dimension-bounded) centroid table to numpy:
+    (list_ids asc, C matrix int64, sqrt(norm) float64).  list_ids are
+    sorted ASCENDING so that a first-max argmax over the columns
+    reproduces the window tie-break (cos DESC, list_id ASC)."""
+    rows = cent.orderBy("list_id").collect()
+    lids = np.array([r.list_id for r in rows], dtype=np.int64)
+    Cm = np.array([r[qcol] for r in rows], dtype=np.int64)
+    cn = np.array([r[ncol] for r in rows], dtype=np.float64)
+    return lids, Cm, np.sqrt(cn)
+
+
+def _assign_gemm(qv: DataFrame, lids: np.ndarray, Cm: np.ndarray,
+                 sqrt_cn: np.ndarray) -> DataFrame:
+    """Max-cosine centroid assignment as ONE int64 GEMM per Arrow
+    batch against the broadcast centroid matrix — replaces the
+    (n·n_cent)-row interpreted-HOF scoring + Window.partitionBy(vec_id)
+    shuffle (O(n²/MOD) rows each dragging the full q array) that
+    dominated q_ann_topk at sf1.0 (58 s per assignment pass, ×4 passes).
+
+    Bit-exact with the window formulation: dot products are exact
+    int64; cos = dot / (sqrt(norm2)·sqrt(cn)) in the same IEEE order;
+    np.argmax returns the FIRST max (ties → min list_id, columns are
+    list_id-ascending) and the first NaN when one occurs — both
+    matching Spark's NaN-greatest ordering + list_id ASC tie-break.
+    Output: (vec_id, q, norm2, list_id) — no shuffle, no window."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    sc = qv.sparkSession.sparkContext
+    bc = sc.broadcast((lids, Cm, sqrt_cn))
+    schema = StructType([
+        StructField("vec_id", LongType()),
+        StructField("q", ArrayType(LongType())),
+        StructField("norm2", LongType()),
+        StructField("list_id", LongType()),
+    ])
+
+    def assign(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, M, sn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n2 = pdf["norm2"].to_numpy().astype(np.float64)
+            cos = (Q @ M.T) / (np.sqrt(n2)[:, None] * sn[None, :])
+            out = pdf[["vec_id", "q", "norm2"]].copy()
+            out["list_id"] = ids[np.argmax(cos, axis=1)]
+            yield out
+
+    return qv.mapInPandas(assign, schema)
+
+
 def ivf_assign(qv: DataFrame) -> tuple[DataFrame, DataFrame]:
     """Centroids = every IVF_CENTROID_MOD-th vector; assign each vector
-    to its max-cosine centroid (deterministic tie-break on centroid id).
+    to its max-cosine centroid (deterministic tie-break on centroid id)
+    via the broadcast-GEMM kernel (`_assign_gemm`).
     Returns (centroids, assignments(vec_id, q, norm2, list_id))."""
     cent = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
             .select(F.col("vec_id").alias("list_id"),
                     F.col("q").alias("cq"), F.col("norm2").alias("cn")))
-    scored = (qv.join(F.broadcast(cent))
-              .select("vec_id", "q", "norm2", "list_id",
-                      _cos(_dot(F.col("q"), F.col("cq")),
-                           F.col("norm2"), F.col("cn")).alias("cos_c")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("list_id").asc())
-    assign = (scored.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") == 1)
-              .select("vec_id", "q", "norm2", "list_id"))
+    assign = _assign_gemm(qv, *_collect_centroid_arrays(cent))
     return cent, assign
 
 
@@ -116,50 +166,117 @@ def ivf_topk(embeddings: DataFrame, k: int = C.ANN_K,
             .select("query_id", "rank", "neighbor_id", "cos_sim"))
 
 
-def ivf_train_kmeans(embeddings: DataFrame, iters: int = 2) -> DataFrame:
-    """Lloyd-refined IVF centroids, DataFrame-native (the gate's
-    ivf_topk uses deterministic sampled centroids — fine for
-    correctness, but real IVF recall needs trained lists).
+def _partial_sums_gemm(qv: DataFrame, lids: np.ndarray, Cm: np.ndarray,
+                       sqrt_cn: np.ndarray) -> DataFrame:
+    """One Lloyd half-step: per-Arrow-batch GEMM argmax assignment
+    (same arithmetic as `_assign_gemm`) folded directly into per-list
+    partial sums — (list_id, cnt, sums: array<long>) per (task batch,
+    list).  Integer sums are order-independent, so batch boundaries
+    cannot change the result.  Output is tiny (≤ batches·n_cent rows)
+    — the mean/round/requantize stays in Spark SQL so the rounding is
+    literally the same F.round expression as before."""
+    from collections.abc import Iterator
 
-    Each iteration: assign = max-cosine centroid (broadcast hash
-    join + window argmax), update = per-(list, dim) mean via
-    posexplode + avg, re-quantized to integer milli-units so the next
-    assignment's dot products stay exact.  Deterministic end-to-end:
-    init = every IVF_CENTROID_MOD-th vector, ties break on list_id.
-    Returns (list_id, cq, cn) ready for `ivf_topk_trained`.
-    """
+    import pandas as pd
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    sc = qv.sparkSession.sparkContext
+    bc = sc.broadcast((lids, Cm, sqrt_cn))
+    schema = StructType([
+        StructField("list_id", LongType()),
+        StructField("cnt", LongType()),
+        StructField("sums", ArrayType(LongType())),
+    ])
+
+    def psums(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, M, sn = bc.value
+        for pdf in it:
+            if not len(pdf):
+                continue
+            Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
+            n2 = pdf["norm2"].to_numpy().astype(np.float64)
+            cos = (Q @ M.T) / (np.sqrt(n2)[:, None] * sn[None, :])
+            idx = np.argmax(cos, axis=1)
+            uniq, inv = np.unique(idx, return_inverse=True)
+            cnt = np.bincount(inv)
+            sums = np.zeros((len(uniq), Q.shape[1]), dtype=np.int64)
+            np.add.at(sums, inv, Q)
+            yield pd.DataFrame({"list_id": ids[uniq],
+                                "cnt": cnt.astype(np.int64),
+                                "sums": list(sums)})
+
+    return qv.mapInPandas(psums, schema)
+
+
+def _lloyd_update(partials: DataFrame) -> DataFrame:
+    """Merge per-batch partial sums into the next centroid table.
+    mv = Σv/Σcnt (exact: integer sums are exactly representable in
+    double at these magnitudes, so this equals the previous
+    posexplode+AVG formulation bit-for-bit), then the SAME
+    round/requantize expressions as the original Lloyd step."""
+    upd = (partials.select("list_id", "cnt",
+                           F.posexplode(F.col("sums")).alias("pos", "v"))
+           .groupBy("list_id", "pos")
+           .agg((F.sum("v") / F.sum("cnt")).alias("mv"))
+           .groupBy("list_id")
+           .agg(F.transform(
+               F.array_sort(F.collect_list(
+                   F.struct(F.col("pos"), F.col("mv")))),
+               lambda s: F.round(s["mv"]).cast("long")).alias("cq")))
+    cn = F.aggregate(
+        F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
+        F.lit(0).cast("long"), lambda acc, x: acc + x)
+    return upd.select("list_id", "cq", cn.alias("cn"))
+
+
+def _train_kmeans_arrays(embeddings: DataFrame, iters: int = 2):
+    """Run `iters` Lloyd iterations; return (qv, lids, Cm, sqrt_cn,
+    rows) where rows are the final centroid Rows (list_id, cq, cn).
+    Each iteration is ONE GEMM scan of the corpus emitting tiny
+    partial sums — no per-(vector, centroid) rows, no window shuffle
+    (the r5 shape materialized n·n_cent rows per iteration)."""
     qv = quantized(embeddings)
-    cent = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
-            .select(F.col("vec_id").alias("list_id"),
-                    F.col("q").alias("cq"), F.col("norm2").alias("cn"))
-            .localCheckpoint(eager=True))
+    cent0 = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
+             .select(F.col("vec_id").alias("list_id"),
+                     F.col("q").alias("cq"), F.col("norm2").alias("cn")))
+    rows = cent0.orderBy("list_id").collect()
     for _ in range(iters):
-        scored = (qv.join(F.broadcast(cent))
-                  .select("vec_id", "q", "list_id",
-                          _cos(_dot(F.col("q"), F.col("cq")),
-                               F.col("norm2"), F.col("cn")).alias("cos_c")))
-        w = Window.partitionBy("vec_id").orderBy(
-            F.col("cos_c").desc(), F.col("list_id").asc())
-        assign = (scored.withColumn("rn", F.row_number().over(w))
-                  .where(F.col("rn") == 1).select("vec_id", "q", "list_id"))
-        upd = (assign.select("list_id",
-                             F.posexplode(F.col("q")).alias("pos", "v"))
-               .groupBy("list_id", "pos").agg(F.avg("v").alias("mv"))
-               .groupBy("list_id")
-               .agg(F.transform(
-                   F.array_sort(F.collect_list(
-                       F.struct(F.col("pos"), F.col("mv")))),
-                   lambda s: F.round(s["mv"]).cast("long")).alias("cq")))
-        cn = F.aggregate(
-            F.zip_with(F.col("cq"), F.col("cq"), lambda a, b: a * b),
-            F.lit(0).cast("long"), lambda acc, x: acc + x)
-        # per-iteration materialization (iteration hygiene, see
-        # network.py): without it each Lloyd round's DAG nests the
-        # previous one's, and the final cent re-executes the whole
-        # k-means per downstream consumer
-        cent = (upd.select("list_id", "cq", cn.alias("cn"))
-                .localCheckpoint(eager=True))
-    return cent
+        lids = np.array([r.list_id for r in rows], dtype=np.int64)
+        Cm = np.array([r.cq for r in rows], dtype=np.int64)
+        sqrt_cn = np.sqrt(np.array([r.cn for r in rows],
+                                   dtype=np.float64))
+        rows = (_lloyd_update(_partial_sums_gemm(qv, lids, Cm, sqrt_cn))
+                .orderBy("list_id").collect())
+    lids = np.array([r.list_id for r in rows], dtype=np.int64)
+    Cm = np.array([r.cq for r in rows], dtype=np.int64)
+    sqrt_cn = np.sqrt(np.array([r.cn for r in rows], dtype=np.float64))
+    return qv, lids, Cm, sqrt_cn, rows
+
+
+def ivf_train_kmeans(embeddings: DataFrame, iters: int = 2) -> DataFrame:
+    """Lloyd-refined IVF centroids (the gate's ivf_topk uses
+    deterministic sampled centroids — fine for correctness, but real
+    IVF recall needs trained lists).
+
+    r6 shape: assignment + per-list partial sums fused into one GEMM
+    scan per iteration (`_partial_sums_gemm`); the mean/round
+    requantize runs in Spark SQL over the tiny partials so the
+    arithmetic contract (integer sums exact in double, F.round
+    HALF_UP) is unchanged.  Deterministic end-to-end: init = every
+    IVF_CENTROID_MOD-th vector, ties break on list_id.
+    Returns (list_id, cq, cn) ready for `ivf_topk_trained`."""
+    spark = embeddings.sparkSession
+    _, _, _, _, rows = _train_kmeans_arrays(embeddings, iters)
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("list_id", LongType()),
+        StructField("cq", ArrayType(LongType())),
+        StructField("cn", LongType()),
+    ])
+    return spark.createDataFrame(
+        [(r.list_id, list(r.cq), r.cn) for r in rows], schema)
 
 
 def ivf_topk_trained(embeddings: DataFrame, k: int = C.ANN_K,
@@ -169,17 +286,18 @@ def ivf_topk_trained(embeddings: DataFrame, k: int = C.ANN_K,
     """ivf_topk over k-means-trained lists (better recall than the
     sampled-centroid gate variant; not SQL-expressible → rows-only
     gate + pytest invariants).  Output like ivf_topk."""
-    qv = quantized(embeddings)
-    cent = ivf_train_kmeans(embeddings, iters)
-    scored = (qv.join(F.broadcast(cent))
-              .select("vec_id", "q", "norm2", "list_id",
-                      _cos(_dot(F.col("q"), F.col("cq")),
-                           F.col("norm2"), F.col("cn")).alias("cos_c")))
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("cos_c").desc(), F.col("list_id").asc())
-    assign = (scored.withColumn("rn", F.row_number().over(w))
-              .where(F.col("rn") == 1)
-              .select("vec_id", "q", "norm2", "list_id"))
+    qv, lids, Cm, sqrt_cn, rows = _train_kmeans_arrays(embeddings, iters)
+    spark = embeddings.sparkSession
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+    cschema = StructType([
+        StructField("list_id", LongType()),
+        StructField("cq", ArrayType(LongType())),
+        StructField("cn", LongType()),
+    ])
+    cent = spark.createDataFrame(
+        [(r.list_id, list(r.cq), r.cn) for r in rows], cschema)
+    assign = _assign_gemm(qv, lids, Cm, sqrt_cn)
     queries = (qv.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("q").alias("qq"), F.col("norm2").alias("qn")))
@@ -459,19 +577,16 @@ def neardup_corpus(embeddings: DataFrame) -> DataFrame:
     return qv.unionByName(shifted)
 
 
-def neardup_pairs(embeddings: DataFrame,
-                  threshold: float = 0.99) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs.
+# Above this corpus size the broadcast-matrix bucket verify would
+# broadcast >~100 MB; route back to the banded equi-join shape.
+NEARDUP_BCAST_MAX = 200_000
 
-    Round 1 ran an all-pairs BroadcastNestedLoopJoin (O(n²) — a
-    scale-killer); this is the 100 TB shape: random-hyperplane
-    sign-bit LSH band keys (`_lsh_band_keys_numpy`) → band
-    equi-join → distinct candidate pairs → exact quantized-integer
-    cosine verify on candidates only.
-    Output: (vec_id_a, vec_id_b, cos_sim), a < b.
-    """
-    from ..plans.caching import tracked_persist
-    corpus = tracked_persist(neardup_corpus(embeddings))
+
+def _neardup_pairs_joined(corpus: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Banded equi-join candidate generation + join-attached exact
+    verify — the arbitrarily-large-corpus shape (no driver-side
+    materialization).  Kept as the >NEARDUP_BCAST_MAX route."""
     keys = _lsh_band_keys_numpy(corpus)
     l = keys.select(F.col("vec_id").alias("vec_id_a"), "band", "bkey")
     r = keys.select(F.col("vec_id").alias("vec_id_b"), "band", "bkey")
@@ -490,3 +605,93 @@ def neardup_pairs(embeddings: DataFrame,
         _cos(_dot(F.col("qa"), F.col("qb")),
              F.col("na"), F.col("nb")).alias("cos_sim"))
     return pairs.where(F.col("cos_sim") >= threshold)
+
+
+def _neardup_pairs_bucketed(corpus: DataFrame,
+                            threshold: float) -> DataFrame:
+    """Bucket-local GEMM verify: the clustered corpus makes LSH
+    buckets huge (sf1.0: 36.2M distinct candidate pairs from 22k
+    vectors), so the joined shape shuffles tens of millions of pair
+    rows and runs an interpreted-HOF cosine per pair (68 s at sf1.0).
+    Here each (band, bkey) bucket's member ids are collect_list-ed
+    (one shuffle of 8·n short key rows), every bucket scores its own
+    i<j pairs with a chunked int64 GEMM against the broadcast corpus
+    matrix, and only pairs ≥ threshold leave Python — the final
+    distinct sees just the ~8× band duplicates of true pairs.
+
+    Semantics identical to the joined route: a pair is emitted iff it
+    shares ≥1 band key AND exact cos ≥ threshold; cos is the same
+    dot/(√na·√nb) in the same IEEE order (a < b)."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    rows = corpus.select("vec_id", "q", "norm2").orderBy("vec_id") \
+        .collect()
+    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
+    M = np.array([r.q for r in rows], dtype=np.int64)
+    sn = np.sqrt(np.array([r.norm2 for r in rows], dtype=np.float64))
+    sc = corpus.sparkSession.sparkContext
+    bc = sc.broadcast((ids, M, sn))
+
+    keys = _lsh_band_keys_numpy(corpus)
+    buckets = (keys.groupBy("band", "bkey")
+               .agg(F.collect_list("vec_id").alias("members"))
+               .where(F.size("members") >= 2))
+
+    schema = StructType([
+        StructField("vec_id_a", LongType()),
+        StructField("vec_id_b", LongType()),
+        StructField("cos_sim", DoubleType()),
+    ])
+    CHUNK = 2048
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cids, cM, csn = bc.value
+        for pdf in it:
+            out_a, out_b, out_c = [], [], []
+            for members in pdf["members"]:
+                bid = np.sort(np.asarray(members, dtype=np.int64))
+                idx = np.searchsorted(cids, bid)
+                X = cM[idx]
+                s = csn[idx]
+                for lo in range(0, len(bid), CHUNK):
+                    hi = min(lo + CHUNK, len(bid))
+                    cos = ((X[lo:hi] @ X.T)
+                           / (s[lo:hi, None] * s[None, :]))
+                    ii, jj = np.nonzero(cos >= threshold)
+                    keep = jj > (ii + lo)
+                    ii, jj = ii[keep], jj[keep]
+                    out_a.extend(bid[ii + lo])
+                    out_b.extend(bid[jj])
+                    out_c.extend(cos[ii, jj])
+            yield pd.DataFrame({"vec_id_a": pd.Series(out_a, dtype="int64"),
+                                "vec_id_b": pd.Series(out_b, dtype="int64"),
+                                "cos_sim": pd.Series(out_c,
+                                                     dtype="float64")})
+
+    return buckets.mapInPandas(verify, schema).distinct()
+
+
+def neardup_pairs(embeddings: DataFrame,
+                  threshold: float = 0.99) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs.
+
+    Round 1 ran an all-pairs BroadcastNestedLoopJoin (O(n²) — a
+    scale-killer); round 5's shape was LSH band keys → band equi-join
+    → distinct candidate pairs → exact verify on candidates.  Round 6
+    size-routes the verify: corpora whose quantized matrix fits a
+    broadcast (≤ NEARDUP_BCAST_MAX vectors) use bucket-local GEMM
+    scoring (`_neardup_pairs_bucketed` — no candidate-pair shuffle at
+    all); larger corpora keep the banded equi-join + join-attached
+    verify.  Both routes emit exactly the pairs that share ≥1 LSH
+    band AND have exact quantized cosine ≥ threshold.
+    Output: (vec_id_a, vec_id_b, cos_sim), a < b.
+    """
+    from ..plans.caching import tracked_persist
+    corpus = tracked_persist(neardup_corpus(embeddings))
+    if corpus.count() <= NEARDUP_BCAST_MAX:
+        return _neardup_pairs_bucketed(corpus, threshold)
+    return _neardup_pairs_joined(corpus, threshold)
