@@ -92,19 +92,79 @@ def exact_duplicates(corpus: DataFrame) -> DataFrame:
             .select("dup_group_min", "doc_id", "group_size"))
 
 
+def _doc_shingles_np(text: str):
+    """One document's word-bigram shingle stream (pre-distinct), as
+    int64 numpy — byte-exact with the JVM expression tree: words =
+    split on ' ' (empties kept), wh = ascii(first char of w||'_')·P1 +
+    ascii(second char of w||'_')·P2 + len(w), shingle = (wh_i·MUL +
+    wh_{i+1}) mod P31.  Returns None when the doc has < 2 words."""
+    import numpy as np
+    try:
+        b = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        # non-ASCII fallback: per-word ord() path (Spark ascii() is
+        # codepoint-of-first-char and length() is chars, not bytes)
+        ws = text.split(" ")
+        if len(ws) < 2:
+            return None
+        wh = np.array(
+            [ord((w + "_")[0]) * C.WORDHASH_P1
+             + (ord((w + "_")[1]) if len(w + "_") >= 2 else 0)
+             * C.WORDHASH_P2 + len(w) for w in ws], dtype=np.int64)
+        return (wh[:-1] * C.SHINGLE_MUL + wh[1:]) % C.P31
+    sp = np.flatnonzero(b == 32)
+    starts = np.empty(len(sp) + 1, dtype=np.int64)
+    starts[0] = 0
+    starts[1:] = sp + 1
+    ends = np.empty(len(sp) + 1, dtype=np.int64)
+    ends[:-1] = sp
+    ends[-1] = len(b)
+    lens = ends - starts
+    if len(starts) < 2:
+        return None
+    safe = max(len(b) - 1, 0)
+    i1 = np.minimum(starts, safe)
+    i2 = np.minimum(starts + 1, safe)
+    bb = b if len(b) else np.zeros(1, dtype=np.uint8)
+    c1 = np.where(lens >= 1, bb[i1], 95).astype(np.int64)
+    c2 = np.where(lens >= 2, bb[i2],
+                  np.where(lens == 1, 95, 0)).astype(np.int64)
+    wh = c1 * C.WORDHASH_P1 + c2 * C.WORDHASH_P2 + lens
+    return (wh[:-1] * C.SHINGLE_MUL + wh[1:]) % C.P31
+
+
 def shingle_arrays(corpus: DataFrame) -> DataFrame:
     """(doc_id, sh_arr): the distinct word-bigram shingle hash set per
-    document as a row-local array — zero shuffle (round 1 exploded to
-    (doc_id, shingle) rows and ran a global .distinct(), an
-    O(corpus-tokens) shuffle the signatures never needed)."""
-    w = T.words(F.col("text"))
-    df = corpus.select("doc_id", w.alias("warr")).where(F.size("warr") >= 2)
-    sh = F.transform(
-        F.sequence(F.lit(1), F.size("warr") - 1),
-        lambda i: T.shingle_hash(
-            T.word_hash(F.element_at(F.col("warr"), i)),
-            T.word_hash(F.element_at(F.col("warr"), i + 1))))
-    return df.select("doc_id", F.array_distinct(sh).alias("sh_arr"))
+    document as a row-local array — zero shuffle.
+
+    r6: one Arrow-batched numpy pass (`_doc_shingles_np`) instead of
+    the JVM sequence/transform/element_at expression tree — HOF
+    lambdas are interpreted (no codegen) and this was the single
+    biggest cost inside every dedup query (4.8 s per compute at
+    sf1.0, recomputed by each of the four q_dedup_neardup arms).
+    Distinct keeps FIRST-OCCURRENCE order (pd.unique), matching
+    array_distinct exactly."""
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType([StructField("doc_id", LongType()),
+                         StructField("sh_arr", ArrayType(LongType()))])
+
+    def shingle(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, arrs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _doc_shingles_np(text)
+                if sh is None:
+                    continue
+                ids.append(doc_id)
+                arrs.append(pd.unique(sh))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "sh_arr": arrs})
+
+    return corpus.select("doc_id", "text").mapInPandas(shingle, schema)
 
 
 def _flat_shingles(pdf):
@@ -191,7 +251,8 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
 
 def minhash_lsh_pairs(corpus: DataFrame,
                       jaccard_threshold: float = C.JACCARD_THRESHOLD,
-                      shingler=None) -> DataFrame:
+                      shingler=None, sh: DataFrame | None = None
+                      ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH + exact Jaccard verify.
 
     Plan: row-local signatures → posexplode to (band, h1, h2) keys →
@@ -200,8 +261,9 @@ def minhash_lsh_pairs(corpus: DataFrame,
     The only shuffles are the band join and the candidate-bounded
     array joins.  Output: (doc_a, doc_b, jaccard), doc_a < doc_b.
     """
-    from ..plans.caching import tracked_persist
-    sh = tracked_persist((shingler or shingle_arrays)(corpus))
+    if sh is None:
+        from ..plans.caching import tracked_persist
+        sh = tracked_persist((shingler or shingle_arrays)(corpus))
     sig = minhash_signatures_from_arrays(sh)
     bands = _band_keys(sig)
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "h1", "h2")
@@ -235,8 +297,9 @@ def _band_keys(sig: DataFrame) -> DataFrame:
 
 
 def incremental_pairs(base: DataFrame, new: DataFrame,
-                      jaccard_threshold: float = C.JACCARD_THRESHOLD
-                      ) -> DataFrame:
+                      jaccard_threshold: float = C.JACCARD_THRESHOLD,
+                      sh_b: DataFrame | None = None,
+                      sh_n: DataFrame | None = None) -> DataFrame:
     """Incremental (cross-corpus) near-dedup: match a NEW crawl batch
     against an EXISTING kept corpus — the dump-over-dump dedup step of
     CC-style pipelines (each new dump is deduped against all previous
@@ -256,8 +319,10 @@ def incremental_pairs(base: DataFrame, new: DataFrame,
     semantics via the shared DuckDB oracle.
     """
     from ..plans.caching import tracked_persist
-    sh_b = tracked_persist(shingle_arrays(base))
-    sh_n = tracked_persist(shingle_arrays(new))
+    if sh_b is None:
+        sh_b = tracked_persist(shingle_arrays(base))
+    if sh_n is None:
+        sh_n = tracked_persist(shingle_arrays(new))
     l = _band_keys(minhash_signatures_from_arrays(sh_b)) \
         .withColumnRenamed("doc_id", "doc_a")
     r = _band_keys(minhash_signatures_from_arrays(sh_n)) \
@@ -340,7 +405,8 @@ def corpus_select(docs: DataFrame) -> DataFrame:
 
 
 def simhash_signatures(corpus: DataFrame,
-                       bits: int = C.SIMHASH_BITS) -> DataFrame:
+                       bits: int = C.SIMHASH_BITS,
+                       sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, simhash): per bit, majority vote over the shingle set.
     Bit b of a shingle is the parity of an affine rehash
     (SIMHASH_BIT_PERMS), so every signature bit is a fair coin and
@@ -373,18 +439,20 @@ def simhash_signatures(corpus: DataFrame,
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
                                 "simhash": sim})
 
-    return shingle_arrays(corpus).mapInPandas(sig, schema)
+    src = sh if sh is not None else shingle_arrays(corpus)
+    return src.select("doc_id", "sh_arr").mapInPandas(sig, schema)
 
 
 def simhash_pairs(corpus: DataFrame,
-                  max_hamming: int = C.SIMHASH_MAX_HAMMING) -> DataFrame:
+                  max_hamming: int = C.SIMHASH_MAX_HAMMING,
+                  sh: DataFrame | None = None) -> DataFrame:
     """Pairs with simhash hamming distance ≤ 3, found by pigeonhole
     block LSH: a pair differing in ≤3 of 60 bits damages ≤3 of the
     4 15-bit blocks, so it must agree on ≥1 — an equi-join whose
     blocking keyspace is 32_768 values per block (candidate volume
     stays O(n·dup_rate), not O(n²/16) like round 1's nibbles).
     Output: (doc_a, doc_b, hamming)."""
-    sig = simhash_signatures(corpus)
+    sig = simhash_signatures(corpus, sh=sh)
     blk_arr = F.array(*[
         F.shiftright(F.col("simhash"), C.SIMHASH_BLOCK_BITS * k)
         .bitwiseAND((1 << C.SIMHASH_BLOCK_BITS) - 1)

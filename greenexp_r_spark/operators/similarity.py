@@ -400,13 +400,21 @@ def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
             for j, qid in enumerate(ids):
                 col = cos[:, j]
                 mask = cids != qid
-                # per-batch partial top-k with a tie margin (global
-                # top-k + deterministic tie-break via the final window)
-                order = np.argsort(-col[mask], kind="stable")[:k + 8]
-                sel = np.nonzero(mask)[0][order]
+                mcol = col[mask]
+                mcid = cids[mask]
+                # per-batch partial top-k under the FINAL total order
+                # (cos DESC with NaN greatest — Spark/DuckDB ordering —
+                # then neighbor_id ASC): the global top-k restricted to
+                # a batch is always within the batch top-k under the
+                # same order, so k rows per (batch, query) suffice for
+                # ANY partitioning.  (r5 cut ties by batch row order,
+                # which was only correct while scan batches arrived
+                # vec_id-sorted — widen()'s round-robin broke that.)
+                key = np.where(np.isnan(mcol), -np.inf, -mcol)
+                sel = np.lexsort((mcid, key))[:k]
                 out_q.extend([qid] * len(sel))
-                out_n.extend(cids[sel])
-                out_c.extend(col[sel])
+                out_n.extend(mcid[sel])
+                out_c.extend(mcol[sel])
             yield pd.DataFrame({"query_id": out_q, "neighbor_id": out_n,
                                 "cos_sim": out_c})
 

@@ -657,7 +657,8 @@ def _q_crs_utm(s, sf):
     from pyspark.sql.types import (LongType, StructField, StructType)
     from .functions import crs as CR
 
-    docs = s.read.parquet(f"{sf}/documents.parquet")
+    from .plans.widen import widen
+    docs = widen(s.read.parquet(f"{sf}/documents.parquet"))
     base = docs.where(F.col("doc_id") % UTM_SAMPLE_MOD == 0).select(
         F.col("doc_id").alias("point_id"),
         F.expr(_LON_SQL).alias("lon"),
@@ -742,7 +743,8 @@ FROM t4
 def _q_events_props(s, sf):
     """Semi-structured extraction: JSON props field aggregated per
     event type (get_json_object — JVM-side JSON path)."""
-    ev = s.read.parquet(f"{sf}/events.parquet")
+    from .plans.widen import widen
+    ev = widen(s.read.parquet(f"{sf}/events.parquet"))
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (ev.groupBy("event_type")
             .agg(F.sum(k).alias("k_sum"),

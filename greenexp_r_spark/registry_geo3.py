@@ -222,7 +222,8 @@ FROM ({greenspace_holes_sql(d)}) _h
 def _run_shared_sql(s, sf, sql_text: str):
     # the shared text reads FROM documents (like the DuckDB oracle);
     # expose the driver parquet under that name for the Spark render
-    s.read.parquet(f"{sf}/documents.parquet") \
+    from .plans.widen import widen
+    widen(s.read.parquet(f"{sf}/documents.parquet")) \
         .createOrReplaceTempView("documents")
     return s.sql(sql_text)
 

@@ -15,11 +15,13 @@ from .registry import QSpec
 
 
 def _docs(spark, sf):
-    return spark.read.parquet(f"{sf}/documents.parquet")
+    from .plans.widen import widen
+    return widen(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
 def _emb(spark, sf):
-    return spark.read.parquet(f"{sf}/embeddings.parquet")
+    from .plans.widen import widen
+    return widen(spark.read.parquet(f"{sf}/embeddings.parquet"))
 
 
 def _q_dedup_neardup_union(spark, sf):
@@ -28,16 +30,22 @@ def _q_dedup_neardup_union(spark, sf):
     render the (dup_group_min, doc_id, group_size) groups as
     (doc_a=keeper, doc_b=member, score=group_size) pairs — aligned
     schema, merged r5-late to free the q_substring_dedup slot."""
+    from .plans.caching import tracked_persist
     aug = dedup.augmented_corpus(_docs(spark, sf))
+    # ONE shingle pass shared by the minhash/simhash/incremental arms
+    # (r6: shingles are row-local per doc, so the incremental sides
+    # are plain doc_id filters of the same persisted table; r5
+    # recomputed the shingle scan four times per query)
+    shingles = tracked_persist(dedup.shingle_arrays(aug))
     ex = dedup.exact_duplicates(aug).select(
         F.lit("exact").alias("method"),
         F.col("dup_group_min").alias("doc_a"),
         F.col("doc_id").alias("doc_b"),
         F.col("group_size").cast("double").alias("score"))
-    mh = dedup.minhash_lsh_pairs(aug).select(
+    mh = dedup.minhash_lsh_pairs(aug, sh=shingles).select(
         F.lit("minhash").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("score"))
-    sh = dedup.simhash_pairs(aug).select(
+    sh = dedup.simhash_pairs(aug, sh=shingles).select(
         F.lit("simhash").alias("method"), "doc_a", "doc_b",
         F.col("hamming").cast("double").alias("score"))
     # incremental (cross-corpus) dedup: the synthetic dup rows
@@ -46,7 +54,9 @@ def _q_dedup_neardup_union(spark, sf):
     # must equal the cross-split slice of the self-join semantics
     inc = dedup.incremental_pairs(
         aug.where(F.col("doc_id") < 1_000_000),
-        aug.where(F.col("doc_id") >= 1_000_000)).select(
+        aug.where(F.col("doc_id") >= 1_000_000),
+        sh_b=shingles.where(F.col("doc_id") < 1_000_000),
+        sh_n=shingles.where(F.col("doc_id") >= 1_000_000)).select(
         F.lit("incremental").alias("method"), "doc_a", "doc_b",
         F.col("jaccard").alias("score"))
     return ex.unionByName(mh).unionByName(sh).unionByName(inc)
@@ -910,7 +920,8 @@ GROUP BY date_trunc('hour', ts), event_type
 
 
 def _q_events_hourly(spark, sf):
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from .plans.widen import widen
+    ev = widen(spark.read.parquet(f"{sf}/events.parquet"))
     return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                        "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -956,7 +967,8 @@ def _q_events_rollup(spark, sf):
     from .operators import funnel as _FU
     from .operators import retention as _RT
     from .operators import sessions as _SS
-    ev = spark.read.parquet(f"{sf}/events.parquet")
+    from .plans.widen import widen
+    ev = widen(spark.read.parquet(f"{sf}/events.parquet"))
     h = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                     "event_type")
          .agg(F.count(F.lit(1)).alias("n_events"),

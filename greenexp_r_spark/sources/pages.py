@@ -117,7 +117,9 @@ def _pages_from_docs(doc: DataFrame) -> DataFrame:
 def pages_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Engine-side pages table (exact input_hint schema) from the
     driver's documents parquet."""
-    return _pages_from_docs(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    from ..plans.widen import widen
+    return _pages_from_docs(
+        widen(spark.read.parquet(f"{sf_dir}/documents.parquet")))
 
 
 def synthetic_pages(spark: SparkSession, n: int,

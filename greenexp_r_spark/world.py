@@ -249,7 +249,8 @@ def _hash_col(key, mul: int, add: int, mod: int):
 
 def points_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages/address-point table from the driver's documents parquet."""
-    doc = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .plans.widen import widen
+    doc = widen(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     did = F.col("doc_id")
     return doc.select(
         did.alias("point_id"),
