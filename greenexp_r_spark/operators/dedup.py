@@ -249,6 +249,154 @@ def minhash_signatures(corpus: DataFrame) -> DataFrame:
     return minhash_signatures_from_arrays(shingle_arrays(corpus))
 
 
+# Above this corpus size the bucket-local routes (collect_list of one
+# band bucket's member arrays in a single aggregation buffer) risk an
+# oversized task on a pathological bucket; route back to the banded
+# equi-join + join-attached verify.
+DEDUP_BUCKET_MAX = 2_000_000
+
+
+def _group_pair_counts(arrs, ids):
+    """Exact pairwise set-intersection counts for one bucket.
+
+    arrs: list of distinct-element int64 arrays (one per member, in
+    `ids` order).  Returns (ia, ib, inter, lens): member-index pairs
+    with ib < ia, their intersection sizes, and per-member set sizes.
+    Fully vectorized: group the flattened (member, element) stream by
+    element, enumerate all within-group index pairs with the
+    prefix-range trick, then count identical pairs.  Each member's
+    array is distinct, so pair multiplicity == |A∩B| exactly."""
+    import numpy as np
+    K = len(arrs)
+    lens = np.fromiter((len(a) for a in arrs), dtype=np.int64, count=K)
+    mem = np.repeat(np.arange(K, dtype=np.int64), lens)
+    flat = np.concatenate(arrs) if K else np.empty(0, dtype=np.int64)
+    so = np.lexsort((mem, flat))
+    g = flat[so]
+    m = mem[so]
+    if not len(g):
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), lens)
+    new = np.empty(len(g), dtype=bool)
+    new[0] = True
+    new[1:] = g[1:] != g[:-1]
+    starts = np.flatnonzero(new)
+    gid = np.cumsum(new) - 1
+    r = np.arange(len(g)) - starts[gid]
+    P = int(r.sum())
+    if P == 0:
+        return (np.empty(0, np.int64), np.empty(0, np.int64),
+                np.empty(0, np.int64), lens)
+    a = np.repeat(m, r)
+    out_idx = (np.arange(P) - np.repeat(np.cumsum(r) - r, r)
+               + np.repeat(starts[gid], r))
+    b = m[out_idx]                      # b < a (secondary sort is mem)
+    uk, cnt = np.unique(a * K + b, return_counts=True)
+    return uk // K, uk % K, cnt, lens
+
+
+def _signatures_with_arrays(sh: DataFrame) -> DataFrame:
+    """minhash_signatures_from_arrays + the sh_arr column riding
+    along, so band buckets can be built self-contained (no verify
+    join later)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType(
+        [StructField("doc_id", LongType())]
+        + [StructField(f"mh{j}", LongType())
+           for j in range(len(C.MINHASH_PERMS))]
+        + [StructField("sh_arr", ArrayType(LongType()))])
+
+    def sig(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            if not len(pdf):
+                continue
+            flat, offs, _ = _flat_shingles(pdf)
+            out = {"doc_id": pdf["doc_id"].to_numpy()}
+            for j, (a, b) in enumerate(C.MINHASH_PERMS):
+                h = (flat * a + b) % C.P31
+                out[f"mh{j}"] = np.minimum.reduceat(h, offs)
+            out["sh_arr"] = pdf["sh_arr"]
+            yield pd.DataFrame(out)
+
+    return sh.mapInPandas(sig, schema)
+
+
+def _minhash_pairs_bucketed(sh: DataFrame,
+                            jaccard_threshold: float) -> DataFrame:
+    """Bucket-local exact-Jaccard verify: every (band, h1, h2) bucket
+    arrives as a self-contained collect_list of (doc_id, sh_arr)
+    members, and only verified pairs ≥ threshold leave Python.  At
+    sf1.0 the joined route materialized 6.5M distinct candidate-pair
+    rows through a self-join + distinct + two array-attaching joins;
+    here the only corpus-sized shuffle is the band groupBy (each
+    doc's array rides once per band).  Semantics identical: a pair is
+    emitted iff it shares ≥1 band key AND exact shingle-set Jaccard ≥
+    threshold (hash-collision buckets yield jac 0 and drop in both
+    routes)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    bands = _band_keys_with_arrays(sh)
+    buckets = (bands.groupBy("band", "h1", "h2")
+               .agg(F.collect_list(F.struct("doc_id", "sh_arr"))
+                    .alias("members"))
+               .where(F.size("members") >= 2))
+    schema = StructType([
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("jaccard", DoubleType()),
+    ])
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            oa, ob, oj = [], [], []
+            for members in pdf["members"]:
+                ids = np.array([m["doc_id"] for m in members],
+                               dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids = ids[order]
+                arrs = [np.asarray(members[o]["sh_arr"], dtype=np.int64)
+                        for o in order]
+                ia, ib, inter, lens = _group_pair_counts(arrs, ids)
+                if not len(ia):
+                    continue
+                jac = inter / (lens[ia] + lens[ib] - inter)
+                keep = jac >= jaccard_threshold
+                # members sorted by doc_id and ib < ia → doc_a < doc_b
+                oa.extend(ids[ib[keep]])
+                ob.extend(ids[ia[keep]])
+                oj.extend(jac[keep])
+            yield pd.DataFrame({"doc_a": pd.Series(oa, dtype="int64"),
+                                "doc_b": pd.Series(ob, dtype="int64"),
+                                "jaccard": pd.Series(oj,
+                                                     dtype="float64")})
+
+    return buckets.mapInPandas(verify, schema).distinct()
+
+
+def _band_keys_with_arrays(sh: DataFrame) -> DataFrame:
+    """(doc_id, band, h1, h2, sh_arr) — band keys with the shingle
+    array carried through the explode."""
+    sig = _signatures_with_arrays(sh)
+    n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
+    band_arr = F.array(*[
+        F.struct(F.col(f"mh{2 * b}").alias("h1"),
+                 F.col(f"mh{2 * b + 1}").alias("h2"))
+        for b in range(n_bands)])
+    return sig.select(
+        "doc_id", "sh_arr", F.posexplode(band_arr).alias("band", "hs")
+    ).select("doc_id", "band", F.col("hs.h1").alias("h1"),
+             F.col("hs.h2").alias("h2"), "sh_arr")
+
+
 def minhash_lsh_pairs(corpus: DataFrame,
                       jaccard_threshold: float = C.JACCARD_THRESHOLD,
                       shingler=None, sh: DataFrame | None = None
@@ -264,6 +412,16 @@ def minhash_lsh_pairs(corpus: DataFrame,
     if sh is None:
         from ..plans.caching import tracked_persist
         sh = tracked_persist((shingler or shingle_arrays)(corpus))
+    if sh.count() <= DEDUP_BUCKET_MAX:
+        return _minhash_pairs_bucketed(sh, jaccard_threshold)
+    return _minhash_pairs_joined(sh, jaccard_threshold)
+
+
+def _minhash_pairs_joined(sh: DataFrame,
+                          jaccard_threshold: float) -> DataFrame:
+    """Banded equi-join candidates + join-attached exact-Jaccard
+    verify — the arbitrarily-large-corpus route (no oversized
+    collect_list buckets)."""
     sig = minhash_signatures_from_arrays(sh)
     bands = _band_keys(sig)
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "h1", "h2")
@@ -323,6 +481,8 @@ def incremental_pairs(base: DataFrame, new: DataFrame,
         sh_b = tracked_persist(shingle_arrays(base))
     if sh_n is None:
         sh_n = tracked_persist(shingle_arrays(new))
+    if sh_b.count() + sh_n.count() <= DEDUP_BUCKET_MAX:
+        return _incremental_pairs_bucketed(sh_b, sh_n, jaccard_threshold)
     l = _band_keys(minhash_signatures_from_arrays(sh_b)) \
         .withColumnRenamed("doc_id", "doc_a")
     r = _band_keys(minhash_signatures_from_arrays(sh_n)) \
@@ -339,6 +499,67 @@ def incremental_pairs(base: DataFrame, new: DataFrame,
            / (F.size("sa") + F.size("sb") - n_inter).cast("double"))
     return (verif.select("doc_a", "doc_b", jac.alias("jaccard"))
             .where(F.col("jaccard") >= jaccard_threshold))
+
+
+def _incremental_pairs_bucketed(sh_b: DataFrame, sh_n: DataFrame,
+                                jaccard_threshold: float) -> DataFrame:
+    """Bucket-local cross-corpus verify: band buckets carry BOTH
+    sides' members tagged by side; only base x new pairs are scored
+    (never base x base or new x new), exactly like the two-table band
+    join.  doc_a = base keeper, doc_b = new doc."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+
+    bb = _band_keys_with_arrays(sh_b).withColumn("side", F.lit(0))
+    bn = _band_keys_with_arrays(sh_n).withColumn("side", F.lit(1))
+    buckets = (bb.unionByName(bn)
+               .groupBy("band", "h1", "h2")
+               .agg(F.collect_list(F.struct("doc_id", "side", "sh_arr"))
+                    .alias("members"))
+               .where(F.size("members") >= 2))
+    schema = StructType([
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("jaccard", DoubleType()),
+    ])
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            oa, ob, oj = [], [], []
+            for members in pdf["members"]:
+                side = np.array([m["side"] for m in members],
+                                dtype=np.int64)
+                if side.min() == side.max():
+                    continue          # one-sided bucket: no cross pair
+                ids = np.array([m["doc_id"] for m in members],
+                               dtype=np.int64)
+                arrs = [np.asarray(m["sh_arr"], dtype=np.int64)
+                        for m in members]
+                ia, ib, inter, lens = _group_pair_counts(arrs, ids)
+                if not len(ia):
+                    continue
+                cross = side[ia] != side[ib]
+                ia, ib, inter = ia[cross], ib[cross], inter[cross]
+                if not len(ia):
+                    continue
+                jac = inter / (lens[ia] + lens[ib] - inter)
+                keep = jac >= jaccard_threshold
+                ia, ib, jac = ia[keep], ib[keep], jac[keep]
+                base_first = side[ia] == 0
+                a_idx = np.where(base_first, ia, ib)
+                b_idx = np.where(base_first, ib, ia)
+                oa.extend(ids[a_idx])
+                ob.extend(ids[b_idx])
+                oj.extend(jac)
+            yield pd.DataFrame({"doc_a": pd.Series(oa, dtype="int64"),
+                                "doc_b": pd.Series(ob, dtype="int64"),
+                                "jaccard": pd.Series(oj,
+                                                     dtype="float64")})
+
+    return buckets.mapInPandas(verify, schema).distinct()
 
 
 def dedup_groups(corpus: DataFrame) -> DataFrame:
@@ -459,6 +680,9 @@ def simhash_pairs(corpus: DataFrame,
         for k in range(C.SIMHASH_BLOCKS)])
     blk = sig.select("doc_id", "simhash",
                      F.posexplode(blk_arr).alias("bk", "bv"))
+    n = sh.count() if sh is not None else corpus.count()
+    if n <= DEDUP_BUCKET_MAX:
+        return _simhash_pairs_bucketed(blk, max_hamming)
     l = blk.select(F.col("doc_id").alias("doc_a"),
                    F.col("simhash").alias("sim_a"), "bk", "bv")
     r = blk.select(F.col("doc_id").alias("doc_b"),
@@ -469,3 +693,56 @@ def simhash_pairs(corpus: DataFrame,
     ham = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return (cand.select("doc_a", "doc_b", ham.alias("hamming"))
             .where(F.col("hamming") <= max_hamming))
+
+
+def _simhash_pairs_bucketed(blk: DataFrame,
+                            max_hamming: int) -> DataFrame:
+    """Bucket-local hamming verify: each (bk, bv) block bucket arrives
+    as a collect_list of (doc_id, simhash) members; pairwise
+    XOR-popcount runs as one vectorized pass per bucket (byte-LUT
+    popcount, numpy<2 has no bitwise_count) and only pairs with
+    hamming <= max leave Python.  Same semantics as the block
+    equi-join route (agree on >=1 block AND hamming <= max)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    buckets = (blk.groupBy("bk", "bv")
+               .agg(F.collect_list(F.struct("doc_id", "simhash"))
+                    .alias("members"))
+               .where(F.size("members") >= 2))
+    schema = StructType([
+        StructField("doc_a", LongType()),
+        StructField("doc_b", LongType()),
+        StructField("hamming", LongType()),
+    ])
+    LUT = np.array([bin(i).count("1") for i in range(256)],
+                   dtype=np.int64)
+
+    def popcount64(x):
+        return LUT[x.view(np.uint8).reshape(*x.shape, 8)].sum(axis=-1)
+
+    def verify(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            oa, ob, oh = [], [], []
+            for members in pdf["members"]:
+                ids = np.array([m["doc_id"] for m in members],
+                               dtype=np.int64)
+                sig = np.array([m["simhash"] for m in members],
+                               dtype=np.int64)
+                order = np.argsort(ids, kind="stable")
+                ids, sig = ids[order], sig[order]
+                x = sig[:, None] ^ sig[None, :]
+                ham = popcount64(x)
+                ii, jj = np.nonzero(ham <= max_hamming)
+                keep = ii < jj
+                oa.extend(ids[ii[keep]])
+                ob.extend(ids[jj[keep]])
+                oh.extend(ham[ii[keep], jj[keep]])
+            yield pd.DataFrame({"doc_a": pd.Series(oa, dtype="int64"),
+                                "doc_b": pd.Series(ob, dtype="int64"),
+                                "hamming": pd.Series(oh,
+                                                     dtype="int64")})
+
+    return buckets.mapInPandas(verify, schema).distinct()
