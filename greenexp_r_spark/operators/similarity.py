@@ -24,6 +24,28 @@ NEARDUP_SHIFT = 3          # planted near-dup: every element + 3 milli-units
 NEARDUP_MOD = 10
 
 
+
+# float64 GEMM is exact for these integer matrices as long as every
+# dot product stays below 2^53: products and partial sums are then
+# integers, exactly representable at every step in any summation
+# order (FMA included).  Milli-unit embeddings are |q| <= ~5e3 and
+# JL projections |p| <= ~3.2e5; the guard bound keeps dim*maxq^2
+# comfortably under 2^53 (64 * (4e6)^2 ~= 1e15 < 9.007e15).
+_F64_EXACT_MAX = 4_000_000
+
+
+def _exact_gemm(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """A @ B with BLAS dgemm when exactness is guaranteed (integer
+    inputs small enough that float64 arithmetic is exact), falling
+    back to the slow int64 loop-matmul otherwise.  numpy's int64
+    matmul bypasses BLAS entirely (~10x slower) — this was the
+    dominant per-task cost of the bucket verify and IVF kernels."""
+    if (abs(A).max(initial=0) < _F64_EXACT_MAX
+            and abs(B).max(initial=0) < _F64_EXACT_MAX):
+        return A.astype(np.float64) @ B.astype(np.float64)
+    return A @ B
+
+
 def quantized(embeddings: DataFrame) -> DataFrame:
     """(vec_id, q: array<long>, norm2: long) — milli-unit quantization."""
     q = F.transform(F.col("embedding"),
@@ -113,7 +135,8 @@ def _assign_gemm(qv: DataFrame, lids: np.ndarray, Cm: np.ndarray,
                 continue
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             n2 = pdf["norm2"].to_numpy().astype(np.float64)
-            cos = (Q @ M.T) / (np.sqrt(n2)[:, None] * sn[None, :])
+            cos = (_exact_gemm(Q, M.T)
+                   / (np.sqrt(n2)[:, None] * sn[None, :]))
             out = pdf[["vec_id", "q", "norm2"]].copy()
             out["list_id"] = ids[np.argmax(cos, axis=1)]
             yield out
@@ -135,12 +158,14 @@ def ivf_assign(qv: DataFrame) -> tuple[DataFrame, DataFrame]:
 
 def ivf_topk(embeddings: DataFrame, k: int = C.ANN_K,
              n_queries: int = C.ANN_QUERIES,
-             nprobe: int = C.IVF_NPROBE) -> DataFrame:
+             nprobe: int = C.IVF_NPROBE,
+             qv: DataFrame | None = None) -> DataFrame:
     """IVF approximate top-k: probe the `nprobe` nearest centroid lists
     only.  At scale the lists are Iceberg partitions → the search is
     partition-pruned instead of a full scan.
     Output: (query_id, rank, neighbor_id, cos_sim)."""
-    qv = quantized(embeddings)
+    if qv is None:
+        qv = quantized(embeddings)
     cent, assign = ivf_assign(qv)
     queries = (qv.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
@@ -196,7 +221,8 @@ def _partial_sums_gemm(qv: DataFrame, lids: np.ndarray, Cm: np.ndarray,
                 continue
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             n2 = pdf["norm2"].to_numpy().astype(np.float64)
-            cos = (Q @ M.T) / (np.sqrt(n2)[:, None] * sn[None, :])
+            cos = (_exact_gemm(Q, M.T)
+                   / (np.sqrt(n2)[:, None] * sn[None, :]))
             idx = np.argmax(cos, axis=1)
             uniq, inv = np.unique(idx, return_inverse=True)
             cnt = np.bincount(inv)
@@ -230,13 +256,15 @@ def _lloyd_update(partials: DataFrame) -> DataFrame:
     return upd.select("list_id", "cq", cn.alias("cn"))
 
 
-def _train_kmeans_arrays(embeddings: DataFrame, iters: int = 2):
+def _train_kmeans_arrays(embeddings: DataFrame, iters: int = 2,
+                         qv: DataFrame | None = None):
     """Run `iters` Lloyd iterations; return (qv, lids, Cm, sqrt_cn,
     rows) where rows are the final centroid Rows (list_id, cq, cn).
     Each iteration is ONE GEMM scan of the corpus emitting tiny
     partial sums — no per-(vector, centroid) rows, no window shuffle
     (the r5 shape materialized n·n_cent rows per iteration)."""
-    qv = quantized(embeddings)
+    if qv is None:
+        qv = quantized(embeddings)
     cent0 = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
              .select(F.col("vec_id").alias("list_id"),
                      F.col("q").alias("cq"), F.col("norm2").alias("cn")))
@@ -282,11 +310,13 @@ def ivf_train_kmeans(embeddings: DataFrame, iters: int = 2) -> DataFrame:
 def ivf_topk_trained(embeddings: DataFrame, k: int = C.ANN_K,
                      n_queries: int = C.ANN_QUERIES,
                      nprobe: int = C.IVF_NPROBE,
-                     iters: int = 2) -> DataFrame:
+                     iters: int = 2,
+                     qv: DataFrame | None = None) -> DataFrame:
     """ivf_topk over k-means-trained lists (better recall than the
     sampled-centroid gate variant; not SQL-expressible → rows-only
     gate + pytest invariants).  Output like ivf_topk."""
-    qv, lids, Cm, sqrt_cn, rows = _train_kmeans_arrays(embeddings, iters)
+    qv, lids, Cm, sqrt_cn, rows = _train_kmeans_arrays(embeddings, iters,
+                                                        qv=qv)
     spark = embeddings.sparkSession
     from pyspark.sql.types import (ArrayType, LongType, StructField,
                                    StructType)
@@ -393,7 +423,7 @@ def brute_force_topk_numpy(embeddings: DataFrame, k: int = C.ANN_K,
             cand = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             cn = np.sqrt(pdf["norm2"].to_numpy().astype(np.float64))
             # exact: integer dot products, float only at the end
-            dots = cand @ Q.T                        # (batch, n_q)
+            dots = _exact_gemm(cand, Q.T)            # (batch, n_q)
             cos = dots / (cn[:, None] * Qn[None, :])
             cids = pdf["vec_id"].to_numpy()
             out_q, out_n, out_c = [], [], []
@@ -444,7 +474,8 @@ def jl_sign_matrix(d_in: int, d_out: int = JL_DIMS) -> np.ndarray:
 
 
 def project_jl(embeddings: DataFrame,
-               d_out: int = JL_DIMS) -> DataFrame:
+               d_out: int = JL_DIMS,
+               qv: DataFrame | None = None) -> DataFrame:
     """(vec_id, q, norm2) in the PROJECTED space: p = q_milli @ S with
     the deterministic sign matrix — one int64 GEMM per Arrow batch, so
     every projected coordinate is an exact BIGINT (|p_j| ≤ d_in·|q|max
@@ -475,24 +506,26 @@ def project_jl(embeddings: DataFrame,
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             if S is None or S.shape[0] != Q.shape[1]:
                 S = jl_sign_matrix(Q.shape[1], d_out)
-            P = Q @ S
+            P = _exact_gemm(Q, S).astype(np.int64)
             yield pd.DataFrame({
                 "vec_id": pdf["vec_id"].to_numpy(),
                 "q": list(P),
                 "norm2": (P * P).sum(axis=1)})
 
-    return quantized(embeddings).mapInPandas(proj, schema)
+    src = qv if qv is not None else quantized(embeddings)
+    return src.mapInPandas(proj, schema)
 
 
 def jl_topk(embeddings: DataFrame, k: int = C.ANN_K,
             n_queries: int = C.ANN_QUERIES,
-            d_out: int = JL_DIMS) -> DataFrame:
+            d_out: int = JL_DIMS,
+            qv: DataFrame | None = None) -> DataFrame:
     """Top-k by cosine in the JL-projected space (the reduced-width
     approximation of brute_force_topk — rank fidelity is the JL
     distance-preservation guarantee, arithmetic is exact BIGINT so
     the result is deterministic and SQL-replayable)."""
     return brute_force_topk_numpy(embeddings, k, n_queries,
-                                  qv=project_jl(embeddings, d_out))
+                                  qv=project_jl(embeddings, d_out, qv=qv))
 
 
 # Recall contract (review finding, round 2): sign-bit LSH recall is
@@ -555,7 +588,7 @@ def _lsh_band_keys_numpy(corpus: DataFrame) -> DataFrame:
             Q = np.stack(pdf["q"].to_numpy()).astype(np.int64)
             if R is None:
                 R = _hyperplanes(Q.shape[1])
-            bits = (Q @ R.T) >= 0             # (batch, bands·bits)
+            bits = _exact_gemm(Q, R.T) >= 0   # (batch, bands·bits)
             bk = (bits.reshape(len(Q), n_bands, n_bits)
                   .astype(np.int64) @ pows)           # (batch, bands)
             yield pd.DataFrame({
@@ -636,18 +669,25 @@ def _neardup_pairs_bucketed(corpus: DataFrame,
     from pyspark.sql.types import (DoubleType, LongType, StructField,
                                    StructType)
 
-    rows = corpus.select("vec_id", "q", "norm2").orderBy("vec_id") \
-        .collect()
-    ids = np.array([r.vec_id for r in rows], dtype=np.int64)
-    M = np.array([r.q for r in rows], dtype=np.int64)
-    sn = np.sqrt(np.array([r.norm2 for r in rows], dtype=np.float64))
+    pdf0 = corpus.select("vec_id", "q", "norm2").orderBy("vec_id") \
+        .toPandas()                       # Arrow path — ~5x collect()
+    ids = pdf0["vec_id"].to_numpy().astype(np.int64)
+    M = np.stack(pdf0["q"].to_numpy()).astype(np.int64)
+    sn = np.sqrt(pdf0["norm2"].to_numpy().astype(np.float64))
     sc = corpus.sparkSession.sparkContext
     bc = sc.broadcast((ids, M, sn))
 
     keys = _lsh_band_keys_numpy(corpus)
+    # identical member sets across bands (whole clusters collide in
+    # every band) would be GEMM-scored once per band; sorting the
+    # member list and deduping buckets on it removes the ~8x repeat
+    # without changing the pair set (identical members => identical
+    # verified pairs; the final distinct already collapsed them)
     buckets = (keys.groupBy("band", "bkey")
-               .agg(F.collect_list("vec_id").alias("members"))
-               .where(F.size("members") >= 2))
+               .agg(F.sort_array(F.collect_list("vec_id"))
+                    .alias("members"))
+               .where(F.size("members") >= 2)
+               .dropDuplicates(["members"]))
 
     schema = StructType([
         StructField("vec_id_a", LongType()),
@@ -661,13 +701,13 @@ def _neardup_pairs_bucketed(corpus: DataFrame,
         for pdf in it:
             out_a, out_b, out_c = [], [], []
             for members in pdf["members"]:
-                bid = np.sort(np.asarray(members, dtype=np.int64))
+                bid = np.asarray(members, dtype=np.int64)  # pre-sorted
                 idx = np.searchsorted(cids, bid)
                 X = cM[idx]
                 s = csn[idx]
                 for lo in range(0, len(bid), CHUNK):
                     hi = min(lo + CHUNK, len(bid))
-                    cos = ((X[lo:hi] @ X.T)
+                    cos = (_exact_gemm(X[lo:hi], X.T)
                            / (s[lo:hi, None] * s[None, :]))
                     ii, jj = np.nonzero(cos >= threshold)
                     keep = jj > (ii + lo)

@@ -81,17 +81,21 @@ def _q_ann_topk_union(spark, sf):
     r5-late, freeing its slot for q_seq_pack; the jl variant (r5
     session 4) proves the dimensionality-reduction transform
     end-to-end (project → exact integer cosine → top-k)."""
+    from .plans.caching import tracked_persist
     emb = _emb(spark, sf)
-    brute = similarity.brute_force_topk_numpy(emb).select(
+    # ONE quantized corpus shared by all four variants (r6; each
+    # variant previously re-ran the milli-unit quantization scan)
+    qv = tracked_persist(similarity.quantized(emb))
+    brute = similarity.brute_force_topk_numpy(emb, qv=qv).select(
         F.lit("brute").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    ivf = similarity.ivf_topk(emb).select(
+    ivf = similarity.ivf_topk(emb, qv=qv).select(
         F.lit("ivf").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    km = similarity.ivf_topk_trained(emb).select(
+    km = similarity.ivf_topk_trained(emb, qv=qv).select(
         F.lit("kmeans").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    jl = similarity.jl_topk(emb).select(
+    jl = similarity.jl_topk(emb, qv=qv).select(
         F.lit("jl").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
     return brute.unionByName(ivf).unionByName(km).unionByName(jl)
