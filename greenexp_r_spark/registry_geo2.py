@@ -743,8 +743,7 @@ FROM t4
 def _q_events_props(s, sf):
     """Semi-structured extraction: JSON props field aggregated per
     event type (get_json_object — JVM-side JSON path)."""
-    from .plans.widen import widen
-    ev = widen(s.read.parquet(f"{sf}/events.parquet"))
+    ev = s.read.parquet(f"{sf}/events.parquet")
     k = F.get_json_object(F.col("props"), "$.k").cast("long")
     return (ev.groupBy("event_type")
             .agg(F.sum(k).alias("k_sum"),

@@ -924,8 +924,10 @@ GROUP BY date_trunc('hour', ts), event_type
 
 
 def _q_events_hourly(spark, sf):
-    from .plans.widen import widen
-    ev = widen(spark.read.parquet(f"{sf}/events.parquet"))
+    # events: 1M cheap rows straight into aggregations — widen()'s
+    # exchange costs more than the scan parallelism it buys (A/B 3.5 s
+    # vs 6.4 s at sf1.0), so events reads stay un-widened
+    ev = spark.read.parquet(f"{sf}/events.parquet")
     return (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                        "event_type")
             .agg(F.count(F.lit(1)).alias("n_events"),
@@ -971,8 +973,10 @@ def _q_events_rollup(spark, sf):
     from .operators import funnel as _FU
     from .operators import retention as _RT
     from .operators import sessions as _SS
-    from .plans.widen import widen
-    ev = widen(spark.read.parquet(f"{sf}/events.parquet"))
+    # events: 1M cheap rows straight into aggregations — widen()'s
+    # exchange costs more than the scan parallelism it buys (A/B 3.5 s
+    # vs 6.4 s at sf1.0), so events reads stay un-widened
+    ev = spark.read.parquet(f"{sf}/events.parquet")
     h = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                     "event_type")
          .agg(F.count(F.lit(1)).alias("n_events"),
