@@ -116,14 +116,91 @@ def classify(docs: DataFrame, weights: DataFrame) -> DataFrame:
 
 
 def quality_classifier(docs: DataFrame) -> DataFrame:
-    """Train-and-apply on one corpus — the gate shape.  The labeled
-    feature set is materialized ONCE (tracked persist) and feeds both
-    the per-bucket training aggregate and the broadcast-apply join:
-    one corpus scan, one distinct, two hash aggregates, zero
-    corpus×corpus joins."""
-    from ..plans.caching import tracked_persist
-    fl = tracked_persist(_features_labeled(docs))
-    return _apply(fl.select("doc_id", "bucket"), _weights_from(fl))
+    """Train-and-apply on one corpus — the gate shape.
+
+    r6: two Arrow-batched numpy passes with ZERO corpus-wide shuffles
+    (the r5 shape exploded 5M (doc, pos, bucket) rows through a
+    corpus-wide distinct + two keyed aggregates — 3.6 s at sf1.0):
+
+      1. TRAIN — per-batch integer count partials over the
+         NB_BUCKETS-sized feature space (bucket presence per doc via
+         `word_hashes_np` + np.unique; the stopword label per doc);
+         the tiny partials merge driver-side into the weight array
+         (SCALE·(n_pos+1)) // (n_all+2) — same positive-integer DIV.
+      2. APPLY — the weight array broadcasts (dimension-sized by
+         construction) and each doc scores locally: evidence = Σ
+         W[distinct buckets], score = evidence // n_feat.
+
+    Bit-exact with the DataFrame formulation (kept below as
+    `classify`/`nb_train` for external weight tables): distinct
+    bucket sets per doc, exact integer sums, truncating division on
+    positive operands."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (BooleanType, LongType, StructField,
+                                   StructType)
+
+    from .dedup import word_hashes_np
+
+    B = C.NB_BUCKETS
+    stopset = frozenset(C.STOPWORDS_EN)
+    sel = docs.select("doc_id", "text")
+
+    cnt_schema = StructType([StructField("bucket", LongType()),
+                             StructField("n_pos", LongType()),
+                             StructField("n_all", LongType())])
+
+    def counts(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        allc = np.zeros(B, dtype=np.int64)
+        posc = np.zeros(B, dtype=np.int64)
+        for pdf in it:
+            for text in pdf["text"]:
+                ws = text.split(" ")
+                pos = (sum(w in stopset for w in ws) * C.NB_STOP_NUM
+                       >= len(ws))
+                bk = np.unique(word_hashes_np(text) % B)
+                allc[bk] += 1
+                if pos:
+                    posc[bk] += 1
+        nz = np.flatnonzero(allc)
+        yield pd.DataFrame({"bucket": nz, "n_pos": posc[nz],
+                            "n_all": allc[nz]})
+
+    part = sel.mapInPandas(counts, cnt_schema).toPandas()
+    agg = part.groupby("bucket").sum()
+    W = np.zeros(B, dtype=np.int64)
+    W[agg.index.to_numpy()] = (
+        (C.NB_SCALE * (agg["n_pos"].to_numpy() + 1))
+        // (agg["n_all"].to_numpy() + 2))
+    bc = docs.sparkSession.sparkContext.broadcast(W)
+
+    out_schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("n_feat", LongType()),
+        StructField("evidence_pm", LongType()),
+        StructField("score_pm", LongType()),
+        StructField("clf_keep", BooleanType()),
+    ])
+
+    def score(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Wv = bc.value
+        for pdf in it:
+            ids, nf, ev = [], [], []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                bk = np.unique(word_hashes_np(text) % B)
+                ids.append(did)
+                nf.append(len(bk))
+                ev.append(int(Wv[bk].sum()))
+            nfa = np.array(nf, dtype=np.int64)
+            eva = np.array(ev, dtype=np.int64)
+            sc_ = eva // nfa          # every doc has >= 1 bucket
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "n_feat": nfa, "evidence_pm": eva, "score_pm": sc_,
+                "clf_keep": sc_ >= C.NB_KEEP_PM})
+
+    return sel.mapInPandas(score, out_schema)
 
 
 def nb_log_odds(weights: DataFrame) -> DataFrame:

@@ -92,26 +92,22 @@ def exact_duplicates(corpus: DataFrame) -> DataFrame:
             .select("dup_group_min", "doc_id", "group_size"))
 
 
-def _doc_shingles_np(text: str):
-    """One document's word-bigram shingle stream (pre-distinct), as
-    int64 numpy — byte-exact with the JVM expression tree: words =
-    split on ' ' (empties kept), wh = ascii(first char of w||'_')·P1 +
-    ascii(second char of w||'_')·P2 + len(w), shingle = (wh_i·MUL +
-    wh_{i+1}) mod P31.  Returns None when the doc has < 2 words."""
+def word_hashes_np(text: str):
+    """int64 word-hash array for one document — the numpy twin of
+    functions.text.word_hash over split(' ') (empties kept): wh =
+    ascii(first char of w||'_')·P1 + ascii(second char of w||'_')·P2 +
+    len(w).  Byte-vectorized for ASCII; per-word ord() fallback for
+    non-ASCII (Spark ascii() is codepoint-of-first-char and length()
+    is chars, not bytes)."""
     import numpy as np
     try:
         b = np.frombuffer(text.encode("ascii"), dtype=np.uint8)
     except UnicodeEncodeError:
-        # non-ASCII fallback: per-word ord() path (Spark ascii() is
-        # codepoint-of-first-char and length() is chars, not bytes)
         ws = text.split(" ")
-        if len(ws) < 2:
-            return None
-        wh = np.array(
+        return np.array(
             [ord((w + "_")[0]) * C.WORDHASH_P1
              + (ord((w + "_")[1]) if len(w + "_") >= 2 else 0)
              * C.WORDHASH_P2 + len(w) for w in ws], dtype=np.int64)
-        return (wh[:-1] * C.SHINGLE_MUL + wh[1:]) % C.P31
     sp = np.flatnonzero(b == 32)
     starts = np.empty(len(sp) + 1, dtype=np.int64)
     starts[0] = 0
@@ -120,8 +116,6 @@ def _doc_shingles_np(text: str):
     ends[:-1] = sp
     ends[-1] = len(b)
     lens = ends - starts
-    if len(starts) < 2:
-        return None
     safe = max(len(b) - 1, 0)
     i1 = np.minimum(starts, safe)
     i2 = np.minimum(starts + 1, safe)
@@ -129,7 +123,16 @@ def _doc_shingles_np(text: str):
     c1 = np.where(lens >= 1, bb[i1], 95).astype(np.int64)
     c2 = np.where(lens >= 2, bb[i2],
                   np.where(lens == 1, 95, 0)).astype(np.int64)
-    wh = c1 * C.WORDHASH_P1 + c2 * C.WORDHASH_P2 + lens
+    return c1 * C.WORDHASH_P1 + c2 * C.WORDHASH_P2 + lens
+
+
+def _doc_shingles_np(text: str):
+    """One document's word-bigram shingle stream (pre-distinct):
+    shingle = (wh_i·MUL + wh_{i+1}) mod P31 over `word_hashes_np`.
+    Returns None when the doc has < 2 words."""
+    wh = word_hashes_np(text)
+    if len(wh) < 2:
+        return None
     return (wh[:-1] * C.SHINGLE_MUL + wh[1:]) % C.P31
 
 
@@ -164,7 +167,9 @@ def shingle_arrays(corpus: DataFrame) -> DataFrame:
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "sh_arr": arrs})
 
-    return corpus.select("doc_id", "text").mapInPandas(shingle, schema)
+    from ..plans.widen import widen
+    return widen(corpus.select("doc_id", "text")) \
+        .mapInPandas(shingle, schema)
 
 
 def _flat_shingles(pdf):
@@ -592,7 +597,8 @@ def dedup_groups(corpus: DataFrame) -> DataFrame:
                     F.col("node_id").alias("doc_id"), "group_size"))
 
 
-def corpus_select(docs: DataFrame) -> DataFrame:
+def corpus_select(docs: DataFrame,
+                  docs_raw: DataFrame | None = None) -> DataFrame:
     """End-to-end training-corpus selection composing the pipeline:
     keep documents that (a) pass the quality threshold, (b) have a
     confirmed language ID, and (c) are either unclustered or the
@@ -613,7 +619,8 @@ def corpus_select(docs: DataFrame) -> DataFrame:
     lid = textqa.lang_id(docs).select("doc_id", "predicted_lang",
                                       "lang_match")
     smp = docs.select("doc_id", *sampling.sample_cols())
-    groups = dedup_groups(augmented_corpus(docs))
+    groups = dedup_groups(augmented_corpus(
+        docs if docs_raw is None else docs_raw))
     drop = (groups.where(F.col("doc_id") != F.col("group_id"))
             .select("doc_id").distinct())
     return (q.join(lid, "doc_id")

@@ -370,6 +370,88 @@ GOPHER_MAX_TOP_BIGRAM = 0.08
 GOPHER_MAX_DUP_TRIGRAM = 0.30
 
 
+def fingerprint_rep(docs: DataFrame) -> DataFrame:
+    """fingerprint ⋈ repetition_stats fused into ONE doc-local numpy
+    pass (r6) — both are within-document computations, so the r5
+    position explode (5M rows at sf1.0), three hash aggregates, the
+    per-doc window and the final join are all unnecessary shuffles.
+    Zero exchanges: one Arrow-batched map over (doc_id, text).
+
+    Exactness: fingerprint = Σ (wh_i·131^((i−1) mod 8) mod P31) mod
+    P31 on exact int64; n_distinct over word STRINGS; the top-bigram
+    tie-break (count DESC, bigram ASC) compares UTF-8 BYTES, matching
+    Spark/DuckDB binary string order; fractions are int/int divided
+    once in float64 (np.float64 division reproduces the NaN/Inf of a
+    SQL 0-denominator instead of raising)."""
+    import numpy as np
+    import pandas as pd
+    from collections import Counter
+    from collections.abc import Iterator
+    from pyspark.sql.types import (BooleanType, DoubleType, LongType,
+                                   StringType, StructField, StructType)
+
+    from .dedup import word_hashes_np
+
+    pows = np.array(FP_POWS, dtype=np.int64)
+    schema = StructType([
+        StructField("doc_id", LongType()),
+        StructField("fingerprint", LongType()),
+        StructField("n_tokens", LongType()),
+        StructField("dup_word_frac", DoubleType()),
+        StructField("top_bigram", StringType()),
+        StructField("top_bigram_cnt", LongType()),
+        StructField("top_bigram_frac", DoubleType()),
+        StructField("dup_trigram_frac", DoubleType()),
+        StructField("gopher_keep", BooleanType()),
+    ])
+
+    def fdiv(a, b):
+        with np.errstate(divide="ignore", invalid="ignore"):
+            return float(np.float64(a) / np.float64(b))
+
+    def kernel(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, text in zip(pdf["doc_id"], pdf["text"]):
+                ws = text.split(" ")
+                n = len(ws)
+                n_chars = len(text)
+                wh = word_hashes_np(text)
+                fp = int(((wh * pows[np.arange(n) % 8]) % C.P31)
+                         .sum() % C.P31)
+                dupf = fdiv(n - len(set(ws)), n)
+                if n >= 2:
+                    c2 = Counter(zip(ws, ws[1:]))
+                    (w1, w2), cnt = min(
+                        c2.items(),
+                        key=lambda kv: (-kv[1],
+                                        (kv[0][0] + " "
+                                         + kv[0][1]).encode()))
+                    top = w1 + " " + w2
+                else:
+                    top, cnt = "", 0
+                topf = fdiv(cnt * len(top), n_chars)
+                dup3 = 0
+                if n >= 3:
+                    c3 = Counter(zip(ws, ws[1:], ws[2:]))
+                    dup3 = sum(
+                        c * (len(a) + len(b) + len(cc) + 2)
+                        for (a, b, cc), c in c3.items() if c >= 2)
+                trif = fdiv(dup3, n_chars)
+                keep = bool(GOPHER_MIN_TOKENS <= n <= GOPHER_MAX_TOKENS
+                            and dupf <= GOPHER_MAX_DUP_WORD
+                            and topf <= GOPHER_MAX_TOP_BIGRAM
+                            and trif <= GOPHER_MAX_DUP_TRIGRAM)
+                rows.append((did, fp, n, dupf, top, cnt, topf, trif,
+                             keep))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in schema.fields])
+
+    from ..plans.widen import widen
+    return widen(docs.select("doc_id", "text")) \
+        .mapInPandas(kernel, schema)
+
+
 def domain_stats(pages: DataFrame,
                  blocklist: DataFrame | None = None,
                  extra_cols: tuple = (),

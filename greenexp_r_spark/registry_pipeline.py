@@ -19,9 +19,28 @@ def _docs(spark, sf):
     return widen(spark.read.parquet(f"{sf}/documents.parquet"))
 
 
+def _docs_raw(spark, sf):
+    """Un-widened documents scan.  Per-query A/B at sf1.0 (best of
+    2, warm): widen() pays off only before per-row-HEAVY map stages
+    (q_quality_classifier 3.7 s widened vs 25.5 s raw; q_fingerprint
+    2.8 vs 3.7); consumers that aggregate immediately or repartition
+    internally are faster raw (q_seq_pack 0.31 vs 1.20, q_text_profile
+    0.33 vs 0.48, q_line_dedup 1.07 vs 1.98, q_decontaminate 0.38 vs
+    0.64, exact dedup 1.0 vs 2.5, multimodal codecs ~1 s less)."""
+    return spark.read.parquet(f"{sf}/documents.parquet")
+
+
 def _emb(spark, sf):
     from .plans.widen import widen
     return widen(spark.read.parquet(f"{sf}/embeddings.parquet"))
+
+
+def _emb_raw(spark, sf):
+    """Un-widened embeddings scan — the neardup bucket route's first
+    step is a driver toPandas + one GEMM key pass whose cost is
+    dominated by the groupBy shuffle, not scan parallelism (A/B
+    5.1 s raw vs 6.1 s widened at sf1.0)."""
+    return spark.read.parquet(f"{sf}/embeddings.parquet")
 
 
 def _q_dedup_neardup_union(spark, sf):
@@ -31,7 +50,7 @@ def _q_dedup_neardup_union(spark, sf):
     (doc_a=keeper, doc_b=member, score=group_size) pairs — aligned
     schema, merged r5-late to free the q_substring_dedup slot."""
     from .plans.caching import tracked_persist
-    aug = dedup.augmented_corpus(_docs(spark, sf))
+    aug = dedup.augmented_corpus(_docs_raw(spark, sf))
     # ONE shingle pass shared by the minhash/simhash/incremental arms
     # (r6: shingles are row-local per doc, so the incremental sides
     # are plain doc_id filters of the same persisted table; r5
@@ -470,9 +489,10 @@ LEFT JOIN tri ON tri.doc_id = dup.doc_id
 
 
 def _q_fingerprint_rep(s, sf):
-    docs = _docs(s, sf)
-    return textqa.fingerprint(docs).join(
-        textqa.repetition_stats(docs), "doc_id")
+    # r6: fused doc-local kernel (widen()s internally) — the explode +
+    # three aggregates + window + join shape is kept in textqa for
+    # external callers and proven equal in tests
+    return textqa.fingerprint_rep(_docs_raw(s, sf))
 
 
 # ---------------------------------------------------------------------
@@ -1148,22 +1168,22 @@ GROUP BY 1, 2, 3
 
 def _line_dedup_q(spark, sf):
     from .operators import lines as L
-    return L.line_dedup(L.with_boiler_lines(_docs(spark, sf)))
+    return L.line_dedup(L.with_boiler_lines(_docs_raw(spark, sf)))
 
 
 def _decontam_q(spark, sf):
     from .operators import decontam
-    return decontam.decontaminate(_docs(spark, sf))
+    return decontam.decontaminate(_docs_raw(spark, sf))
 
 
 def _seq_pack_q(spark, sf):
     from .operators import packing
-    return packing.seq_pack(_docs(spark, sf))
+    return packing.seq_pack(_docs_raw(spark, sf))
 
 
 def _substrdup_q(spark, sf):
     from .operators import substrdup
-    return substrdup.substring_dedup(_docs(spark, sf))
+    return substrdup.substring_dedup(_docs_raw(spark, sf))
 
 
 def _oracle_substrdup(d: Dialect) -> str:
@@ -1330,7 +1350,7 @@ def _oracle_frames_av(d: Dialect) -> str:
 
 
 def _multimodal_frames_av(s, sf):
-    docs = _docs(s, sf)
+    docs = _docs_raw(s, sf)          # codec ops repartition internally
     v = (multimodal.frame_samples(docs)
          .select(F.lit("video").alias("kind"), "doc_id", "frame_idx",
                  "ts_ms", "frame_bytes", "checksum"))
@@ -1456,7 +1476,7 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         # lorem ipsum, javascript, min-sentences) over augmented text
         "q_text_profile": QSpec(
             lambda s, sf: textqa.text_profile(
-                _docs(s, sf),
+                _docs_raw(s, sf),
                 extra=pii.gate_columns() + textqa.c4_gate_columns()),
             _oracle_text_profile(d)),
         # r5: fingerprint consolidated with the Gopher repetition
@@ -1518,10 +1538,11 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         "q_dedup_groups": QSpec(
             lambda s, sf: splits.leakage_free_split(
                 dedup.dedup_groups(
-                    dedup.augmented_corpus(_docs(s, sf)))),
+                    dedup.augmented_corpus(_docs_raw(s, sf)))),
             _oracle_dedup_groups(d)),
         "q_corpus_select": QSpec(
-            lambda s, sf: dedup.corpus_select(_docs(s, sf)),
+            lambda s, sf: dedup.corpus_select(_docs(s, sf),
+                                              docs_raw=_docs_raw(s, sf)),
             _oracle_corpus_select(d)),
         # r5 late: CCNet/C4-style boilerplate line removal — corpus
         # line frequencies → broadcast anti-join → order-preserving
@@ -1571,10 +1592,10 @@ def build_pipeline_registry() -> dict[str, QSpec]:
             lambda s, sf: _seq_pack_q(s, sf),
             _seq_pack_oracle(d)),
         "q_embedding_neardup": QSpec(
-            lambda s, sf: similarity.neardup_pairs(_emb(s, sf)),
+            lambda s, sf: similarity.neardup_pairs(_emb_raw(s, sf)),
             _oracle_neardup(d)),
         "q_embedding_neardup_groups": QSpec(
-            lambda s, sf: similarity.neardup_groups(_emb(s, sf)),
+            lambda s, sf: similarity.neardup_groups(_emb_raw(s, sf)),
             _oracle_neardup_groups(d)),
         "q_events_rollup": QSpec(_q_events_rollup,
                                  _oracle_events_rollup(d)),
@@ -1585,7 +1606,7 @@ def build_pipeline_registry() -> dict[str, QSpec]:
         # oracle joins the two pre-merge oracles verbatim), freeing
         # the slot q_line_dedup takes below
         "q_multimodal_meta": QSpec(
-            lambda s, sf: multimodal.meta_thumbnail(_docs(s, sf)),
+            lambda s, sf: multimodal.meta_thumbnail(_docs_raw(s, sf)),
             _oracle_meta_thumbnail(d)),
         # video frame-sampling plumbing (every 2nd 256-byte frame)
         # + audio segment sampling through the REAL RIFF/WAV codec
