@@ -129,26 +129,50 @@ _AC_ENC = _build_huffman(AC_BITS, AC_VALS)
 
 
 class _BitWriter:
+    """Deferred bit packer: `write` only records (code, length) pairs;
+    `flush` renders the whole entropy segment in one vectorized numpy
+    pass (bit expansion → packbits → 0xFF byte stuffing → 1-bit pad).
+    Byte-identical to the former per-symbol shifting writer (the r5
+    profile showed 2.4M Python `write` calls dominating
+    encode_baseline at ~3 s per 800 documents)."""
+
     def __init__(self):
-        self.out = bytearray()
-        self.acc = 0
-        self.n = 0
+        self._chunks: list = []
 
     def write(self, code: int, length: int) -> None:
-        self.acc = (self.acc << length) | (code & ((1 << length) - 1))
-        self.n += length
-        while self.n >= 8:
-            self.n -= 8
-            b = (self.acc >> self.n) & 0xFF
-            self.out.append(b)
-            if b == 0xFF:                 # byte stuffing (F.1.2.3)
-                self.out.append(0x00)
+        self._chunks.append(
+            (np.array([code], dtype=np.int64),
+             np.array([length], dtype=np.int64)))
+
+    def write_many(self, codes: np.ndarray, lens: np.ndarray) -> None:
+        self._chunks.append((codes.astype(np.int64),
+                             lens.astype(np.int64)))
 
     def flush(self) -> bytes:
-        if self.n:
-            pad = 8 - self.n
-            self.write((1 << pad) - 1, pad)   # pad with 1-bits
-        return bytes(self.out)
+        if self._chunks:
+            cd = np.concatenate([c for c, _ in self._chunks])
+            ln = np.concatenate([l for _, l in self._chunks])
+        else:
+            cd = np.empty(0, dtype=np.int64)
+            ln = np.empty(0, dtype=np.int64)
+        cd = cd & (np.left_shift(np.int64(1), ln) - 1)
+        total = int(ln.sum())
+        pad = (-total) % 8
+        if pad:                                   # pad with 1-bits
+            cd = np.append(cd, (1 << pad) - 1)
+            ln = np.append(ln, pad)
+            total += pad
+        keep = ln > 0
+        cd, ln = cd[keep], ln[keep]
+        starts = np.cumsum(ln) - ln
+        pos = np.arange(total) - np.repeat(starts, ln)
+        shift = np.repeat(ln, ln) - 1 - pos
+        bits = ((np.repeat(cd, ln) >> shift) & 1).astype(np.uint8)
+        out = np.packbits(bits)
+        ff = np.flatnonzero(out == 0xFF)
+        if len(ff):                               # stuffing (F.1.2.3)
+            out = np.insert(out, ff + 1, 0)
+        return out.tobytes()
 
 
 class _BitReader:
@@ -259,10 +283,93 @@ def _encode_block(w: _BitWriter, zz: np.ndarray, prev_dc: int) -> int:
 
 def _encode_component(w: _BitWriter, plane: np.ndarray,
                       quant: np.ndarray) -> None:
-    zz = _zz_blocks(plane, quant)
-    prev_dc = 0
-    for b in range(len(zz)):
-        prev_dc = _encode_block(w, zz[b], prev_dc)
+    _encode_interleaved_vec(w, [_zz_blocks(plane, quant)])
+
+
+# Huffman LUTs as arrays for the vectorized encoder
+_DCC = np.zeros(16, dtype=np.int64)
+_DCL = np.zeros(16, dtype=np.int64)
+for _ssss, (_code, _ln) in _DC_ENC.items():
+    _DCC[_ssss], _DCL[_ssss] = _code, _ln
+_ACC = np.zeros(256, dtype=np.int64)
+_ACL = np.zeros(256, dtype=np.int64)
+for _sym, (_code, _ln) in _AC_ENC.items():
+    _ACC[_sym], _ACL[_sym] = _code, _ln
+_POW2 = np.int64(2) ** np.arange(32, dtype=np.int64)
+
+
+def _bit_len(v: np.ndarray) -> np.ndarray:
+    """Vectorized int bit_length (exact: integer searchsorted, no
+    float log)."""
+    return np.searchsorted(_POW2, v, side="right").astype(np.int64)
+
+
+def _encode_interleaved_vec(w: _BitWriter, comps: list) -> None:
+    """All entropy symbols of an MCU-interleaved scan in one
+    vectorized pass — replaces the per-coefficient `_encode_block`
+    loop (the r5 profile: ~2 ms/image of Python-level symbol
+    generation).  `comps` is one (B, 64) zig-zag block array per
+    component; global symbol order is reconstructed with a stable
+    sort on (mcu, component, position) keys, so the emitted
+    (code, length) stream — and therefore the byte stream — is
+    identical to the sequential encoder (identity asserted in
+    tests/test_jpeg_codec.py)."""
+    nc = len(comps)
+    SUB = 200                       # per-block subkey space (max 191)
+    keys, codes, lens = [], [], []
+
+    def emit(k, c, l):
+        keys.append(np.asarray(k, dtype=np.int64))
+        codes.append(np.asarray(c, dtype=np.int64))
+        lens.append(np.asarray(l, dtype=np.int64))
+
+    for ci, zz in enumerate(comps):
+        B = len(zz)
+        gidx = (np.arange(B, dtype=np.int64) * nc + ci) * SUB
+        dc = zz[:, 0].astype(np.int64)
+        diff = dc.copy()
+        diff[1:] -= dc[:-1]
+        cat = _bit_len(np.abs(diff))
+        emit(gidx, _DCC[cat], _DCL[cat])
+        m = cat > 0
+        amp = np.where(diff >= 0, diff,
+                       diff + np.left_shift(np.int64(1), cat) - 1)
+        emit(gidx[m] + 1, amp[m], cat[m])
+        vals = zz[:, 1:]
+        bidx, cpos = np.nonzero(vals)
+        lastpos = np.full(B, -1, dtype=np.int64)
+        if len(bidx):
+            v = vals[bidx, cpos].astype(np.int64)
+            prev_same = np.zeros(len(bidx), dtype=bool)
+            prev_same[1:] = bidx[1:] == bidx[:-1]
+            prevpos = np.empty_like(cpos)
+            prevpos[0] = 0
+            prevpos[1:] = cpos[:-1]
+            run = np.where(prev_same, cpos - prevpos - 1, cpos)
+            nzrl = run // 16
+            rem = run % 16
+            acat = _bit_len(np.abs(v))
+            base = gidx[bidx] + 2 + 3 * cpos
+            tot_z = int(nzrl.sum())
+            if tot_z:                               # ZRL fills
+                emit(np.repeat(base, nzrl),
+                     np.full(tot_z, _ACC[0xF0]),
+                     np.full(tot_z, _ACL[0xF0]))
+            sym = (rem << 4) | acat
+            emit(base + 1, _ACC[sym], _ACL[sym])
+            aamp = np.where(v >= 0, v,
+                            v + np.left_shift(np.int64(1), acat) - 1)
+            emit(base + 2, aamp, acat)
+            lastpos[bidx] = cpos    # ascending per block → max wins
+        eob = lastpos < 62
+        ne = int(eob.sum())
+        if ne:
+            emit(gidx[eob] + 2 + 3 * 63,
+                 np.full(ne, _ACC[0x00]), np.full(ne, _ACL[0x00]))
+    ka = np.concatenate(keys)
+    order = np.argsort(ka, kind="stable")
+    w.write_many(np.concatenate(codes)[order],
+                 np.concatenate(lens)[order])
 
 
 def rgb_to_ycbcr(rgb: np.ndarray) -> np.ndarray:
@@ -336,11 +443,8 @@ def encode_baseline(pixels: np.ndarray,
     if nc == 1:
         _encode_component(w, planes[0], quant)
     else:
-        padded = [_zz_blocks(p, quant) for p in planes]
-        prev = [0] * nc
-        for b in range(len(padded[0])):
-            for c in range(nc):
-                prev[c] = _encode_block(w, padded[c][b], prev[c])
+        _encode_interleaved_vec(
+            w, [_zz_blocks(p, quant) for p in planes])
     out.append(w.flush())
     out.append(b"\xFF\xD9")
     return b"".join(out)
