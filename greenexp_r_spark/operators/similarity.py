@@ -159,14 +159,21 @@ def ivf_assign(qv: DataFrame) -> tuple[DataFrame, DataFrame]:
 def ivf_topk(embeddings: DataFrame, k: int = C.ANN_K,
              n_queries: int = C.ANN_QUERIES,
              nprobe: int = C.IVF_NPROBE,
-             qv: DataFrame | None = None) -> DataFrame:
+             qv: DataFrame | None = None,
+             cent_rows: list | None = None) -> DataFrame:
     """IVF approximate top-k: probe the `nprobe` nearest centroid lists
     only.  At scale the lists are Iceberg partitions → the search is
     partition-pruned instead of a full scan.
     Output: (query_id, rank, neighbor_id, cos_sim)."""
     if qv is None:
         qv = quantized(embeddings)
-    cent, assign = ivf_assign(qv)
+    if cent_rows is None:
+        cent, assign = ivf_assign(qv)
+    else:
+        # precollected sampled centroids (shared with the kmeans
+        # variant — both start from the same every-MOD-th rows)
+        cent = _cent_df_from_rows(embeddings.sparkSession, cent_rows)
+        assign = _assign_gemm(qv, *_arrays_from_rows(cent_rows))
     queries = (qv.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("q").alias("qq"), F.col("norm2").alias("qn")))
@@ -256,8 +263,28 @@ def _lloyd_update(partials: DataFrame) -> DataFrame:
     return upd.select("list_id", "cq", cn.alias("cn"))
 
 
+def _cent_df_from_rows(spark, rows) -> DataFrame:
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("list_id", LongType()),
+        StructField("cq", ArrayType(LongType())),
+        StructField("cn", LongType()),
+    ])
+    return spark.createDataFrame(
+        [(r.list_id, list(r.cq), r.cn) for r in rows], schema)
+
+
+def _arrays_from_rows(rows):
+    lids = np.array([r.list_id for r in rows], dtype=np.int64)
+    Cm = np.array([r.cq for r in rows], dtype=np.int64)
+    sqrt_cn = np.sqrt(np.array([r.cn for r in rows], dtype=np.float64))
+    return lids, Cm, sqrt_cn
+
+
 def _train_kmeans_arrays(embeddings: DataFrame, iters: int = 2,
-                         qv: DataFrame | None = None):
+                         qv: DataFrame | None = None,
+                         cent0_rows: list | None = None):
     """Run `iters` Lloyd iterations; return (qv, lids, Cm, sqrt_cn,
     rows) where rows are the final centroid Rows (list_id, cq, cn).
     Each iteration is ONE GEMM scan of the corpus emitting tiny
@@ -265,20 +292,19 @@ def _train_kmeans_arrays(embeddings: DataFrame, iters: int = 2,
     (the r5 shape materialized n·n_cent rows per iteration)."""
     if qv is None:
         qv = quantized(embeddings)
-    cent0 = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
-             .select(F.col("vec_id").alias("list_id"),
-                     F.col("q").alias("cq"), F.col("norm2").alias("cn")))
-    rows = cent0.orderBy("list_id").collect()
+    if cent0_rows is None:
+        cent0 = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
+                 .select(F.col("vec_id").alias("list_id"),
+                         F.col("q").alias("cq"),
+                         F.col("norm2").alias("cn")))
+        rows = cent0.orderBy("list_id").collect()
+    else:
+        rows = cent0_rows
     for _ in range(iters):
-        lids = np.array([r.list_id for r in rows], dtype=np.int64)
-        Cm = np.array([r.cq for r in rows], dtype=np.int64)
-        sqrt_cn = np.sqrt(np.array([r.cn for r in rows],
-                                   dtype=np.float64))
-        rows = (_lloyd_update(_partial_sums_gemm(qv, lids, Cm, sqrt_cn))
+        rows = (_lloyd_update(_partial_sums_gemm(
+                    qv, *_arrays_from_rows(rows)))
                 .orderBy("list_id").collect())
-    lids = np.array([r.list_id for r in rows], dtype=np.int64)
-    Cm = np.array([r.cq for r in rows], dtype=np.int64)
-    sqrt_cn = np.sqrt(np.array([r.cn for r in rows], dtype=np.float64))
+    lids, Cm, sqrt_cn = _arrays_from_rows(rows)
     return qv, lids, Cm, sqrt_cn, rows
 
 
@@ -311,22 +337,14 @@ def ivf_topk_trained(embeddings: DataFrame, k: int = C.ANN_K,
                      n_queries: int = C.ANN_QUERIES,
                      nprobe: int = C.IVF_NPROBE,
                      iters: int = 2,
-                     qv: DataFrame | None = None) -> DataFrame:
+                     qv: DataFrame | None = None,
+                     cent_rows: list | None = None) -> DataFrame:
     """ivf_topk over k-means-trained lists (better recall than the
     sampled-centroid gate variant; not SQL-expressible → rows-only
     gate + pytest invariants).  Output like ivf_topk."""
-    qv, lids, Cm, sqrt_cn, rows = _train_kmeans_arrays(embeddings, iters,
-                                                        qv=qv)
-    spark = embeddings.sparkSession
-    from pyspark.sql.types import (ArrayType, LongType, StructField,
-                                   StructType)
-    cschema = StructType([
-        StructField("list_id", LongType()),
-        StructField("cq", ArrayType(LongType())),
-        StructField("cn", LongType()),
-    ])
-    cent = spark.createDataFrame(
-        [(r.list_id, list(r.cq), r.cn) for r in rows], cschema)
+    qv, lids, Cm, sqrt_cn, rows = _train_kmeans_arrays(
+        embeddings, iters, qv=qv, cent0_rows=cent_rows)
+    cent = _cent_df_from_rows(embeddings.sparkSession, rows)
     assign = _assign_gemm(qv, lids, Cm, sqrt_cn)
     queries = (qv.where(F.col("vec_id") < n_queries)
                .select(F.col("vec_id").alias("query_id"),

@@ -105,13 +105,20 @@ def _q_ann_topk_union(spark, sf):
     # ONE quantized corpus shared by all four variants (r6; each
     # variant previously re-ran the milli-unit quantization scan)
     qv = tracked_persist(similarity.quantized(emb))
+    # one collect feeds both IVF variants' identical initial centroids
+    cent_rows = (qv.where(F.col("vec_id") % C.IVF_CENTROID_MOD == 0)
+                 .select(F.col("vec_id").alias("list_id"),
+                         F.col("q").alias("cq"),
+                         F.col("norm2").alias("cn"))
+                 .orderBy("list_id").collect())
     brute = similarity.brute_force_topk_numpy(emb, qv=qv).select(
         F.lit("brute").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    ivf = similarity.ivf_topk(emb, qv=qv).select(
+    ivf = similarity.ivf_topk(emb, qv=qv, cent_rows=cent_rows).select(
         F.lit("ivf").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
-    km = similarity.ivf_topk_trained(emb, qv=qv).select(
+    km = similarity.ivf_topk_trained(emb, qv=qv,
+                                     cent_rows=cent_rows).select(
         F.lit("kmeans").alias("variant"), "query_id", "rank",
         "neighbor_id", "cos_sim")
     jl = similarity.jl_topk(emb, qv=qv).select(
