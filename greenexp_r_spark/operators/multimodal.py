@@ -533,6 +533,8 @@ def decode_wav(buf: bytes) -> dict:
             raise ValueError(f"truncated {cid!r} chunk")
         data = buf[pos + 8:pos + 8 + clen]
         if cid == b"fmt ":
+            if clen < 16:
+                raise ValueError(f"short fmt chunk ({clen} bytes)")
             afmt, ch, rate, _br, _ba, bits = struct.unpack(
                 "<HHIIHH", data[:16])
             if afmt != 1 or bits != 16:
@@ -564,7 +566,7 @@ def synthesize_audio(text: str):
     # empty text → a single zero code (the SQL twin gets this free:
     # ascii(substr(text, ..., 1)) over '' is 0 and the index wraps on
     # GREATEST(lt, 1)); without the guard lt=0 crashes the modulo
-    codes = (np.frombuffer(text.encode("utf-8"),
+    codes = (np.frombuffer(text.encode("ascii"),
                            dtype=np.uint8).astype(np.int64)
              if lt else np.zeros(1, dtype=np.int64))
     i = np.arange(1, n + 1, dtype=np.int64)

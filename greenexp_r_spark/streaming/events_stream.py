@@ -63,7 +63,10 @@ def downsample_stream(spark: SparkSession, events_path: str,
     stream is bit-equal to the batch rollup (asserted in
     tests/test_downsample.py), the same stream≡batch contract as the
     sessionizer.  State per key is one aggregation row per open
-    bucket; the watermark evicts buckets once event time passes."""
+    bucket.  The watermark bounds state only in append/update mode;
+    the availableNow test drain below uses outputMode('complete'),
+    where Spark retains all aggregation state — a long-running
+    deployment should run update mode with a merging sink."""
     from ..operators import downsample as DS
 
     events_path = stage_as_dir(events_path)
