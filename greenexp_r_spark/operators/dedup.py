@@ -718,7 +718,11 @@ def _simhash_pairs_bucketed(blk: DataFrame,
     buckets = (blk.groupBy("bk", "bv")
                .agg(F.collect_list(F.struct("doc_id", "simhash"))
                     .alias("members"))
-               .where(F.size("members") >= 2))
+               .where(F.size("members") >= 2)
+               # tiny bucket table: AQE would coalesce it to 1-2
+               # partitions and run the popcount verify single-core
+               .repartition(
+                   blk.sparkSession.sparkContext.defaultParallelism))
     schema = StructType([
         StructField("doc_a", LongType()),
         StructField("doc_b", LongType()),

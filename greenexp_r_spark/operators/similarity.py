@@ -706,6 +706,12 @@ def _neardup_pairs_bucketed(corpus: DataFrame,
                     .alias("members"))
                .where(F.size("members") >= 2)
                .dropDuplicates(["members"]))
+    # the bucket table is tiny (~1.4 MB of ids), so AQE coalesces it
+    # to ONE post-shuffle partition and the GEMM verify runs
+    # single-core; an explicit round-robin repartition (user
+    # repartitions are never coalesced) spreads the buckets
+    buckets = buckets.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism)
 
     schema = StructType([
         StructField("vec_id_a", LongType()),
