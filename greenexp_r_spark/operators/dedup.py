@@ -168,7 +168,11 @@ def shingle_arrays(corpus: DataFrame) -> DataFrame:
                                 "sh_arr": arrs})
 
     from ..plans.widen import widen
-    return widen(corpus.select("doc_id", "text")) \
+    # several sequential dedup-arm jobs re-read the persisted result:
+    # size tasks at ~512 KB of source so scheduling overhead stays
+    # small (A/B: q_dedup_neardup 4.6 s vs 5.3 s at sf1.0)
+    return widen(corpus.select("doc_id", "text"),
+                 bytes_per_task=512 * 1024) \
         .mapInPandas(shingle, schema)
 
 

@@ -32,7 +32,11 @@ def _docs_raw(spark, sf):
 
 def _emb(spark, sf):
     from .plans.widen import widen
-    return widen(spark.read.parquet(f"{sf}/embeddings.parquet"))
+    # ~750 KB per task: the ANN variants run many short sequential
+    # driver jobs over this frame (Lloyd rounds, collects) — see
+    # widen()'s bytes_per_task note
+    return widen(spark.read.parquet(f"{sf}/embeddings.parquet"),
+                 bytes_per_task=768 * 1024)
 
 
 def _emb_raw(spark, sf):
@@ -1001,8 +1005,9 @@ def _q_events_rollup(spark, sf):
     from .operators import retention as _RT
     from .operators import sessions as _SS
     # events: 1M cheap rows straight into aggregations — widen()'s
-    # exchange costs more than the scan parallelism it buys (A/B 3.5 s
-    # vs 6.4 s at sf1.0), so events reads stay un-widened
+    # exchange costs more than the scan parallelism it buys (full-row
+    # A/B 6.4 s vs 3.5 s; even a props-free narrow widen measured
+    # 6.3 s), so events reads stay un-widened
     ev = spark.read.parquet(f"{sf}/events.parquet")
     h = (ev.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                     "event_type")
