@@ -164,8 +164,12 @@ def shingle_arrays(corpus: DataFrame) -> DataFrame:
                     continue
                 ids.append(doc_id)
                 arrs.append(pd.unique(sh))
+            if not ids:
+                continue      # an all-short-docs batch: empty typed
+                              # frames trip Arrow's NumPyConverter
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "sh_arr": arrs})
+                                "sh_arr": pd.Series(arrs,
+                                                    dtype="object")})
 
     from ..plans.widen import widen
     # several sequential dedup-arm jobs re-read the persisted result:
