@@ -180,6 +180,62 @@ def shingle_arrays(corpus: DataFrame) -> DataFrame:
         .mapInPandas(shingle, schema)
 
 
+def shingle_table(corpus: DataFrame) -> DataFrame:
+    """(doc_id, sh_arr, mh0..mh7, simhash) in ONE Arrow pass — the
+    shingle stream is already flattened per batch, so the MinHash
+    permutation mins and the per-bit SimHash majorities ride the same
+    reduceat sweep instead of two more Python round trips over the
+    persisted array table (r6: the dedup union ran 4 passes)."""
+    import numpy as np
+    import pandas as pd
+    from collections.abc import Iterator
+    from pyspark.sql.types import (ArrayType, LongType, StructField,
+                                   StructType)
+
+    schema = StructType(
+        [StructField("doc_id", LongType()),
+         StructField("sh_arr", ArrayType(LongType()))]
+        + [StructField(f"mh{j}", LongType())
+           for j in range(len(C.MINHASH_PERMS))]
+        + [StructField("simhash", LongType())])
+    bit_perms = C.SIMHASH_BIT_PERMS[:C.SIMHASH_BITS]
+
+    def kern(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, arrs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                sh = _doc_shingles_np(text)
+                if sh is None:
+                    continue
+                ids.append(doc_id)
+                arrs.append(pd.unique(sh))
+            if not ids:
+                continue
+            sizes = np.fromiter((len(a) for a in arrs), dtype=np.int64,
+                                count=len(arrs))
+            flat = np.concatenate(arrs)
+            offs = np.zeros(len(arrs), dtype=np.int64)
+            np.cumsum(sizes[:-1], out=offs[1:])
+            out = {"doc_id": pd.Series(ids, dtype="int64"),
+                   "sh_arr": pd.Series(arrs, dtype="object")}
+            for j, (a, b) in enumerate(C.MINHASH_PERMS):
+                out[f"mh{j}"] = np.minimum.reduceat(
+                    (flat * a + b) % C.P31, offs)
+            sim = np.zeros(len(arrs), dtype=np.int64)
+            for bnum, (a, bb) in enumerate(bit_perms):
+                ones = ((flat * a + bb) % C.P31) & 1
+                cb = np.add.reduceat(ones, offs)
+                sim += np.where(cb * 2 > sizes,
+                                np.int64(1) << bnum, 0)
+            out["simhash"] = sim
+            yield pd.DataFrame(out)
+
+    from ..plans.widen import widen
+    return widen(corpus.select("doc_id", "text"),
+                 bytes_per_task=512 * 1024) \
+        .mapInPandas(kern, schema)
+
+
 def _flat_shingles(pdf):
     """Flatten a batch's shingle arrays → (flat int64 array, doc
     offsets for np.*.reduceat, per-doc sizes)."""
@@ -398,7 +454,7 @@ def _minhash_pairs_bucketed(sh: DataFrame,
 def _band_keys_with_arrays(sh: DataFrame) -> DataFrame:
     """(doc_id, band, h1, h2, sh_arr) — band keys with the shingle
     array carried through the explode."""
-    sig = _signatures_with_arrays(sh)
+    sig = sh if "mh0" in sh.columns else _signatures_with_arrays(sh)
     n_bands = len(C.MINHASH_PERMS) // C.MINHASH_BAND_ROWS
     band_arr = F.array(*[
         F.struct(F.col(f"mh{2 * b}").alias("h1"),
@@ -424,6 +480,8 @@ def minhash_lsh_pairs(corpus: DataFrame,
     """
     if sh is None:
         from ..plans.caching import tracked_persist
+        # plain shingle_arrays: the combined shingle_table would also
+        # sweep the 60 simhash bit permutations this caller never uses
         sh = tracked_persist((shingler or shingle_arrays)(corpus))
     if sh.count() <= DEDUP_BUCKET_MAX:
         return _minhash_pairs_bucketed(sh, jaccard_threshold)
@@ -435,7 +493,8 @@ def _minhash_pairs_joined(sh: DataFrame,
     """Banded equi-join candidates + join-attached exact-Jaccard
     verify — the arbitrarily-large-corpus route (no oversized
     collect_list buckets)."""
-    sig = minhash_signatures_from_arrays(sh)
+    sig = sh if "mh0" in sh.columns \
+        else minhash_signatures_from_arrays(sh)
     bands = _band_keys(sig)
     l = bands.select(F.col("doc_id").alias("doc_a"), "band", "h1", "h2")
     r = bands.select(F.col("doc_id").alias("doc_b"), "band", "h1", "h2")
@@ -496,10 +555,12 @@ def incremental_pairs(base: DataFrame, new: DataFrame,
         sh_n = tracked_persist(shingle_arrays(new))
     if sh_b.count() + sh_n.count() <= DEDUP_BUCKET_MAX:
         return _incremental_pairs_bucketed(sh_b, sh_n, jaccard_threshold)
-    l = _band_keys(minhash_signatures_from_arrays(sh_b)) \
-        .withColumnRenamed("doc_id", "doc_a")
-    r = _band_keys(minhash_signatures_from_arrays(sh_n)) \
-        .withColumnRenamed("doc_id", "doc_b")
+    sig_b = sh_b if "mh0" in sh_b.columns \
+        else minhash_signatures_from_arrays(sh_b)
+    sig_n = sh_n if "mh0" in sh_n.columns \
+        else minhash_signatures_from_arrays(sh_n)
+    l = _band_keys(sig_b).withColumnRenamed("doc_id", "doc_a")
+    r = _band_keys(sig_n).withColumnRenamed("doc_id", "doc_b")
     cand = (l.join(r, ["band", "h1", "h2"])
             .select("doc_a", "doc_b").distinct())
     verif = (cand
@@ -675,6 +736,8 @@ def simhash_signatures(corpus: DataFrame,
             yield pd.DataFrame({"doc_id": pdf["doc_id"].to_numpy(),
                                 "simhash": sim})
 
+    if sh is not None and "simhash" in sh.columns:
+        return sh.select("doc_id", "simhash")
     src = sh if sh is not None else shingle_arrays(corpus)
     return src.select("doc_id", "sh_arr").mapInPandas(sig, schema)
 

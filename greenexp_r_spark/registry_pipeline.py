@@ -59,7 +59,7 @@ def _q_dedup_neardup_union(spark, sf):
     # (r6: shingles are row-local per doc, so the incremental sides
     # are plain doc_id filters of the same persisted table; r5
     # recomputed the shingle scan four times per query)
-    shingles = tracked_persist(dedup.shingle_arrays(aug))
+    shingles = tracked_persist(dedup.shingle_table(aug))
     ex = dedup.exact_duplicates(aug).select(
         F.lit("exact").alias("method"),
         F.col("dup_group_min").alias("doc_a"),
