@@ -33,22 +33,23 @@ WIDEN_MIN_BYTES = 4 << 20
 
 
 def widen(df: DataFrame,
-          bytes_per_task: int | None = None) -> DataFrame:
+          bytes_per_task: int | None = 512 * 1024) -> DataFrame:
     """Ensure enough scan partitions; no-op when the input already
     has them, or when the source files are small enough
     (< WIDEN_MIN_BYTES) that the repartition exchange costs more than
     the parallelism is worth.  The size check is a driver-side file
     listing — no Spark job.
 
-    Default target: defaultParallelism (right for per-row-HEAVY map
-    stages that want every core).  With `bytes_per_task`, the target
-    is source_bytes // bytes_per_task capped at defaultParallelism —
-    for consumers that run MANY short sequential jobs over the frame
-    (the IVF/Lloyd driver loops), where per-task scheduling overhead
-    on 32 near-empty partitions costs more than the lost parallelism
-    (A/B at sf1.0: q_ann_topk 5.1 s at 8 partitions vs 7.5 s at 32).
-    Both targets grow with the input, so neither is a local[32]-only
-    constant."""
+    Target: source_bytes // bytes_per_task, capped at
+    defaultParallelism.  512 KB per task A/B'd faster than a flat
+    defaultParallelism target for EVERY widened consumer at sf1.0
+    (q_ann_topk 7.5 → 4.0 s, q_exposure_pages 2.2 → 1.7,
+    q_knn_parks 2.9 → 2.1, q_quality_classifier 2.0 → 1.6, ...):
+    32 near-empty partitions cost more per-task scheduling across the
+    many jobs of a query than the extra cores return.  The target
+    grows with the input and saturates at the core count, so it is
+    not a local[32]-only constant; pass bytes_per_task=None to force
+    the flat defaultParallelism target."""
     sc = df.sparkSession.sparkContext
     tot = None
     try:
